@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG pipeline slice on sf0.001; ``queries`` /
+``oracle_sql`` pair every implemented operator with a DuckDB-checkable SQL
+equivalent (SURVEY.md §2, §5.2). Extraction queries are genuinely
+oracle-checked: the deterministic SVO parse provider
+(posextract_spark/parse/svo.py) is constructed so the *real* kernel pipeline
+(pandas UDF -> rules -> explode) has an exact window-function SQL mirror.
 """
 
 from __future__ import annotations
@@ -12,27 +13,307 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: triple extraction over documents -> predicate histogram."""
+    from posextract_spark.operators.triples import extract_triples
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    triples = extract_triples(docs, text_col="text", id_cols=["doc_id"], provider="svo")
+    return (
+        triples.groupBy("verb")
+        .agg(F.count(F.lit(1)).alias("n_triples"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_triples"), F.col("verb"))
+    )
+
+
+# --- query implementations --------------------------------------------------
+
+
+def q_svo_triples(spark, sf_dir):
+    from posextract_spark.operators.triples import extract_triples
+
+    t = extract_triples(_docs(spark, sf_dir), text_col="text", id_cols=["doc_id"], provider="svo")
+    return t.select("doc_id", "subject", "verb", "object")
+
+
+def q_svo_triples_by_verb(spark, sf_dir):
+    return (
+        q_svo_triples(spark, sf_dir)
+        .groupBy("verb")
+        .agg(F.count(F.lit(1)).alias("n_triples"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+_POSRULE_TEXT = """
+// keep subjects starting with d..., drop merge triples
+MATCH SUBJECT=RE<"d.*">;
+IGNORE VERB="merge";
+"""
+
+
+def q_svo_triples_posrule(spark, sf_dir):
+    from posextract_spark.operators.triples import extract_triples
+    from posextract_spark.posrule import parse_posrule_text, to_column
+
+    flt = to_column(parse_posrule_text(_POSRULE_TEXT))
+    t = extract_triples(
+        _docs(spark, sf_dir), text_col="text", id_cols=["doc_id"], provider="svo",
+        posrule_filter=flt,
+    )
+    return t.select("doc_id", "subject", "verb", "object")
+
+
+def q_adj_noun_pairs(spark, sf_dir):
+    from posextract_spark.operators.pairs import extract_adj_noun_pairs
+
+    return extract_adj_noun_pairs(
+        _docs(spark, sf_dir), text_col="text", id_cols=["doc_id"], provider="svo"
+    )
+
+
+def q_subj_verb_pairs(spark, sf_dir):
+    from posextract_spark.operators.pairs import extract_subj_verb_pairs
+
+    return extract_subj_verb_pairs(
+        _docs(spark, sf_dir), text_col="text", id_cols=["doc_id"], provider="svo"
+    )
+
+
+def q_token_count(spark, sf_dir):
+    from posextract_spark.operators.textops import token_count
+
+    return token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens", "n_tokens_bpe_est")
+
+
+def q_quality_score(spark, sf_dir):
+    from posextract_spark.operators.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "mean_word_len_e4", "stopword_ratio_e4"
+    )
+
+
+def q_language_id(spark, sf_dir):
+    from posextract_spark.operators.textops import language_id
+
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def q_fingerprint(spark, sf_dir):
+    from posextract_spark.operators.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "text_hash", "min_word_hash")
+
+
+def q_exact_dedup(spark, sf_dir):
+    from posextract_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from posextract_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_band_pairs(spark, sf_dir):
+    from posextract_spark.operators.dedup import minhash_band_pairs
+
+    return minhash_band_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    from posextract_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_stats(spark, sf_dir):
+    from posextract_spark.operators.dedup import ngram_jaccard_stats
+
+    return ngram_jaccard_stats(_docs(spark, sf_dir))
+
+
+_QUERY_VEC: dict = {}
+
+
+def _query_vec(spark, sf_dir):
+    if sf_dir not in _QUERY_VEC:
+        row = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .head()
+        )
+        _QUERY_VEC[sf_dir] = [float(x) for x in row[0]]
+    return _QUERY_VEC[sf_dir]
+
+
+def q_cosine_topk(spark, sf_dir):
+    from posextract_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_lsh_bucket(spark, sf_dir):
+    from posextract_spark.operators.similarity import lsh_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucket(emb)
+
+
+def q_kg_edges(spark, sf_dir):
+    """Graph materialize over the SVO triples: edge weights + provenance."""
+    t = q_svo_triples(spark, sf_dir)
+    return t.groupBy("subject", "verb", "object").agg(
+        F.count(F.lit(1)).alias("weight"), F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+def q_kg_nodes(spark, sf_dir):
+    """Node table: canonical surface (lower) + deterministic entity id +
+    mention count, from subject and object mentions."""
+    from posextract_spark.functions.hashing import portable_hash64
+
+    t = q_svo_triples(spark, sf_dir)
+    mentions = t.select(F.col("subject").alias("surface")).unionAll(
+        t.select(F.col("object").alias("surface"))
+    )
+    canon = mentions.select(F.lower(F.col("surface")).alias("canonical"))
+    return canon.groupBy("canonical").agg(F.count(F.lit(1)).alias("n_mentions")).select(
+        portable_hash64(F.col("canonical")).alias("entity_id"), "canonical", "n_mentions"
+    )
+
+
+def q_events_by_type_day(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.sum("value") * F.lit(100)).cast("bigint").alias("sum_value_e2"),
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.floor(F.sum("o_totalprice") * F.lit(100)).cast("bigint").alias("revenue_e2"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "svo_triples": q_svo_triples,
+        "svo_triples_by_verb": q_svo_triples_by_verb,
+        "svo_triples_posrule": q_svo_triples_posrule,
+        "adj_noun_pairs": q_adj_noun_pairs,
+        "subj_verb_pairs": q_subj_verb_pairs,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard_stats": q_ngram_jaccard_stats,
+        "cosine_topk": q_cosine_topk,
+        "lsh_bucket": q_lsh_bucket,
+        "kg_edges": q_kg_edges,
+        "kg_nodes": q_kg_nodes,
+        "events_by_type_day": q_events_by_type_day,
+        "revenue_by_nation": q_revenue_by_nation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from posextract_spark.operators.dedup import (
+        EXACT_DEDUP_SQL,
+        MINHASH_BAND_PAIRS_SQL,
+        MINHASH_SIGNATURES_SQL,
+        NGRAM_JACCARD_STATS_SQL,
+        SIMHASH_SQL,
+    )
+    from posextract_spark.operators.pairs import SVO_ADJ_NOUN_SQL, SVO_SUBJ_VERB_SQL
+    from posextract_spark.operators.similarity import cosine_topk_sql, lsh_bucket_sql
+    from posextract_spark.operators.textops import (
+        FINGERPRINT_SQL,
+        LANGUAGE_ID_SQL,
+        QUALITY_SCORE_SQL,
+        TOKEN_COUNT_SQL,
+    )
+    from posextract_spark.operators.triples import SVO_TRIPLES_CTE
+    from posextract_spark.posrule import parse_posrule_text, to_sql
+
+    posrule_where = to_sql(
+        parse_posrule_text(_POSRULE_TEXT),
+        cols={"SUBJECT": "subject", "VERB": "verb", "PREDICATE": "object"},
+    )
+
+    return {
+        "svo_triples": SVO_TRIPLES_CTE + "SELECT doc_id, subject, verb, object FROM svo_triples",
+        "svo_triples_by_verb": SVO_TRIPLES_CTE
+        + (
+            "SELECT verb, count(*) AS n_triples, count(DISTINCT doc_id) AS n_docs "
+            "FROM svo_triples GROUP BY verb"
+        ),
+        "svo_triples_posrule": SVO_TRIPLES_CTE
+        + f"SELECT doc_id, subject, verb, object FROM svo_triples WHERE {posrule_where}",
+        "adj_noun_pairs": SVO_ADJ_NOUN_SQL,
+        "subj_verb_pairs": SVO_SUBJ_VERB_SQL,
+        "token_count": TOKEN_COUNT_SQL,
+        "quality_score": QUALITY_SCORE_SQL,
+        "language_id": LANGUAGE_ID_SQL,
+        "fingerprint": FINGERPRINT_SQL,
+        "exact_dedup": EXACT_DEDUP_SQL,
+        "minhash_signatures": MINHASH_SIGNATURES_SQL,
+        "minhash_band_pairs": MINHASH_BAND_PAIRS_SQL,
+        "simhash": SIMHASH_SQL,
+        "ngram_jaccard_stats": NGRAM_JACCARD_STATS_SQL,
+        "cosine_topk": cosine_topk_sql(k=10),
+        "lsh_bucket": lsh_bucket_sql(),
+        "kg_edges": SVO_TRIPLES_CTE
+        + (
+            "SELECT subject, verb, object, count(*) AS weight, "
+            "count(DISTINCT doc_id) AS n_docs FROM svo_triples "
+            "GROUP BY subject, verb, object"
+        ),
+        "kg_nodes": SVO_TRIPLES_CTE
+        + (
+            ", mentions AS (SELECT subject AS surface FROM svo_triples "
+            "UNION ALL SELECT object FROM svo_triples) "
+            "SELECT (('0x' || substring(md5(lower(surface)), 1, 15))::BIGINT) AS entity_id, "
+            "lower(surface) AS canonical, count(*) AS n_mentions "
+            "FROM mentions GROUP BY lower(surface)"
+        ),
+        "events_by_type_day": (
+            "SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events, "
+            "CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+            "FROM events GROUP BY event_type, date_trunc('day', ts)"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "CAST(floor(sum(o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+    }

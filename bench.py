@@ -1,0 +1,126 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "triples_per_sec": ..., ...}
+
+The documents table at sf0.1 is ~1.5 MB of text, far too small to exercise
+a 32-core executor; the bench deterministically replicates it REPLICATE
+times (doc_id remapped to keep ids unique) so the extraction stage runs for
+whole seconds. Throughput numbers are per *replicated* corpus. Set
+SPARK_GRAFT_BENCH_REPLICATE=1 to bench the raw table.
+
+Scaling-efficiency protocol (BASELINE.md): run with SPARK_GRAFT_CPUS=8 and
+=32 on the same input; eff = (rows/s @32) / (4 * rows/s @8). Input partition
+count is fixed (>= 2*32) at both levels so the wide level is not
+partition-starved.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "40"))
+    n_parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "64"))
+
+    from posextract_spark.session import build_session
+    from posextract_spark.operators.triples import extract_triples
+    from posextract_spark.operators.pairs import extract_adj_noun_pairs
+    from posextract_spark.operators.dedup import minhash_signatures, simhash
+    from posextract_spark.operators.textops import fingerprint, language_id, quality_score
+    from posextract_spark.operators.similarity import cosine_topk
+
+    spark = build_session(app_name="posextract-bench", master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = (
+            docs_raw.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"),
+                "text",
+                "lang",
+            )
+        )
+    else:
+        docs = docs_raw.select("doc_id", "text", "lang")
+    docs = docs.repartition(n_parts).persist()
+    n_docs = docs.count()  # materialize input outside the timed region
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # Warm up the python workers / JIT with a small slice.
+    extract_triples(docs.limit(64), text_col="text", id_cols=["doc_id"], provider="svo").count()
+
+    n_triples = timed(
+        "triples_extract",
+        lambda: extract_triples(docs, text_col="text", id_cols=["doc_id"], provider="svo").count(),
+    )
+    extras["n_docs"] = n_docs
+    extras["n_triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / timings["triples_extract"], 1)
+    extras["docs_per_sec"] = round(n_docs / timings["triples_extract"], 1)
+
+    timed(
+        "kg_edges",
+        lambda: extract_triples(docs, text_col="text", id_cols=["doc_id"], provider="svo")
+        .groupBy("subject", "verb", "object")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .count(),
+    )
+    timed(
+        "adj_noun_pairs",
+        lambda: extract_adj_noun_pairs(docs, id_cols=["doc_id"], provider="svo").count(),
+    )
+    timed("minhash_signatures", lambda: minhash_signatures(docs).count())
+    timed("simhash", lambda: simhash(docs).count())
+    timed(
+        "text_quality_scan",
+        lambda: fingerprint(language_id(quality_score(docs))).count(),
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    timed("cosine_topk", lambda: cosine_topk(emb, qvec, k=10).collect())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "kg_pipeline_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "replicate": replicate,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

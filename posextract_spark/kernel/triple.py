@@ -1,0 +1,143 @@
+"""Triple records and flattening (reference: src/posextract/triple_extraction.py).
+
+``TripleExtraction`` holds live Token references (copy-on-expand, like the
+reference dataclass at triple_extraction.py:38-54). ``flatten`` produces the
+final all-strings record with the reference's exact assembly quirks
+(triple_extraction.py:56-99), plus raw token texts for Catalyst-side posrule
+filtering and provenance.
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from posextract_spark.kernel.model import Token, TokenLike
+
+EMPHASIS_ADJ_LIST = ("very", "much", "most", "utterly", "as")  # triple_extraction.py:35
+
+# Output field order of the flattened record (triple_extraction.py:11-26).
+FLAT_FIELDS = (
+    "subject_negdet",
+    "subject",
+    "neg_adverb",
+    "neg_adverb_part",
+    "aux_verb",
+    "verb",
+    "poa_neg",
+    "poa",
+    "object_negdet",
+    "object_adjectives",
+    "object",
+    "object_prep",
+    "object_prep_noun",
+    "rule",
+)
+
+
+@dataclass
+class TripleExtraction:
+    subject_negdet: Optional[Token] = None
+    subject: Optional[Token] = None
+    neg_adverb: Optional[Token] = None
+    neg_adverb_part: Optional[Token] = None
+    aux_verb: Optional[Token] = None
+    verb: Optional[TokenLike] = None
+    poa_neg: Optional[Token] = None
+    poa: Optional[Token] = None
+    object_negdet: Optional[Token] = None
+    object_adjectives: Optional[List[Token]] = None
+    object: Optional[Token] = None
+    object_prep: Optional[Token] = None
+    object_prep_noun: Optional[Token] = None
+    rule: str = ""
+    verb_phrase: bool = False
+
+    def clone(self) -> "TripleExtraction":
+        """Shallow copy, like the reference's copy.copy on expansion
+        (grammatical_triples.py:115,129,154)."""
+        return copy.copy(self)
+
+    def get_triple_hash(self):
+        """Lower-cased (subject, verb, object) text key
+        (triple_extraction.py:101-103). We return the tuple itself rather
+        than hash() so dedup cannot collide."""
+        s = self.subject.text.lower() if self.subject is not None else ""
+        v = self.verb.text.lower() if self.verb is not None else ""
+        o = self.object.text.lower() if self.object is not None else ""
+        return (s, v, o)
+
+    def flatten(
+        self,
+        lemmatize: bool = False,
+        compound_subject: bool = True,
+        compound_object: bool = True,
+    ) -> dict:
+        """String assembly (reference: triple_extraction.py:56-99).
+
+        Quirks preserved:
+        - verb is replaced by its lemma when (not lemmatizing and) the verb
+          precedes the subject (triple_extraction.py:69-70); VerbPhrases
+          have no ``i`` so never qualify.
+        - multiple compound children *prepend* for the subject (so they end
+          up reversed) but iterate reversed for the object (so they end up
+          in order) (triple_extraction.py:79-91).
+        - EMPHASIS adverb objects append their ADJ head's text
+          (triple_extraction.py:84-86).
+        - ADP/prt verb children append to the verb (triple_extraction.py:93-95).
+        """
+        out = {k: "" for k in FLAT_FIELDS}
+
+        for k in FLAT_FIELDS:
+            if k == "object_adjectives":
+                continue
+            v = getattr(self, k)
+            if v is None:
+                continue
+            out[k] = v if isinstance(v, str) else str(v)
+
+        if lemmatize:
+            if self.object is not None:
+                out["object"] = self.object.lemma_
+            if self.verb is not None:
+                out["verb"] = self.verb.lemma_
+            if self.subject is not None:
+                out["subject"] = self.subject.lemma_
+        else:
+            if (
+                hasattr(self.verb, "i")
+                and (self.verb is not None and self.subject is not None)
+                and self.verb.i < self.subject.i
+            ):
+                out["verb"] = self.verb.lemma_
+
+        if self.object_adjectives:
+            out["object_adjectives"] = " ".join(adj.text for adj in self.object_adjectives)
+
+        if compound_subject:
+            for child in self.subject.children:
+                if child.dep == "compound":
+                    out["subject"] = child.text + " " + out["subject"]
+
+        if self.object.dep == "advmod" and self.object.pos == "ADV":
+            if self.object.head.pos == "ADJ" and self.object.text.lower() in EMPHASIS_ADJ_LIST:
+                out["object"] += " " + self.object.head.text
+
+        if compound_object:
+            for child in reversed(list(self.object.children)):
+                if child.dep == "compound":
+                    out["object"] = child.text + " " + out["object"]
+
+        for verb_child in self.verb.children:
+            if verb_child.pos == "ADP" and verb_child.dep == "prt":
+                out["verb"] += " " + verb_child.text
+
+        # Raw token texts (pre-compound/emphasis assembly): the reference's
+        # posrule filters evaluate Token.text (posrule/parser.py:43-45), so
+        # the Catalyst-compiled filters need these columns.
+        out["subject_token_text"] = self.subject.text if self.subject is not None else ""
+        out["verb_token_text"] = self.verb.text if self.verb is not None else ""
+        out["object_token_text"] = self.object.text if self.object is not None else ""
+
+        return out

@@ -1,0 +1,210 @@
+"""Adjective-noun and subject-verb pair operators.
+
+Spark shape mirrors the reference's extract_df wrappers
+(reference: src/posextract/adj_noun_pairs.py:109-121, subj_verb_pairs.py:102-114):
+df -> pandas UDF -> explode, with sibling columns preserved for free by the
+explode (the reference broadcasts the original row manually at
+adj_noun_pairs.py:114).
+
+DuckDB oracle SQL mirrors for the SVO provider are defined alongside.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+ADJ_NOUN_STRUCT = StructType(
+    [
+        StructField("verb_neg", StringType(), False),
+        StructField("neg_det", StringType(), False),
+        StructField("adjective", StringType(), False),
+        StructField("noun", StringType(), False),
+    ]
+)
+
+SUBJ_VERB_STRUCT = StructType(
+    [
+        StructField("subject", StringType(), False),
+        StructField("verb_neg", StringType(), False),
+        StructField("verb", StringType(), False),
+    ]
+)
+
+
+def extract_adj_noun_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Optional[List[str]] = None,
+    lemmatize: bool = False,
+    letter_case: str = "default",
+    provider: str = "auto",
+    provider_kwargs: Optional[dict] = None,
+    keep: bool = True,
+) -> DataFrame:
+    """reference: adj_noun_pairs.py:49-121. ``keep=False`` mirrors the
+    column-drop variant (adj_noun_pairs.py:27-31)."""
+    id_cols = list(id_cols or [])
+    pk = provider_kwargs or {}
+
+    @F.pandas_udf(ArrayType(ADJ_NOUN_STRUCT))
+    def pairs_udf(texts: pd.Series) -> pd.Series:
+        from posextract_spark.kernel.pairs import adj_noun_pairs_one
+        from posextract_spark.parse.provider import get_provider
+
+        p = get_provider(provider, **pk)
+        out = []
+        for sent in p.parse_batch([t if t else "" for t in texts]):
+            out.append(
+                [
+                    (d["verb_neg"], d["neg_det"], d["adjective"], d["noun"])
+                    for d in adj_noun_pairs_one(sent, lemmatize=lemmatize, letter_case=letter_case)
+                ]
+            )
+        return pd.Series(out)
+
+    keep_cols = id_cols if keep else []
+    exploded = df.select(*keep_cols, F.explode(pairs_udf(F.col(text_col))).alias("pair"))
+    return exploded.select(*keep_cols, "pair.*")
+
+
+def extract_subj_verb_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Optional[List[str]] = None,
+    lemmatize: bool = False,
+    letter_case: str = "default",
+    provider: str = "auto",
+    provider_kwargs: Optional[dict] = None,
+) -> DataFrame:
+    """reference: subj_verb_pairs.py:49-114 (incl. the stale-subject
+    carry-over quirk — see kernel.pairs.subj_verb_pairs_one)."""
+    id_cols = list(id_cols or [])
+    pk = provider_kwargs or {}
+
+    @F.pandas_udf(ArrayType(SUBJ_VERB_STRUCT))
+    def pairs_udf(texts: pd.Series) -> pd.Series:
+        from posextract_spark.kernel.pairs import subj_verb_pairs_one
+        from posextract_spark.parse.provider import get_provider
+
+        p = get_provider(provider, **pk)
+        out = []
+        for sent in p.parse_batch([t if t else "" for t in texts]):
+            out.append(
+                [
+                    (d["subject"], d["verb_neg"], d["verb"])
+                    for d in subj_verb_pairs_one(sent, lemmatize=lemmatize, letter_case=letter_case)
+                ]
+            )
+        return pd.Series(out)
+
+    exploded = df.select(*id_cols, F.explode(pairs_udf(F.col(text_col))).alias("pair"))
+    return exploded.select(*id_cols, "pair.*")
+
+
+# DuckDB mirrors for the SVO provider over the `documents` view. -------------
+
+# adj-noun: every ADJ-classified word pairs with the next NOUN-classified
+# word in the document (the SVO parser's amod attachment); negations are
+# structurally impossible in these trees, so verb_neg/neg_det are ''.
+SVO_ADJ_NOUN_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(ws) AS word,
+         unnest(generate_series(1, len(ws))) AS idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+ctoks AS (
+  SELECT doc_id, word, idx,
+    CASE WHEN word IN ('the','a','an') THEN 'DET'
+         WHEN word IN ('fast','slow','small','big') THEN 'ADJ'
+         WHEN word IN ('scan','merge','join','sort','filter','group','order',
+                       'hash','batch','stream','query') THEN 'VERB'
+         ELSE 'NOUN' END AS pos
+  FROM toks WHERE length(word) > 0
+),
+nxt AS (
+  SELECT doc_id, word, idx, pos,
+    min(CASE WHEN pos='NOUN' THEN idx END) OVER (
+      PARTITION BY doc_id ORDER BY idx
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_noun_idx
+  FROM ctoks
+)
+SELECT a.doc_id,
+       '' AS verb_neg, '' AS neg_det,
+       a.word AS adjective, n.word AS noun
+FROM nxt a
+JOIN ctoks n ON n.doc_id = a.doc_id AND n.idx = a.next_noun_idx
+WHERE a.pos = 'ADJ'
+"""
+
+# subj-verb: per VERB token in order; own subject = last NOUN in the gap
+# after the previous verb unless it was that verb's object; the effective
+# subject carries forward across subject-less verbs (the reference's stale
+# local variable, subj_verb_pairs.py:49-59).
+SVO_SUBJ_VERB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(ws) AS word,
+         unnest(generate_series(1, len(ws))) AS idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+ctoks AS (
+  SELECT doc_id, word, idx,
+    CASE WHEN word IN ('the','a','an') THEN 'DET'
+         WHEN word IN ('fast','slow','small','big') THEN 'ADJ'
+         WHEN word IN ('scan','merge','join','sort','filter','group','order',
+                       'hash','batch','stream','query') THEN 'VERB'
+         ELSE 'NOUN' END AS pos
+  FROM toks WHERE length(word) > 0
+),
+marked AS (
+  SELECT doc_id, word, idx, pos,
+    max(CASE WHEN pos='VERB' THEN idx END) OVER (
+      PARTITION BY doc_id ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_verb_idx,
+    min(CASE WHEN pos='VERB' THEN idx END) OVER (
+      PARTITION BY doc_id ORDER BY idx
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_verb_idx
+  FROM ctoks
+),
+verbs AS (
+  SELECT doc_id, idx AS v_idx, word AS verb, prev_verb_idx, next_verb_idx
+  FROM marked WHERE pos='VERB'
+),
+subj AS (
+  SELECT v.doc_id, v.v_idx, max(t.idx) AS subj_idx
+  FROM verbs v JOIN ctoks t
+    ON t.doc_id = v.doc_id AND t.pos = 'NOUN'
+   AND t.idx < v.v_idx AND t.idx > COALESCE(v.prev_verb_idx, 0)
+  GROUP BY v.doc_id, v.v_idx
+),
+obj AS (
+  SELECT v.doc_id, v.v_idx, min(t.idx) AS obj_idx
+  FROM verbs v JOIN ctoks t
+    ON t.doc_id = v.doc_id AND t.pos = 'NOUN'
+   AND t.idx > v.v_idx AND t.idx < COALESCE(v.next_verb_idx, 2147483647)
+  GROUP BY v.doc_id, v.v_idx
+),
+own AS (
+  SELECT v.doc_id, v.v_idx, v.verb,
+    CASE WHEN s.subj_idx IS DISTINCT FROM
+              lag(o.obj_idx) OVER (PARTITION BY v.doc_id ORDER BY v.v_idx)
+         THEN s.subj_idx END AS own_subj_idx
+  FROM verbs v
+  LEFT JOIN subj s ON s.doc_id = v.doc_id AND s.v_idx = v.v_idx
+  LEFT JOIN obj o ON o.doc_id = v.doc_id AND o.v_idx = v.v_idx
+),
+eff AS (
+  SELECT doc_id, v_idx, verb,
+    last_value(own_subj_idx IGNORE NULLS) OVER (
+      PARTITION BY doc_id ORDER BY v_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff_subj_idx
+  FROM own
+)
+SELECT e.doc_id, t.word AS subject, '' AS verb_neg, e.verb
+FROM eff e JOIN ctoks t ON t.doc_id = e.doc_id AND t.idx = e.eff_subj_idx
+WHERE e.eff_subj_idx IS NOT NULL
+"""

@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines.
+
+All native Column expressions (whole-stage-codegen'd; no Python in the hot
+path). Each has an exact DuckDB SQL mirror used by the driver's correctness
+gate. Ratio outputs are truncated to integers-at-1e4 (floor) so value hashes
+are robust to cross-engine float formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from posextract_spark.functions.hashing import portable_hash64, word_array
+
+# Tiny deterministic language marker sets (heuristic n-gram-free lang-id:
+# marker-word voting). At 100 TB this would be a broadcast model; the
+# operator shape (per-row pure expression) is the same.
+LANG_MARKERS = {
+    "en": ("the", "a", "an", "of", "and", "in", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "dans"),
+    "es": ("el", "los", "las", "es", "y", "en"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "in", "to", "is", "was", "it")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token counting (BPE-ish char/4 estimate included)."""
+    words = word_array(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(words)).withColumn(
+        "n_tokens_bpe_est", (F.length(F.col(text_col)) / F.lit(4)).cast("bigint")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/stopword/mean-word-length quality metrics.
+
+    mean_len_e4 / stop_ratio_e4 are floor(x * 1e4) BIGINTs.
+    """
+    words = word_array(F.col(text_col))
+    n_words = F.size(words)
+    n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    stop_hits = F.size(
+        F.filter(
+            words,
+            lambda w: F.array_contains(F.array(*[F.lit(x) for x in STOPWORDS_EN]), F.lower(w)),
+        )
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len_e4",
+            F.when(n_words > 0, F.floor(n_chars_nospace * F.lit(10000) / n_words)).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "stopword_ratio_e4",
+            F.when(n_words > 0, F.floor(stop_hits * F.lit(10000) / n_words)).otherwise(F.lit(0)).cast("bigint"),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word-voting language ID: argmax of marker hits, ties broken by
+    fixed language order (en, de, fr, es), 'und' when no marker hits."""
+    words = word_array(F.lower(F.col(text_col)))
+
+    def _marker_hits(markers):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: _marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in ("en", "de", "fr", "es"):
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: full-text hash + min word hash (minhash-1) —
+    the cheap building block for shard-level dedup manifests."""
+    words = word_array(F.col(text_col))
+    word_hashes = F.transform(words, lambda w: portable_hash64(w))
+    return df.withColumn("text_hash", portable_hash64(F.col(text_col))).withColumn(
+        "min_word_hash", F.array_min(word_hashes)
+    )
+
+
+# --- DuckDB mirrors --------------------------------------------------------
+
+_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({_WORDS}) AS n_tokens,
+       CAST(floor(length(text) / 4) AS BIGINT) AS n_tokens_bpe_est
+FROM documents
+"""
+
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+  len({_WORDS}) AS n_words,
+  CASE WHEN len({_WORDS}) > 0
+       THEN CAST(floor(length(replace(text, ' ', '')) * 10000.0 / len({_WORDS})) AS BIGINT)
+       ELSE 0 END AS mean_word_len_e4,
+  CASE WHEN len({_WORDS}) > 0
+       THEN CAST(floor(len(list_filter({_WORDS}, w -> lower(w) IN ('the','a','an','of','and','in','to','is','was','it'))) * 10000.0 / len({_WORDS})) AS BIGINT)
+       ELSE 0 END AS stopword_ratio_e4
+FROM documents
+"""
+
+
+def _lang_score_sql(markers) -> str:
+    in_list = ",".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(list_transform({_WORDS}, w -> lower(w)), w -> w IN ({in_list})))"
+
+
+LANGUAGE_ID_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN greatest({_lang_score_sql(LANG_MARKERS['en'])}, {_lang_score_sql(LANG_MARKERS['de'])},
+                  {_lang_score_sql(LANG_MARKERS['fr'])}, {_lang_score_sql(LANG_MARKERS['es'])}) <= 0 THEN 'und'
+    WHEN {_lang_score_sql(LANG_MARKERS['en'])} = greatest({_lang_score_sql(LANG_MARKERS['en'])}, {_lang_score_sql(LANG_MARKERS['de'])}, {_lang_score_sql(LANG_MARKERS['fr'])}, {_lang_score_sql(LANG_MARKERS['es'])}) THEN 'en'
+    WHEN {_lang_score_sql(LANG_MARKERS['de'])} = greatest({_lang_score_sql(LANG_MARKERS['en'])}, {_lang_score_sql(LANG_MARKERS['de'])}, {_lang_score_sql(LANG_MARKERS['fr'])}, {_lang_score_sql(LANG_MARKERS['es'])}) THEN 'de'
+    WHEN {_lang_score_sql(LANG_MARKERS['fr'])} = greatest({_lang_score_sql(LANG_MARKERS['en'])}, {_lang_score_sql(LANG_MARKERS['de'])}, {_lang_score_sql(LANG_MARKERS['fr'])}, {_lang_score_sql(LANG_MARKERS['es'])}) THEN 'fr'
+    ELSE 'es'
+  END AS pred_lang
+FROM documents
+"""
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  (('0x' || substring(md5(text), 1, 15))::BIGINT) AS text_hash,
+  list_min(list_transform({_WORDS}, w -> (('0x' || substring(md5(w), 1, 15))::BIGINT))) AS min_word_hash
+FROM documents
+"""

@@ -1,0 +1,68 @@
+"""Provider registry with per-process lazy singletons."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from posextract_spark.kernel.model import Sentence
+
+_SINGLETONS: Dict[str, "ParseProvider"] = {}
+
+
+class ParseProvider:
+    """Interface: batch text -> parsed Sentence (token tree)."""
+
+    name = "base"
+
+    def parse_batch(self, texts: List[str]) -> List[Sentence]:
+        raise NotImplementedError
+
+    def parse_tokens_batch(self, texts: List[str]) -> List[List[dict]]:
+        """Token-array encoding for materializing parses as a column."""
+        out = []
+        for sent in self.parse_batch(texts):
+            out.append(
+                [
+                    {
+                        "i": t.i,
+                        "text": t.text,
+                        "lemma": t.lemma_,
+                        "pos": t.pos,
+                        "dep": t.dep,
+                        "head": t.head_i,
+                    }
+                    for t in sent
+                ]
+            )
+        return out
+
+
+def get_provider(name: str = "auto", **kwargs) -> ParseProvider:
+    """Resolve a provider by name; per-process cached (executor-side lazy
+    singleton — the Spark analog of the reference's get_nlp())."""
+    key = name + repr(sorted(kwargs.items()))
+    if key in _SINGLETONS:
+        return _SINGLETONS[key]
+
+    provider: Optional[ParseProvider] = None
+    if name in ("auto", "spacy"):
+        try:
+            from posextract_spark.parse.spacy_provider import SpacyParseProvider
+
+            provider = SpacyParseProvider(**kwargs)
+        except ImportError:
+            if name == "spacy":
+                raise
+    if provider is None and name in ("auto", "svo"):
+        from posextract_spark.parse.svo import SVOChunkParser
+
+        provider = SVOChunkParser()
+    if provider is None and name == "template":
+        from posextract_spark.parse.template import TemplateParser
+
+        provider = TemplateParser()
+    if provider is None:
+        raise ValueError(f"unknown parse provider: {name}")
+
+    _SINGLETONS[key] = provider
+    return provider

@@ -1,0 +1,42 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Settings chosen for the 100 TB design point (and harmless locally):
+- AQE on (runtime coalescing + skew-join splitting) — head-entity and
+  oversized-page skew is a first-class concern (BASELINE.json north_rule);
+- Arrow everywhere; bounded Arrow batch size so long documents cannot blow
+  up executor-python memory inside the parse/extract UDFs;
+- shuffle partitions sized for the local harness (32 cores); on a real
+  cluster this is overridden by --conf / AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "posextract-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_size: int = 2048,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

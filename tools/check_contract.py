@@ -1,0 +1,86 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry at a given SF and compares
+row count, column names, and an order-insensitive value hash against the
+matching oracle_sql() via DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for row in df.itertuples(index=False):
+        rows.append("|".join(_norm(v) for v in row))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def _norm(v) -> str:
+    if v is None or v != v:
+        return ""
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
+
+
+def main(sf_dir: str, only: list[str]) -> int:
+    import __spark_entry__ as entry_mod
+    from posextract_spark.session import build_session
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = build_session(app_name="contract-check")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        t1 = time.time()
+        if name not in oracles:
+            print(f"{name}: rows={len(sdf)} (rows-only, {t1-t0:.1f}s)")
+            continue
+        odf = con.execute(oracles[name]).df()
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+        ok_hash = value_hash(sdf) == value_hash(odf) if ok_rows and ok_cols else False
+        status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{name}: {status} rows={len(sdf)}/{len(odf)} cols_ok={ok_cols} "
+            f"hash_ok={ok_hash} ({t1-t0:.1f}s)"
+        )
+        if status == "FAIL" and ok_cols:
+            s = sdf.reindex(sorted(sdf.columns), axis=1)
+            o = odf.reindex(sorted(odf.columns), axis=1)
+            key = sorted(sdf.columns)[0]
+            print("  spark sample:", s.sort_values(list(s.columns)).head(3).to_dict("records"))
+            print("  oracle sample:", o.sort_values(list(o.columns)).head(3).to_dict("records"))
+
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+    sys.exit(1 if main(sf_dir, only) else 0)
