@@ -194,6 +194,57 @@ def q_kg_nodes(spark, sf_dir):
     )
 
 
+_ALIAS_ROWS = [
+    ("data", "datum"),
+    ("row", "record"),
+    ("line", "record"),
+    ("column", "field"),
+    ("customer", "client"),
+]
+
+
+def q_entity_link(spark, sf_dir):
+    """Broadcast alias-dictionary linking over triple subject/object
+    mentions -> mention counts per canonical entity."""
+    from posextract_spark.operators.linking import link_entities
+
+    t = q_svo_triples(spark, sf_dir)
+    mentions = t.select(F.col("subject").alias("surface")).unionAll(
+        t.select(F.col("object").alias("surface"))
+    )
+    alias_df = spark.createDataFrame(_ALIAS_ROWS, "surface_norm string, canonical string")
+    linked = link_entities(mentions, alias_df)
+    return linked.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.max(F.col("linked").cast("int")).alias("any_linked"),
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    """Iterative min-label CC over a star graph (nation -> region anchor);
+    the oracle computes the closed form, verifying convergence exactly."""
+    from posextract_spark.operators.canonicalize import connected_components
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = nation.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey").cast("long") + F.lit(1000)).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+def q_kg_pages_pipeline(spark, sf_dir):
+    """Full KG construction over the synthetic pages corpus (html -> text ->
+    sentences -> kernel triples -> broadcast linking -> edge aggregation).
+    Not SQL-expressible (dependency-parse kernel) -> rows-only check."""
+    from posextract_spark.pipeline import kg_from_pages
+    from posextract_spark.sources.pages import alias_table, generate_pages
+
+    pages = generate_pages(spark, 200, seed=42, n_partitions=8)
+    nodes, edges = kg_from_pages(pages, alias_table(spark))
+    return edges.select("src", "predicate", "dst", "weight")
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -239,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket": q_lsh_bucket,
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
+        "entity_link": q_entity_link,
+        "connected_components": q_connected_components,
+        "kg_pages_pipeline": q_kg_pages_pipeline,
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -303,6 +357,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (('0x' || substring(md5(lower(surface)), 1, 15))::BIGINT) AS entity_id, "
             "lower(surface) AS canonical, count(*) AS n_mentions "
             "FROM mentions GROUP BY lower(surface)"
+        ),
+        "entity_link": SVO_TRIPLES_CTE
+        + (
+            ", mentions AS (SELECT subject AS surface FROM svo_triples "
+            "UNION ALL SELECT object FROM svo_triples), "
+            "aliases(surface_norm, canonical) AS (VALUES "
+            + ", ".join(f"('{s}', '{c}')" for s, c in _ALIAS_ROWS)
+            + ") "
+            "SELECT COALESCE(a.canonical, lower(trim(m.surface))) AS canonical, "
+            "count(*) AS n_mentions, "
+            "max(CASE WHEN a.canonical IS NOT NULL THEN 1 ELSE 0 END) AS any_linked "
+            "FROM mentions m LEFT JOIN aliases a ON lower(trim(m.surface)) = a.surface_norm "
+            "GROUP BY 1"
+        ),
+        "connected_components": (
+            "WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn "
+            "FROM nation GROUP BY n_regionkey) "
+            "SELECT CAST(n.n_nationkey AS BIGINT) AS node, CAST(m.mn AS BIGINT) AS component "
+            "FROM nation n JOIN m ON n.n_regionkey = m.n_regionkey "
+            "UNION ALL "
+            "SELECT CAST(1000 + n_regionkey AS BIGINT) AS node, CAST(mn AS BIGINT) AS component FROM m"
         ),
         "events_by_type_day": (
             "SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events, "

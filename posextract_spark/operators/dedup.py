@@ -3,10 +3,10 @@
 Scale notes (the 100 TB design point):
 - exact dedup is a single hash-keyed shuffle with map-side partial
   aggregation; the representative-choice (min doc_id) keeps it one pass.
-- minhash: signatures are computed scan-side (explode shingles x K seeds is
-  a flatMap, no shuffle); the only shuffle is the (doc, seed) min-agg and
-  the band-bucket self-join, which AQE skew-split handles when a band
-  bucket is hot (boilerplate-heavy shards).
+- minhash: signatures AND band keys are per-row array expressions (zero
+  shuffle, zero Python); the only shuffle in the whole near-dup path is the
+  band-bucket self-join, which AQE skew-split handles when a band bucket
+  is hot (boilerplate-heavy shards).
 - n-gram Jaccard candidate generation joins on shared shingles — quadratic
   on hot shingles; it is provided as the exact small-scale baseline, with
   minhash-LSH as the scale path.
@@ -44,24 +44,66 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+# Affine rehash family for minhash: each shingle is md5-hashed ONCE, then
+# seed s's hash is (A[s] * (h % P) + B[s]) % P with P prime > 2^32. All
+# integer ops stay far below 2^63 (A,B < 2^20; h%P < 2^33), so no overflow
+# under ANSI mode and exact parity in DuckDB.
+MINHASH_P = 4294967311
+MINHASH_A = [7, 131, 2053, 16411, 131101, 524309, 1048583, 999983]
+MINHASH_B = [3, 401, 4099, 32771, 262147, 786433, 65537, 424243]
+
+
+def _signature_array_from(hs, n_seeds: int):
+    """array<struct<seed:int, minhash:bigint>> from a column reference
+    holding the array of base shingle hashes. IMPORTANT: pass a *column
+    reference*, not the expression itself — the array is referenced n_seeds
+    times and Catalyst would otherwise duplicate the whole computation per
+    reference (no CSE across array elements; observed 5-20x slowdowns)."""
+
+    def min_for(seed: int):
+        a, b = MINHASH_A[seed % len(MINHASH_A)], MINHASH_B[seed % len(MINHASH_B)]
+        return F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P))
+        )
+
+    arr = F.array(
+        *[
+            F.struct(F.lit(s).cast("int").alias("seed"), min_for(s).alias("minhash"))
+            for s in range(n_seeds)
+        ]
+    )
+    return F.when(F.size(hs) > 0, arr)
+
+
+def _with_signature(df: DataFrame, text_col: str, id_col: str, n_seeds: int) -> DataFrame:
+    """(id, _sig) with projection barriers so shingles, their base hashes,
+    and the signature array are each computed exactly once per row
+    (CollapseProject keeps multi-referenced non-cheap attributes
+    materialized)."""
+    shingled = df.select(F.col(id_col), _shingles(text_col).alias("_sh"))
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: portable_hash64(s)).alias("_hs"),
+    )
+    return hashed.select(
+        F.col(id_col), _signature_array_from(F.col("_hs"), n_seeds).alias("_sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_seeds: int = MINHASH_SEEDS
 ) -> DataFrame:
     """(id, seed, minhash) — min over shingles of hash(seed || '|' || shingle).
 
-    Scan-side flatMap (explode) + one partial-aggregated shuffle.
-    Documents with fewer than SHINGLE_N words have no shingles and emit no
-    signature rows.
+    Computed as per-row array expressions + one explode: no shuffle at all
+    (the naive shingle x seed explode + groupBy creates |shingles| x K rows
+    and a giant partial-agg shuffle). Documents with fewer than SHINGLE_N
+    words emit no rows.
     """
-    seeds = F.array(*[F.lit(s) for s in range(n_seeds)])
-    sh = df.select(F.col(id_col), F.explode(_shingles(text_col)).alias("shingle"))
-    expl = sh.select(id_col, "shingle", F.explode(seeds).alias("seed"))
-    hashed = expl.select(
-        id_col,
-        "seed",
-        portable_hash64(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+    sig = _with_signature(df, text_col, id_col, n_seeds)
+    return sig.select(F.col(id_col), F.explode("_sig").alias("sm")).select(
+        id_col, F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
 
 
 def minhash_band_pairs(
@@ -74,19 +116,30 @@ def minhash_band_pairs(
     """LSH banding: band key = hash of the band's ordered minhashes; output
     candidate near-duplicate pairs (a < b) with the number of bands that
     collided."""
-    sig = minhash_signatures(df, text_col, id_col, n_seeds)
-    banded = sig.withColumn("band", (F.col("seed") / F.lit(band_size)).cast("int"))
-    keys = (
-        banded.groupBy(id_col, "band")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sm"))
-        .select(
-            F.col(id_col),
-            "band",
-            portable_hash64(
-                F.concat_ws(",", F.transform("sm", lambda s: s["minhash"].cast("string")))
-            ).alias("band_key"),
-        )
+    # Band keys straight from the scan-side signature array: no groupBy.
+    sig_df = _with_signature(df, text_col, id_col, n_seeds)
+    sig = F.col("_sig")
+    n_bands = n_seeds // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                portable_hash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig, b * band_size + r + 1)["minhash"].cast("string")
+                            for r in range(band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    keys = sig_df.select(
+        F.col(id_col), F.explode(F.when(sig.isNotNull(), bands)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (
         a.join(
@@ -103,21 +156,24 @@ def minhash_band_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """16-bit SimHash over the word multiset: bit j is set iff
-    sum over word instances of (+1 if bit j of hash(word) else -1) > 0."""
-    w = df.select(F.col(id_col), F.explode(word_array(F.col(text_col))).alias("word"))
-    h = w.select(id_col, portable_hash64(F.col("word")).alias("h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    per_doc = h.groupBy(id_col).agg(*aggs)
+    sum over word instances of (+1 if bit j of hash(word) else -1) > 0.
+
+    Fully scan-side: hash the word array once per row, then per bit
+    popcount via size(filter(...)) — sum_j = 2*set_j - n. No explode, no
+    shuffle."""
+    hashes = F.transform(word_array(F.col(text_col)), lambda w: portable_hash64(w))
+    n = F.size(hashes)
     fp = None
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        set_j = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
+        )
+        term = F.when((set_j * 2 - n) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return per_doc.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+    # wordless docs emit nothing (parity with the word-explode formulation)
+    return df.filter(F.size(word_array(F.col(text_col))) > 0).select(
+        F.col(id_col), fp.cast("bigint").alias("simhash")
+    )
 
 
 def ngram_jaccard_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -159,17 +215,21 @@ SELECT {_H.format(x='text')} AS text_hash,
 FROM documents GROUP BY 1
 """
 
+_A_LIST = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_B_LIST = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+
 MINHASH_SIGNATURES_SQL = f"""
 WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+  SELECT doc_id, {_H.format(x='shingle')} AS h
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
 ),
 seeds AS (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed),
-hashed AS (
+rehashed AS (
   SELECT doc_id, seed,
-         {_H.format(x="concat(seed::VARCHAR, '|', shingle)")} AS h
+         ({_A_LIST}[seed + 1] * (h % {MINHASH_P}) + {_B_LIST}[seed + 1]) % {MINHASH_P} AS mh
   FROM sh CROSS JOIN seeds
 )
-SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed
+SELECT doc_id, seed, min(mh) AS minhash FROM rehashed GROUP BY doc_id, seed
 """
 
 SIMHASH_SQL = f"""
@@ -203,12 +263,13 @@ FROM overl GROUP BY id_a
 
 MINHASH_BAND_PAIRS_SQL = f"""
 WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+  SELECT doc_id, {_H.format(x='shingle')} AS h
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
 ),
 seeds AS (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed),
 sig AS (
   SELECT doc_id, seed,
-         min({_H.format(x="concat(seed::VARCHAR, '|', shingle)")}) AS minhash
+         min(({_A_LIST}[seed + 1] * (h % {MINHASH_P}) + {_B_LIST}[seed + 1]) % {MINHASH_P}) AS minhash
   FROM sh CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),

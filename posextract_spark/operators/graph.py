@@ -1,0 +1,98 @@
+"""Graph materialization: nodes/edges tables (SURVEY.md §1.3 KG output).
+
+nodes(entity_id, canonical, surface_forms, n_mentions)
+edges(src, predicate, dst, weight, sources)
+
+- weights: groupBy counts (shuffle on (src, predicate, dst) — AQE handles
+  skew-split for head entities);
+- provenance: collect_set of source urls, size-capped with slice so a hot
+  edge cannot blow up a row;
+- writes partition by bucket(entity hash) so a 1000-executor run reads and
+  compacts each bucket independently (see plans.lineage for the
+  checkpoint-resume orchestration around this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from posextract_spark.functions.hashing import portable_hash64
+from posextract_spark.operators.linking import normalize_surface
+
+MAX_SOURCES = 8
+
+
+def build_edges(
+    linked_triples: DataFrame,
+    src_col: str = "subject_entity_id",
+    dst_col: str = "object_entity_id",
+    predicate_col: str = "verb",
+    source_col: str = "url",
+) -> DataFrame:
+    return (
+        linked_triples.groupBy(
+            F.col(src_col).alias("src"),
+            F.col(predicate_col).alias("predicate"),
+            F.col(dst_col).alias("dst"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.slice(F.sort_array(F.collect_set(source_col)), 1, MAX_SOURCES).alias("sources"),
+        )
+    )
+
+
+def build_nodes(linked_mentions: DataFrame) -> DataFrame:
+    """linked_mentions: output of linking.link_entities."""
+    return linked_mentions.groupBy(F.col("entity_id"), F.col("canonical")).agg(
+        F.slice(F.sort_array(F.collect_set("surface")), 1, MAX_SOURCES).alias("surface_forms"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+
+
+def link_triples(triples: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """Attach subject/object entity ids to triples via the broadcast alias
+    dictionary (two cheap broadcast joins; no shuffle)."""
+    def attach(df: DataFrame, col: str, out: str) -> DataFrame:
+        norm = normalize_surface(F.col(col))
+        a = alias_df.select(
+            F.col("surface_norm").alias(f"_{out}_norm"),
+            F.col("canonical").alias(f"_{out}_canon"),
+        )
+        df = df.withColumn(f"_{out}_norm", norm).join(
+            F.broadcast(a), f"_{out}_norm", "left"
+        )
+        return df.withColumn(
+            out,
+            portable_hash64(F.coalesce(F.col(f"_{out}_canon"), F.col(f"_{out}_norm"))),
+        ).drop(f"_{out}_canon")
+
+    out = attach(triples, "subject", "subject_entity_id")
+    out = attach(out, "object", "object_entity_id")
+    return out
+
+
+def materialize_graph(
+    triples: DataFrame,
+    alias_df: DataFrame,
+    out_dir: str | None = None,
+    n_buckets: int = 16,
+    source_col: str = "url",
+):
+    """Full materialize: link -> edges + nodes (optionally written as
+    bucket-partitioned parquet). Returns (nodes_df, edges_df)."""
+    from posextract_spark.operators.linking import link_entities, mentions_from_triples
+
+    linked = link_triples(triples, alias_df)
+    edges = build_edges(linked, source_col=source_col).withColumn(
+        "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+    )
+    mentions = mentions_from_triples(triples, id_cols=(source_col, "sent_id"))
+    nodes = build_nodes(link_entities(mentions, alias_df)).withColumn(
+        "bucket", F.pmod(F.col("entity_id"), F.lit(n_buckets))
+    )
+    if out_dir:
+        edges.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/edges")
+        nodes.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/nodes")
+    return nodes, edges

@@ -1,0 +1,78 @@
+"""The end-to-end KG construction pipeline (BASELINE.json north_star).
+
+pages(url, warc_ts, html, text, lang)
+  -> lang filter (partition-prunable predicate, first thing after the scan)
+  -> extract_text (pandas UDF; byte-identical to the stored text contract)
+  -> split_sentences (native columns)
+  -> extract_triples (fused segment+parse+extract pandas UDF)
+  -> link_triples (broadcast alias joins)
+  -> build_edges / build_nodes (grouped aggregation)
+
+Each stage is usable standalone; ``kg_from_pages`` composes them. The
+checkpoint-resumable form runs the same composition per url bucket via
+plans.lineage.BucketedRun.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from posextract_spark.operators.html_text import extract_text
+from posextract_spark.operators.sentences import split_sentences
+from posextract_spark.operators.triples import extract_triples
+from posextract_spark.operators.graph import build_edges, build_nodes, link_triples
+from posextract_spark.operators.linking import link_entities, mentions_from_triples
+from posextract_spark.options import TripleExtractorOptions
+
+
+def pages_to_triples(
+    pages: DataFrame,
+    lang: Optional[str] = "en",
+    use_stored_text: bool = False,
+    provider: str = "template",
+    options: Optional[TripleExtractorOptions] = None,
+    remove_quotes: bool = False,
+) -> DataFrame:
+    """pages -> triples with (url, sent_pos, sent_id) provenance."""
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    if not use_stored_text:
+        df = df.drop("text")
+        df = extract_text(df, html_col="html", out_col="text")
+    sents = split_sentences(
+        df.select("url", "text"), text_col="text", remove_quotes=remove_quotes
+    )
+    return extract_triples(
+        sents,
+        text_col="sentence",
+        id_cols=["url", "sent_pos"],
+        options=options,
+        provider=provider,
+    )
+
+
+def kg_from_pages(
+    pages: DataFrame,
+    alias_df: DataFrame,
+    out_dir: Optional[str] = None,
+    n_buckets: int = 16,
+    **kwargs,
+):
+    """(nodes, edges) from raw pages."""
+    triples = pages_to_triples(pages, **kwargs)
+    linked = link_triples(triples, alias_df)
+    edges = build_edges(linked, source_col="url").withColumn(
+        "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+    )
+    mentions = mentions_from_triples(triples, id_cols=("url", "sent_id"))
+    nodes = build_nodes(link_entities(mentions, alias_df)).withColumn(
+        "bucket", F.pmod(F.col("entity_id"), F.lit(n_buckets))
+    )
+    if out_dir:
+        edges.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/edges")
+        nodes.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/nodes")
+    return nodes, edges

@@ -1,0 +1,107 @@
+"""End-to-end KG pipeline tests over the synthetic pages corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from posextract_spark.operators.html_text import extract_text, extract_text_pure
+from posextract_spark.operators.sentences import split_sentences
+from posextract_spark.operators.canonicalize import connected_components, salted_counts
+from posextract_spark.pipeline import kg_from_pages, pages_to_triples
+from posextract_spark.sources.pages import alias_table, gen_page, generate_pages
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_pages(spark, 120, seed=7, n_partitions=4).persist()
+    df.count()
+    return df
+
+
+def test_generator_deterministic():
+    a = gen_page(5, seed=7)
+    b = gen_page(5, seed=7)
+    assert a == b
+    assert a["url"] == "https://synth.test/7/5"
+
+
+def test_extract_text_byte_identical(pages, spark):
+    """The north_rule per-row invariant: UDF text == stored golden text."""
+    redone = extract_text(pages.drop("text"), html_col="html", out_col="text2")
+    mism = (
+        redone.join(pages.select("url", "text"), "url")
+        .filter(F.col("text") != F.col("text2"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_extractor_branches():
+    page = gen_page(3, seed=7)
+    html = page["html"].decode()
+    title, text = extract_text_pure(html)
+    assert title.startswith("Synthetic page")
+    assert "Reference one" not in text  # References section dropped
+    assert "external link text" not in text  # External_links dropped
+    assert "Another linked" not in text  # 'link' in header id
+    assert "Too short" not in text  # <5-word paragraph
+    assert "Short stub" not in text  # asbox para is <5 words
+    assert "[12]" not in text and "(draft notes)" not in text and "|" not in text
+    assert "  " not in text
+    assert "Quarterly report shows steady growth overall today." in text
+
+
+def test_sentence_split(spark):
+    df = spark.createDataFrame(
+        [("u", "Acme formally acquired Zorin today. Too short. Bolt bought mines and sold bonds.")],
+        "url string, text string",
+    )
+    out = split_sentences(df, remove_quotes=False).collect()
+    assert [r.sentence for r in out] == [
+        "Acme formally acquired Zorin today.",
+        "Bolt bought mines and sold bonds.",
+    ]
+    assert [r.sent_pos for r in out] == [0, 1]
+
+
+def test_pages_to_triples_known_set(spark, pages):
+    triples = pages_to_triples(pages, provider="template").persist()
+    svo = {(r.subject, r.verb, r.object) for r in triples.collect()}
+    # every emitted verb must come from the template family
+    assert {v for _, v, _ in svo} <= {
+        "acquire", "acquired", "bought", "owned", "said", "gave up"
+    }
+    assert len(svo) > 20
+    # negation rows carry neg_adverb
+    negs = triples.filter(F.col("neg_adverb") == "not").count()
+    assert negs > 0
+
+
+def test_kg_materialize_and_linking(spark, pages, tmp_path):
+    nodes, edges = kg_from_pages(
+        pages, alias_table(spark), out_dir=str(tmp_path / "kg"), n_buckets=4
+    )
+    nodes_pd = spark.read.parquet(str(tmp_path / "kg/nodes")).toPandas()
+    edges_pd = spark.read.parquet(str(tmp_path / "kg/edges")).toPandas()
+    assert len(nodes_pd) > 0 and len(edges_pd) > 0
+    # alias surfaces collapse onto one canonical node: AcmeCorp + Acme -> acme
+    acme = nodes_pd[nodes_pd.canonical == "acme"]
+    assert len(acme) == 1
+    assert edges_pd.weight.sum() > 0
+    assert (edges_pd.sources.map(len) <= 8).all()
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5), (3, 4)], "src long, dst long"
+    )
+    comps = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comps[1] == comps[2] == comps[3] == comps[4] == 1
+    assert comps[10] == comps[11] == 10
+    assert 5 not in comps  # self-loop only => no edges
+
+
+def test_salted_counts_matches_direct(spark):
+    df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 3, "k string")
+    direct = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r.k: r.n for r in salted_counts(df, "k", n_salts=4).collect()}
+    assert direct == salted
