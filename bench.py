@@ -75,8 +75,11 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return result
 
-    # Warm up the python workers / JIT with a small slice.
-    extract_triples(docs.limit(64), text_col="text", id_cols=["doc_id"], provider="svo").count()
+    # Full-width warmup: run the real extraction once untimed so every
+    # executor core's python worker is spawned and has imported the kernel
+    # (a limit()-style warmup collapses to one partition and warms exactly
+    # one worker — the first timed run then pays ~1s import per core).
+    extract_triples(docs, text_col="text", id_cols=["doc_id"], provider="svo").count()
 
     n_triples = timed(
         "triples_extract",

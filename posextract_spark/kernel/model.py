@@ -57,7 +57,7 @@ class Token:
     @property
     def children(self) -> List["Token"]:
         """Children in token-index order (spaCy yields them in order)."""
-        return self._sent.children_of(self.i)
+        return self._sent._children[self.i]
 
     @property
     def conjuncts(self) -> List["Token"]:
@@ -100,13 +100,12 @@ class Sentence:
     def __init__(self, tokens: Sequence[Token]):
         self.tokens: List[Token] = list(tokens)
         self._children: List[List[Token]] = [[] for _ in self.tokens]
+        # tokens are iterated in index order, so each child list is already
+        # sorted by token index (spaCy convention) — no sort needed.
         for tok in self.tokens:
             tok._sent = self
             if tok.head_i != tok.i:
                 self._children[tok.head_i].append(tok)
-        # children in index order
-        for lst in self._children:
-            lst.sort(key=lambda t: t.i)
 
     @classmethod
     def from_rows(cls, rows: Sequence) -> "Sentence":

@@ -48,15 +48,15 @@ def subject_search(token: Token, verb_phrase: bool = False) -> List[SubjectCand]
 
     while considering:
         candidate = considering.pop()
-        if id(candidate) in visited:
+        if candidate.i in visited:
             continue
-        visited.add(id(candidate))
+        visited.add(candidate.i)
 
         if candidate.dep in ("nsubj", "nsubjpass"):
             found.append((get_subject_neg(candidate), candidate))
 
         for child in candidate.children:
-            if id(child) in visited:
+            if child.i in visited:
                 continue
             if child.pos == "VERB":
                 continue
@@ -65,7 +65,7 @@ def subject_search(token: Token, verb_phrase: bool = False) -> List[SubjectCand]
             considering.append(child)
 
         parent = candidate.head
-        if id(parent) not in visited:
+        if parent.i not in visited:
             if (parent.pos == "VERB" or parent.pos == "AUX") and candidate.dep in ("conj", "advcl"):
                 continue
             considering.append(parent)
@@ -82,9 +82,9 @@ def object_search(token: Token) -> List[ObjectCand]:
 
     while considering:
         candidate = considering.pop()
-        if id(candidate) in visited:
+        if candidate.i in visited:
             continue
-        visited.add(id(candidate))
+        visited.add(candidate.i)
 
         if is_object(candidate):
             obj_negdet = get_object_neg(candidate)
@@ -93,7 +93,7 @@ def object_search(token: Token) -> List[ObjectCand]:
             found.append((poa_neg, poa, obj_negdet, candidate))
 
         for child in candidate.children:
-            if id(child) in visited:
+            if child.i in visited:
                 continue
             if child.pos == "VERB" or child.pos == "AUX":
                 continue
@@ -106,7 +106,7 @@ def _dedup_sorted_subjects(subjects: List[SubjectCand]) -> List[SubjectCand]:
     seen = set()
     out = []
     for cand in subjects:
-        key = (id(cand[0]), id(cand[1]))
+        key = (cand[0].i if cand[0] is not None else -1, cand[1].i)
         if key not in seen:
             seen.add(key)
             out.append(cand)
@@ -118,7 +118,7 @@ def _dedup_sorted_objects(objects: List[ObjectCand]) -> List[ObjectCand]:
     seen = set()
     out = []
     for cand in objects:
-        key = tuple(id(x) for x in cand)
+        key = tuple(x.i if x is not None else -1 for x in cand)
         if key not in seen:
             seen.add(key)
             out.append(cand)

@@ -1,0 +1,58 @@
+"""Streaming KG construction: readStream -> (identical batch stages) -> sink.
+
+Design choices:
+- ``foreachBatch`` reuses the *exact* batch composition
+  (pipeline.pages_to_triples -> graph stages), so streaming and batch can
+  never drift semantically;
+- watermark on ``warc_ts`` bounds state for any windowed aggregation a
+  caller adds downstream (edge weights per day, etc.);
+- checkpointLocation gives exactly-once sink semantics for file sinks —
+  the streaming analog of plans/lineage.py's manifest resume;
+- stateful custom operators (e.g. per-entity accumulation) would use
+  applyInPandasWithState; nothing in the reference's semantics needs one.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_pages_to_triples(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    provider: str = "template",
+    watermark: str = "1 hour",
+    trigger_once: bool = True,
+    batch_hook: Optional[Callable[[DataFrame, int], None]] = None,
+):
+    """File-source streaming job: new parquet files under ``source_dir``
+    flow through the batch pipeline into parquet parts under ``out_dir``.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from posextract_spark.pipeline import pages_to_triples
+
+    pages_schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(pages_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+        .withWatermark("warc_ts", watermark)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        triples = pages_to_triples(batch_df, provider=provider, use_stored_text=False)
+        triples.write.mode("append").parquet(out_dir)
+        if batch_hook is not None:
+            batch_hook(triples, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
