@@ -171,6 +171,38 @@ def q_lsh_bucket(spark, sf_dir):
     return lsh_bucket(emb)
 
 
+def q_embedding_neardup(spark, sf_dir):
+    from posextract_spark.operators.similarity import neardup_bucket_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return neardup_bucket_stats(emb)
+
+
+def q_media_image_features(spark, sf_dir):
+    """Multimodal plumbing: decode + feature-extract the deterministic
+    synthetic media corpus (binary payload column). Payload parsing is not
+    SQL-expressible -> rows-only check."""
+    from posextract_spark.operators.multimodal import image_features
+    from posextract_spark.sources.media import generate_media
+
+    media = generate_media(spark, 120, seed=42)
+    return image_features(media)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame sampling (flatMap over binary payloads) -> frame counts
+    per video. Rows-only check."""
+    from posextract_spark.operators.multimodal import sample_frames
+    from posextract_spark.sources.media import generate_media
+
+    media = generate_media(spark, 120, seed=42)
+    return (
+        sample_frames(media, every_k=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames_sampled"))
+    )
+
+
 def q_kg_edges(spark, sf_dir):
     """Graph materialize over the SVO triples: edge weights + provenance."""
     t = q_svo_triples(spark, sf_dir)
@@ -288,6 +320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_stats": q_ngram_jaccard_stats,
         "cosine_topk": q_cosine_topk,
         "lsh_bucket": q_lsh_bucket,
+        "embedding_neardup": q_embedding_neardup,
+        "media_image_features": q_media_image_features,
+        "media_frame_sample": q_media_frame_sample,
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
         "entity_link": q_entity_link,
@@ -307,7 +342,11 @@ def oracle_sql() -> dict[str, str]:
         SIMHASH_SQL,
     )
     from posextract_spark.operators.pairs import SVO_ADJ_NOUN_SQL, SVO_SUBJ_VERB_SQL
-    from posextract_spark.operators.similarity import cosine_topk_sql, lsh_bucket_sql
+    from posextract_spark.operators.similarity import (
+        cosine_topk_sql,
+        lsh_bucket_sql,
+        neardup_bucket_stats_sql,
+    )
     from posextract_spark.operators.textops import (
         FINGERPRINT_SQL,
         LANGUAGE_ID_SQL,
@@ -344,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_stats": NGRAM_JACCARD_STATS_SQL,
         "cosine_topk": cosine_topk_sql(k=10),
         "lsh_bucket": lsh_bucket_sql(),
+        "embedding_neardup": neardup_bucket_stats_sql(),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

@@ -93,6 +93,82 @@ def lsh_bucket(
     return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def neardup_bucket_stats(
+    df: DataFrame,
+    n_planes: int = 4,
+    threshold_e6: int = 250000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-bucketed (the scale
+    path: the pair join only runs within a bucket, ~1/2^planes of the
+    quadratic work). Returns per-bucket stats: vector count, pairs with
+    cosine >= threshold, and the max pairwise similarity (x1e6)."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    b = lsh_bucket(df, n_planes, id_col, vec_col).join(
+        df.select(F.col(id_col), emb.alias("_e")), id_col
+    )
+    left = b.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col("_e").alias("ea")
+    )
+    right = b.select(
+        F.col("bucket").alias("bucket_b"), F.col(id_col).alias("id_b"), F.col("_e").alias("eb")
+    )
+    pairs = left.join(
+        right, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "bucket",
+        F.floor(_cosine(F.col("ea"), F.col("eb")) * F.lit(1000000.0)).cast("bigint").alias("sim_e6"),
+    )
+    per_bucket = pairs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("sim_e6") >= threshold_e6).cast("long")).alias("n_neardup"),
+        F.max("sim_e6").alias("max_sim_e6"),
+    )
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return sizes.join(per_bucket, "bucket", "left").select(
+        "bucket",
+        "n_vecs",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.coalesce(F.col("n_neardup"), F.lit(0)).alias("n_neardup"),
+        F.coalesce(F.col("max_sim_e6"), F.lit(-1000000)).alias("max_sim_e6"),
+    )
+
+
+def neardup_bucket_stats_sql(n_planes: int = 4, threshold_e6: int = 250000) -> str:
+    bucket_sql = lsh_bucket_sql(n_planes)
+    cos = (
+        "CAST(floor("
+        "list_aggregate(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))"
+        "    * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum')))"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return f"""
+WITH buckets AS ({bucket_sql}),
+vecs AS (
+  SELECT b.vec_id, b.bucket, list_transform(e.embedding, x -> x::DOUBLE) AS e
+  FROM buckets b JOIN embeddings e ON b.vec_id = e.vec_id
+),
+pairs AS (
+  SELECT a.bucket, {cos} AS sim_e6
+  FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+per_bucket AS (
+  SELECT bucket, count(*) AS n_pairs,
+         CAST(sum(CASE WHEN sim_e6 >= {threshold_e6} THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+         max(sim_e6) AS max_sim_e6
+  FROM pairs GROUP BY bucket
+)
+SELECT v.bucket, count(*) AS n_vecs,
+       CAST(COALESCE(any_value(p.n_pairs), 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(any_value(p.n_neardup), 0) AS BIGINT) AS n_neardup,
+       CAST(COALESCE(any_value(p.max_sim_e6), -1000000) AS BIGINT) AS max_sim_e6
+FROM vecs v LEFT JOIN per_bucket p ON v.bucket = p.bucket
+GROUP BY v.bucket
+"""
+
+
 def lsh_bucket_sql(n_planes: int = 4) -> str:
     terms = []
     for p in range(n_planes):
