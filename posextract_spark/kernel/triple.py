@@ -114,6 +114,13 @@ class TripleExtraction:
 
         if self.object_adjectives:
             out["object_adjectives"] = " ".join(adj.text for adj in self.object_adjectives)
+        elif self.object_adjectives is not None:
+            # reference quirk: combine-adj sets [] on the main triple, and
+            # flatten str-coerces the empty list to the literal '[]'
+            # (triple_extraction.py:57,72-77 — non-None fields pass through
+            # str()); distinguishes "combined, no adjectives" from "never
+            # combined" in the output.
+            out["object_adjectives"] = "[]"
 
         if compound_subject:
             for child in self.subject.children:
