@@ -53,56 +53,51 @@ MINHASH_A = [7, 131, 2053, 16411, 131101, 524309, 1048583, 999983]
 MINHASH_B = [3, 401, 4099, 32771, 262147, 786433, 65537, 424243]
 
 
-def _signature_array_from(hs, n_seeds: int):
-    """array<struct<seed:int, minhash:bigint>> from a column reference
-    holding the array of base shingle hashes. IMPORTANT: pass a *column
-    reference*, not the expression itself — the array is referenced n_seeds
-    times and Catalyst would otherwise duplicate the whole computation per
-    reference (no CSE across array elements; observed 5-20x slowdowns)."""
-
-    def min_for(seed: int):
-        a, b = MINHASH_A[seed % len(MINHASH_A)], MINHASH_B[seed % len(MINHASH_B)]
-        return F.array_min(
-            F.transform(hs, lambda h: (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P))
-        )
-
-    arr = F.array(
-        *[
-            F.struct(F.lit(s).cast("int").alias("seed"), min_for(s).alias("minhash"))
-            for s in range(n_seeds)
-        ]
-    )
-    return F.when(F.size(hs) > 0, arr)
+def _affine_min(hs, seed):
+    """min over the base-hash array of the affine rehash for ``seed``
+    (seed may be a python int or a Column)."""
+    if isinstance(seed, int):
+        a = F.lit(MINHASH_A[seed % len(MINHASH_A)])
+        b = F.lit(MINHASH_B[seed % len(MINHASH_B)])
+    else:
+        a = F.element_at(F.array(*[F.lit(x) for x in MINHASH_A]), seed + 1)
+        b = F.element_at(F.array(*[F.lit(x) for x in MINHASH_B]), seed + 1)
+    return F.array_min(F.transform(hs, lambda h: (a * (h % F.lit(MINHASH_P)) + b) % F.lit(MINHASH_P)))
 
 
-def _with_signature(df: DataFrame, text_col: str, id_col: str, n_seeds: int) -> DataFrame:
-    """(id, _sig) with projection barriers so shingles, their base hashes,
-    and the signature array are each computed exactly once per row
-    (CollapseProject keeps multi-referenced non-cheap attributes
-    materialized)."""
-    shingled = df.select(F.col(id_col), _shingles(text_col).alias("_sh"))
-    hashed = shingled.select(
+def _with_base_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _hs): md5 base hash per distinct shingle, computed ONCE per row.
+
+    IMPORTANT plan shape: everything that consumes ``_hs`` more than once
+    must sit ABOVE a Generate (explode) boundary. Spark's CollapseProject
+    inlines multi-referenced expressions into each use site (no CSE across
+    array elements, and higher-order-function lambdas are interpreted), so
+    a plain projection 'barrier' does NOT hold — we measured the md5
+    transform duplicated 8x (85s vs ~8s at bench scale). A Generate is a
+    real materialization point: its child projection computes ``_hs`` once
+    and the exploded rows reference the materialized array."""
+    pruned = df.filter(F.size(word_array(F.col(text_col))) >= SHINGLE_N)
+    return pruned.select(
         F.col(id_col),
-        F.transform(F.col("_sh"), lambda s: portable_hash64(s)).alias("_hs"),
-    )
-    return hashed.select(
-        F.col(id_col), _signature_array_from(F.col("_hs"), n_seeds).alias("_sig")
+        F.transform(_shingles(text_col), lambda s: portable_hash64(s)).alias("_hs"),
     )
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_seeds: int = MINHASH_SEEDS
 ) -> DataFrame:
-    """(id, seed, minhash) — min over shingles of hash(seed || '|' || shingle).
+    """(id, seed, minhash) — min over shingles of the seed's affine rehash
+    of the per-shingle base hash.
 
-    Computed as per-row array expressions + one explode: no shuffle at all
-    (the naive shingle x seed explode + groupBy creates |shingles| x K rows
-    and a giant partial-agg shuffle). Documents with fewer than SHINGLE_N
-    words emit no rows.
+    Shape: base-hash projection -> explode(seeds) [Generate boundary] ->
+    per-(row, seed) single min pass. No shuffle; md5 exactly once per
+    shingle. Documents with fewer than SHINGLE_N words emit no rows.
     """
-    sig = _with_signature(df, text_col, id_col, n_seeds)
-    return sig.select(F.col(id_col), F.explode("_sig").alias("sm")).select(
-        id_col, F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
+    hs = _with_base_hashes(df, text_col, id_col)
+    seeds = F.array(*[F.lit(s).cast("int") for s in range(n_seeds)])
+    exploded = hs.select(F.col(id_col), F.col("_hs"), F.explode(seeds).alias("seed"))
+    return exploded.select(
+        id_col, "seed", _affine_min(F.col("_hs"), F.col("seed")).alias("minhash")
     )
 
 
@@ -116,30 +111,21 @@ def minhash_band_pairs(
     """LSH banding: band key = hash of the band's ordered minhashes; output
     candidate near-duplicate pairs (a < b) with the number of bands that
     collided."""
-    # Band keys straight from the scan-side signature array: no groupBy.
-    sig_df = _with_signature(df, text_col, id_col, n_seeds)
-    sig = F.col("_sig")
+    # Band keys: base-hash once [below the Generate], then per-(row, band)
+    # compute the band's member minhashes and hash them into one key.
+    hs_df = _with_base_hashes(df, text_col, id_col)
     n_bands = n_seeds // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band"),
-                portable_hash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(sig, b * band_size + r + 1)["minhash"].cast("string")
-                            for r in range(band_size)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
+    band_lits = F.array(*[F.lit(b).cast("int") for b in range(n_bands)])
+    exploded = hs_df.select(F.col(id_col), F.col("_hs"), F.explode(band_lits).alias("band"))
+    member_mins = [
+        _affine_min(F.col("_hs"), F.col("band") * band_size + r).cast("string")
+        for r in range(band_size)
+    ]
+    keys = exploded.select(
+        F.col(id_col),
+        F.col("band"),
+        portable_hash64(F.concat_ws(",", *member_mins)).alias("band_key"),
     )
-    keys = sig_df.select(
-        F.col(id_col), F.explode(F.when(sig.isNotNull(), bands)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (
         a.join(

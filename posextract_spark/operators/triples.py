@@ -58,13 +58,23 @@ def _make_extract_udf(options: TripleExtractorOptions, provider_name: str, provi
         from posextract_spark.parse.provider import get_provider
 
         provider = get_provider(provider_name, **provider_kwargs)
+        # One parse call per Arrow batch: flatten every document's quote
+        # segments, parse them together (spaCy's nlp.pipe amortizes over
+        # the whole batch — the reference's triples path parses one
+        # sentence at a time, grammatical_triples.py:260), then slice the
+        # parsed sentences back to their documents.
+        segments_per_doc = [split_quotes_list(t) if t else [] for t in texts]
+        flat_segments = [seg for segs in segments_per_doc for seg in segs]
+        parsed = provider.parse_batch(flat_segments)
+
         out = []
-        for text in texts:
-            segments = split_quotes_list(text) if text else []
+        pos = 0
+        for segs in segments_per_doc:
             rows = []
-            for sent_id, sent in enumerate(provider.parse_batch(segments)):
-                for flat in extract_triples_one(sent, options=options):
+            for sent_id in range(len(segs)):
+                for flat in extract_triples_one(parsed[pos + sent_id], options=options):
                     rows.append((sent_id,) + tuple(flat[k] for k in OUTPUT_STRING_FIELDS))
+            pos += len(segs)
             out.append(rows)
         return pd.Series(out)
 
