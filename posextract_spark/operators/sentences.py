@@ -42,10 +42,21 @@ def split_sentences(
     remove_quotes: bool = True,
     out_col: str = "sentence",
     pos_col: str = "sent_pos",
+    max_sentence_chars: int = 8192,
 ) -> DataFrame:
-    """One row per kept sentence, with its ordinal position in the page."""
+    """One row per kept sentence, with its ordinal position in the page.
+
+    ``max_sentence_chars`` bounds worst-case per-row work downstream
+    (north_rule: oversized pages): a pathological page with megabytes of
+    period-free text would otherwise become one giant row that stalls its
+    extraction task and can blow the Arrow batch. Dropping (not truncating)
+    keeps semantics clean — a >8 KB 'sentence' is boilerplate/garbage in
+    web text, and the cap is configurable.
+    """
     segs = F.split(F.col(text_col), r"\.|\n")
     kept = F.filter(segs, _passes_filter)
+    if max_sentence_chars:
+        kept = F.filter(kept, lambda s: F.length(s) <= max_sentence_chars)
     post = F.transform(kept, lambda s: F.trim(s))
     if remove_quotes:
         post = F.transform(post, lambda s: F.regexp_replace(s, '"', ""))

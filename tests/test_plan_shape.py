@@ -1,0 +1,47 @@
+"""Physical-plan regression guards for the scale properties we claim.
+
+These lock in: filter pushdown to the scan, column pruning, the
+single-Python-crossing extraction stage, zero shuffles in extraction, and
+the md5-once minhash plan (the Generate-boundary fix). If a refactor
+reintroduces a shuffle or duplicates the hash pass, these fail."""
+
+from pyspark.sql import functions as F
+
+from posextract_spark.operators.dedup import minhash_signatures
+from posextract_spark.operators.triples import extract_triples
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_pushdown_pruning_no_shuffle(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = extract_triples(
+        docs.filter(F.col("lang") == "en"), text_col="text", id_cols=["doc_id"], provider="svo"
+    ).select("doc_id", "subject", "verb", "object")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert plan.count("ArrowEvalPython") == 1  # one Python crossing
+    assert "Exchange" not in plan  # extraction is shuffle-free
+    # column pruning: the scan must not read source/n_chars
+    assert "n_chars" not in plan and "source" not in plan
+
+
+def test_minhash_hashes_once(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    assert plan.count("md5") == 1  # the Generate-boundary guarantee
+    assert "Exchange" not in plan  # still shuffle-free
+
+
+def test_broadcast_linking_no_shuffle_join(spark):
+    from posextract_spark.operators.graph import link_triples
+    from posextract_spark.sources.pages import alias_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = extract_triples(docs, text_col="text", id_cols=["doc_id"], provider="svo")
+    linked = link_triples(t, alias_table(spark))
+    plan = _plan(linked)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
