@@ -45,17 +45,21 @@ def subject_search(token: Token, verb_phrase: bool = False) -> List[SubjectCand]
     found: List[SubjectCand] = []
     visited = set()
     considering = [token]
+    sent = token._sent
+    children_of = sent._children
+    tokens = sent.tokens
 
     while considering:
         candidate = considering.pop()
-        if candidate.i in visited:
+        ci = candidate.i
+        if ci in visited:
             continue
-        visited.add(candidate.i)
+        visited.add(ci)
 
         if candidate.dep in ("nsubj", "nsubjpass"):
             found.append((get_subject_neg(candidate), candidate))
 
-        for child in candidate.children:
+        for child in children_of[ci]:
             if child.i in visited:
                 continue
             if child.pos == "VERB":
@@ -64,7 +68,7 @@ def subject_search(token: Token, verb_phrase: bool = False) -> List[SubjectCand]
                 continue
             considering.append(child)
 
-        parent = candidate.head
+        parent = tokens[candidate.head_i]
         if parent.i not in visited:
             if (parent.pos == "VERB" or parent.pos == "AUX") and candidate.dep in ("conj", "advcl"):
                 continue
@@ -79,20 +83,23 @@ def object_search(token: Token) -> List[ObjectCand]:
     found: List[ObjectCand] = []
     visited = set()
     considering = [token]
+    children_of = token._sent._children
 
     while considering:
         candidate = considering.pop()
-        if candidate.i in visited:
+        ci = candidate.i
+        if ci in visited:
             continue
-        visited.add(candidate.i)
+        visited.add(ci)
 
         if is_object(candidate):
             obj_negdet = get_object_neg(candidate)
-            poa = candidate.head if is_poa(candidate.head) else None
+            head = candidate.head
+            poa = head if is_poa(head) else None
             poa_neg = get_poa_neg(poa) if poa is not None else None
             found.append((poa_neg, poa, obj_negdet, candidate))
 
-        for child in candidate.children:
+        for child in children_of[ci]:
             if child.i in visited:
                 continue
             if child.pos == "VERB" or child.pos == "AUX":

