@@ -171,6 +171,20 @@ def q_lsh_bucket(spark, sf_dir):
     return lsh_bucket(emb)
 
 
+def q_ivf_assign(spark, sf_dir):
+    from posextract_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_assign(emb)
+
+
+def q_ivf_topk(spark, sf_dir):
+    from posextract_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from posextract_spark.operators.similarity import neardup_bucket_stats
 
@@ -320,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_stats": q_ngram_jaccard_stats,
         "cosine_topk": q_cosine_topk,
         "lsh_bucket": q_lsh_bucket,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
@@ -343,7 +359,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from posextract_spark.operators.pairs import SVO_ADJ_NOUN_SQL, SVO_SUBJ_VERB_SQL
     from posextract_spark.operators.similarity import (
+        IVF_ASSIGN_SQL,
         cosine_topk_sql,
+        ivf_topk_sql,
         lsh_bucket_sql,
         neardup_bucket_stats_sql,
     )
@@ -383,6 +401,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_stats": NGRAM_JACCARD_STATS_SQL,
         "cosine_topk": cosine_topk_sql(k=10),
         "lsh_bucket": lsh_bucket_sql(),
+        "ivf_assign": IVF_ASSIGN_SQL,
+        "ivf_topk": ivf_topk_sql(k=10),
         "embedding_neardup": neardup_bucket_stats_sql(),
         "kg_edges": SVO_TRIPLES_CTE
         + (

@@ -169,6 +169,135 @@ GROUP BY v.bucket
 """
 
 
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+IVF_K = 8
+
+
+def _centroid_literals(df: DataFrame, k: int, id_col: str, vec_col: str):
+    """Deterministic coarse quantizer: centroids = embeddings of the k
+    smallest ids (production would k-means; the IVF mechanics — assignment,
+    inverted lists, probe-one-list search — are identical)."""
+    rows = (
+        df.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame, k: int = IVF_K, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, centroid_id, sim_e6): nearest centroid by cosine, ties broken by
+    smallest centroid id. Plan shape: explode(centroids) [Generate boundary,
+    so each pair's dot product is computed exactly once] -> window argmax.
+    The ranking uses the floored fixed-point similarity so the tie-break is
+    provably identical across engines."""
+    from pyspark.sql import Window
+
+    cents = _centroid_literals(df, k, id_col, vec_col)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("int").alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pairs = df.select(F.col(id_col), emb.alias("_e"), F.explode(cent_arr).alias("c"))
+    sims = pairs.select(
+        id_col,
+        F.col("c.cid").alias("centroid_id"),
+        F.floor(_cosine(F.col("_e"), F.col("c.cvec")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("sim_e6"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim_e6"), F.asc("centroid_id"))
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_centroids: int = IVF_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search, nprobe=1: rank only the query-centroid's inverted list.
+    The scale path vs brute force: the scan touches ~1/n_centroids of the
+    data (in storage terms: the inverted lists are bucket partitions and
+    the probe is partition pruning)."""
+    assign = ivf_assign(df, n_centroids, id_col, vec_col)
+    # the query is vec_id 0's embedding => its centroid is its assignment
+    qc = assign.filter(F.col(id_col) == 0).select("centroid_id")
+    probe = assign.join(F.broadcast(qc), "centroid_id").select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sims = df.join(probe, id_col).select(
+        F.col(id_col),
+        F.floor(_cosine(emb, q) * F.lit(1000000.0)).cast("bigint").alias("sim_e6"),
+    )
+    return sims.orderBy(F.desc("sim_e6"), F.col(id_col)).limit(k)
+
+
+_IVF_ASSIGN_CTE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec
+  FROM embeddings WHERE vec_id < {IVF_K}
+),
+vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+pairs AS (
+  SELECT v.vec_id, c.cid AS centroid_id,
+    CAST(floor(
+      list_aggregate(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.cvec[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum')))
+      * 1000000.0) AS BIGINT) AS sim_e6
+  FROM vecs v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id, sim_e6 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e6 DESC, centroid_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+"""
+
+IVF_ASSIGN_SQL = _IVF_ASSIGN_CTE + "SELECT vec_id, centroid_id, sim_e6 FROM assign"
+
+
+def ivf_topk_sql(k: int = 10) -> str:
+    return (
+        _IVF_ASSIGN_CTE
+        + f"""
+, qc AS (SELECT centroid_id FROM assign WHERE vec_id = 0),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT a.vec_id FROM assign a JOIN qc ON a.centroid_id = qc.centroid_id),
+sims AS (
+  SELECT v.vec_id,
+    CAST(floor(
+      list_aggregate(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * qv[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')))
+      * 1000000.0) AS BIGINT) AS sim_e6
+  FROM vecs v JOIN probe p ON v.vec_id = p.vec_id, q
+)
+SELECT vec_id, sim_e6 FROM sims ORDER BY sim_e6 DESC, vec_id LIMIT {k}
+"""
+    )
+
+
 def lsh_bucket_sql(n_planes: int = 4) -> str:
     terms = []
     for p in range(n_planes):
