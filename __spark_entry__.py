@@ -291,6 +291,33 @@ def q_kg_pages_pipeline(spark, sf_dir):
     return edges.select("src", "predicate", "dst", "weight")
 
 
+def q_validate_data(spark, sf_dir):
+    """P5 filter; the corpus is lowercase, so upcase even doc_ids' first
+    letter (mirrored in the oracle) to make the filter discriminative."""
+    from posextract_spark.operators.evalops import validate_data
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.upper(F.substring(F.col("text"), 1, 1)), F.expr("substring(text, 2)")),
+        ).otherwise(F.col("text")),
+    )
+    return validate_data(docs).select("doc_id", "num_words")
+
+
+def q_syntax_check(spark, sf_dir):
+    from posextract_spark.operators.evalops import syntax_check
+
+    return syntax_check(_docs(spark, sf_dir)).select("doc_id", "syntax_check")
+
+
+def q_tag_sentence(spark, sf_dir):
+    from posextract_spark.operators.evalops import tag_sentence
+
+    return tag_sentence(_docs(spark, sf_dir)).select("doc_id", "tag")
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -344,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "connected_components": q_connected_components,
         "kg_pages_pipeline": q_kg_pages_pipeline,
+        "validate_data": q_validate_data,
+        "syntax_check": q_syntax_check,
+        "tag_sentence": q_tag_sentence,
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -370,6 +400,11 @@ def oracle_sql() -> dict[str, str]:
         LANGUAGE_ID_SQL,
         QUALITY_SCORE_SQL,
         TOKEN_COUNT_SQL,
+    )
+    from posextract_spark.operators.evalops import (
+        SYNTAX_CHECK_SQL,
+        TAG_SENTENCE_SQL,
+        VALIDATE_DATA_SQL,
     )
     from posextract_spark.operators.triples import SVO_TRIPLES_CTE
     from posextract_spark.posrule import parse_posrule_text, to_sql
@@ -439,6 +474,9 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT CAST(1000 + n_regionkey AS BIGINT) AS node, CAST(mn AS BIGINT) AS component FROM m"
         ),
+        "validate_data": VALIDATE_DATA_SQL,
+        "syntax_check": SYNTAX_CHECK_SQL,
+        "tag_sentence": TAG_SENTENCE_SQL,
         "events_by_type_day": (
             "SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events, "
             "CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_e2 "

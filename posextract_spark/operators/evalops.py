@@ -1,0 +1,143 @@
+"""Eval-pipeline operators (reference: eval/generate-datasets/select_sentences.py).
+
+P5 validate_data, P6 syntax_check, P7 sentence_check/tag_sentence, P8
+stratified selection (SURVEY.md §2.2). Native Columns; the POS-dependent
+classifiers evaluate over the deterministic SVO lexicon so the DuckDB
+mirrors are exact.
+
+Quirks preserved:
+- validate_data uses pandas str.match (start-anchored) semantics
+  (select_sentences.py:10-15): drop rows equal to 'hon.' and rows not
+  starting with an uppercase letter; num_words from whitespace split;
+- syntax_check's ``or 'PRON'`` is vacuously truthy (select_sentences.py:19),
+  so validity reduces to >=2 NOUN tokens — and the function returns None
+  (never 'invalid') otherwise;
+- tag_sentence order: interrogative (regex + 2nd token NOUN) -> comp
+  (contains ',') -> leftward (1st token not NOUN/PRON/PROPN and not 'The',
+  2nd token VERB/ADJ) -> null (select_sentences.py:31-45);
+- the reference's df.sample selection is random; ``stratified_take`` is the
+  deterministic counterpart (first n per tag by id) so distributed runs are
+  reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from posextract_spark.functions.hashing import word_array
+
+_SVO_DET = ("the", "a", "an")
+_SVO_ADJ = ("fast", "slow", "small", "big")
+_SVO_VERB = (
+    "scan", "merge", "join", "sort", "filter", "group", "order", "hash", "batch", "stream", "query",
+)
+
+
+def _svo_pos(word):
+    return (
+        F.when(word.isin(*_SVO_DET), F.lit("DET"))
+        .when(word.isin(*_SVO_ADJ), F.lit("ADJ"))
+        .when(word.isin(*_SVO_VERB), F.lit("VERB"))
+        .otherwise(F.lit("NOUN"))
+    )
+
+
+def validate_data(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """P5 (select_sentences.py:10-15)."""
+    c = F.col(text_col)
+    return (
+        df.filter(~c.rlike(r"^hon\.$"))
+        .filter(c.rlike(r"^[A-Z]"))
+        .withColumn("num_words", F.size(word_array(c)))
+    )
+
+
+def syntax_check(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """P6 (select_sentences.py:17-23) over the SVO lexicon: 'valid' iff the
+    POS sequence contains >= 2 NOUNs; null otherwise (the reference's
+    'invalid' branch is unreachable — `or 'PRON'` is vacuously truthy)."""
+    words = word_array(F.col(text_col))
+    n_nouns = F.size(F.filter(words, lambda w: _svo_pos(w) == "NOUN"))
+    return df.withColumn("syntax_check", F.when(n_nouns >= 2, F.lit("valid")))
+
+
+def tag_sentence(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """P7 (select_sentences.py:31-45)."""
+    c = F.col(text_col)
+    words = word_array(c)
+    w0 = F.element_at(words, 1)
+    w1 = F.element_at(words, 2)
+    p0, p1 = _svo_pos(w0), _svo_pos(w1)
+    interrogative = c.rlike(r"(?i)^(Which|What|Why|Where|When) (.*)\?$") & (p1 == "NOUN")
+    comp = F.instr(c, ",") > 0
+    leftward = (
+        (~p0.isin("NOUN", "PRON", "PROPN")) & (w0 != "The") & p1.isin("VERB", "ADJ")
+    )
+    tag = (
+        F.when(F.size(words) < 2, F.lit(None).cast("string"))
+        .when(interrogative, F.lit("interrogative_sent"))
+        .when(comp, F.lit("comp_sent"))
+        .when(leftward, F.lit("leftward_sent"))
+    )
+    return df.withColumn("tag", tag)
+
+
+def stratified_take(df: DataFrame, tag_col: str, id_col: str, n_per_tag: int = 10) -> DataFrame:
+    """P8, deterministic: first n rows per tag ordered by id (the reference
+    samples randomly, select_sentences.py:69,74 — irreproducible across
+    cluster sizes; this variant is run-invariant)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(tag_col).orderBy(id_col)
+    return (
+        df.filter(F.col(tag_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_tag)
+        .drop("_rn")
+    )
+
+
+# --- DuckDB mirrors ---------------------------------------------------------
+
+_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_POS = (
+    "CASE WHEN {w} IN ('the','a','an') THEN 'DET' "
+    "WHEN {w} IN ('fast','slow','small','big') THEN 'ADJ' "
+    "WHEN {w} IN ('scan','merge','join','sort','filter','group','order','hash','batch','stream','query') THEN 'VERB' "
+    "ELSE 'NOUN' END"
+)
+
+VALIDATE_DATA_SQL = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+         THEN upper(substring(text, 1, 1)) || substring(text, 2)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, len({_WORDS}) AS num_words
+FROM docs2
+WHERE NOT regexp_matches(text, '^hon\\.$') AND regexp_matches(text, '^[A-Z]')
+"""
+
+SYNTAX_CHECK_SQL = f"""
+SELECT doc_id,
+  CASE WHEN len(list_filter({_WORDS}, w -> ({_POS.format(w='w')}) = 'NOUN')) >= 2
+       THEN 'valid' END AS syntax_check
+FROM documents
+"""
+
+TAG_SENTENCE_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN len({_WORDS}) < 2 THEN NULL
+    WHEN regexp_matches(text, '^(Which|What|Why|Where|When) (.*)\\?$', 'i')
+         AND ({_POS.format(w=f"({_WORDS})[2]")}) = 'NOUN' THEN 'interrogative_sent'
+    WHEN instr(text, ',') > 0 THEN 'comp_sent'
+    WHEN ({_POS.format(w=f"({_WORDS})[1]")}) NOT IN ('NOUN','PRON','PROPN')
+         AND ({_WORDS})[1] <> 'The'
+         AND ({_POS.format(w=f"({_WORDS})[2]")}) IN ('VERB','ADJ') THEN 'leftward_sent'
+  END AS tag
+FROM documents
+"""

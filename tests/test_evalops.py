@@ -1,0 +1,56 @@
+"""Eval-pipeline operator tests (P5-P8)."""
+
+from pyspark.sql import functions as F
+
+from posextract_spark.operators.evalops import (
+    stratified_take,
+    syntax_check,
+    tag_sentence,
+    validate_data,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(rows)], "doc_id long, text string")
+
+
+def test_validate_data(spark):
+    rows = ["Hello world one two", "hon.", "lower start text", "Valid line here"]
+    out = validate_data(_df(spark, rows)).collect()
+    assert {r.text for r in out} == {"Hello world one two", "Valid line here"}
+    assert {r.num_words for r in out} == {4, 3}
+
+
+def test_syntax_check_two_nouns(spark):
+    rows = ["data scan table", "the fast scan", "data row line"]
+    out = {r.doc_id: r.syntax_check for r in syntax_check(_df(spark, rows)).collect()}
+    assert out == {0: "valid", 1: None, 2: "valid"}
+
+
+def test_tag_sentence_branches(spark):
+    rows = [
+        "Which data is in the table?",  # interrogative (2nd word NOUN)
+        "data scan, table merge",  # comp (comma)
+        "fast scan data today",  # leftward: ADJ first, VERB second
+        "data scan table",  # none
+    ]
+    out = {r.doc_id: r.tag for r in tag_sentence(_df(spark, rows)).collect()}
+    assert out == {
+        0: "interrogative_sent",
+        1: "comp_sent",
+        2: "leftward_sent",
+        3: None,
+    }
+
+
+def test_stratified_take_deterministic(spark):
+    df = _df(spark, ["data scan, x"] * 5 + ["fast scan data"] * 5)
+    tagged = tag_sentence(df)
+    take = stratified_take(tagged, "tag", "doc_id", n_per_tag=2)
+    got = sorted((r.tag, r.doc_id) for r in take.collect())
+    assert got == [
+        ("comp_sent", 0),
+        ("comp_sent", 1),
+        ("leftward_sent", 5),
+        ("leftward_sent", 6),
+    ]
