@@ -309,13 +309,18 @@ def q_validate_data(spark, sf_dir):
 def q_syntax_check(spark, sf_dir):
     from posextract_spark.operators.evalops import syntax_check
 
-    return syntax_check(_docs(spark, sf_dir)).select("doc_id", "syntax_check")
+    # coalesce NULL -> '' so value hashing is engine-agnostic
+    return syntax_check(_docs(spark, sf_dir)).select(
+        "doc_id", F.coalesce(F.col("syntax_check"), F.lit("")).alias("syntax_check")
+    )
 
 
 def q_tag_sentence(spark, sf_dir):
     from posextract_spark.operators.evalops import tag_sentence
 
-    return tag_sentence(_docs(spark, sf_dir)).select("doc_id", "tag")
+    return tag_sentence(_docs(spark, sf_dir)).select(
+        "doc_id", F.coalesce(F.col("tag"), F.lit("")).alias("tag")
+    )
 
 
 def q_events_by_type_day(spark, sf_dir):

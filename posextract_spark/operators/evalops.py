@@ -123,14 +123,14 @@ WHERE NOT regexp_matches(text, '^hon\\.$') AND regexp_matches(text, '^[A-Z]')
 
 SYNTAX_CHECK_SQL = f"""
 SELECT doc_id,
-  CASE WHEN len(list_filter({_WORDS}, w -> ({_POS.format(w='w')}) = 'NOUN')) >= 2
-       THEN 'valid' END AS syntax_check
+  COALESCE(CASE WHEN len(list_filter({_WORDS}, w -> ({_POS.format(w='w')}) = 'NOUN')) >= 2
+       THEN 'valid' END, '') AS syntax_check
 FROM documents
 """
 
 TAG_SENTENCE_SQL = f"""
 SELECT doc_id,
-  CASE
+  COALESCE(CASE
     WHEN len({_WORDS}) < 2 THEN NULL
     WHEN regexp_matches(text, '^(Which|What|Why|Where|When) (.*)\\?$', 'i')
          AND ({_POS.format(w=f"({_WORDS})[2]")}) = 'NOUN' THEN 'interrogative_sent'
@@ -138,6 +138,6 @@ SELECT doc_id,
     WHEN ({_POS.format(w=f"({_WORDS})[1]")}) NOT IN ('NOUN','PRON','PROPN')
          AND ({_WORDS})[1] <> 'The'
          AND ({_POS.format(w=f"({_WORDS})[2]")}) IN ('VERB','ADJ') THEN 'leftward_sent'
-  END AS tag
+  END, '') AS tag
 FROM documents
 """
