@@ -192,26 +192,49 @@ def q_embedding_neardup(spark, sf_dir):
     return neardup_bucket_stats(emb)
 
 
-def q_media_image_features(spark, sf_dir):
-    """Multimodal plumbing: decode + feature-extract the deterministic
-    synthetic media corpus (binary payload column). Payload parsing is not
-    SQL-expressible -> rows-only check."""
-    from posextract_spark.operators.multimodal import image_features
+def _media(spark):
     from posextract_spark.sources.media import generate_media
 
-    media = generate_media(spark, 120, seed=42)
-    return image_features(media)
+    return generate_media(spark, 120, seed=42)
+
+
+def q_media_image_features(spark, sf_dir):
+    """Multimodal: decode + feature-extract the deterministic synthetic media
+    corpus (binary payload column). Oracle = generator-RNG replay rendered as
+    a VALUES table (posextract_spark/oracles.py), so encode -> Arrow ->
+    decode -> feature math is hash-checked end-to-end."""
+    from posextract_spark.operators.multimodal import image_features
+
+    return image_features(_media(spark))
+
+
+def q_media_audio_features(spark, sf_dir):
+    from posextract_spark.operators.multimodal import audio_features
+
+    return audio_features(_media(spark))
+
+
+def q_media_resize(spark, sf_dir):
+    """Resize plumbing pinned by payload md5: new dims from columnar meta,
+    full SIMG payload bytes via md5 (oracle replays the box downscale)."""
+    from posextract_spark.operators.multimodal import resize_images
+
+    out = resize_images(_media(spark), factor=2)
+    return out.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
 
 
 def q_media_frame_sample(spark, sf_dir):
     """Video frame sampling (flatMap over binary payloads) -> frame counts
-    per video. Rows-only check."""
+    per video; oracle is the closed form ceil(n_frames / k)."""
     from posextract_spark.operators.multimodal import sample_frames
-    from posextract_spark.sources.media import generate_media
 
-    media = generate_media(spark, 120, seed=42)
     return (
-        sample_frames(media, every_k=2)
+        sample_frames(_media(spark), every_k=2)
         .groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_frames_sampled"))
     )
@@ -370,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_image_features": q_media_image_features,
+        "media_audio_features": q_media_audio_features,
+        "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
@@ -413,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from posextract_spark.operators.triples import SVO_TRIPLES_CTE
     from posextract_spark.posrule import parse_posrule_text, to_sql
+    from posextract_spark import oracles as _oracles
 
     posrule_where = to_sql(
         parse_posrule_text(_POSRULE_TEXT),
@@ -444,6 +470,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": IVF_ASSIGN_SQL,
         "ivf_topk": ivf_topk_sql(k=10),
         "embedding_neardup": neardup_bucket_stats_sql(),
+        "media_image_features": _oracles.media_image_features_sql(),
+        "media_audio_features": _oracles.media_audio_features_sql(),
+        "media_resize": _oracles.media_resize_sql(),
+        "media_frame_sample": _oracles.media_frame_sample_sql(),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

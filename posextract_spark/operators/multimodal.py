@@ -96,15 +96,27 @@ def decode_svid(payload: bytes) -> np.ndarray:
 
 # --- operators --------------------------------------------------------------
 
-IMAGE_FEATURE_SCHEMA = (
-    "media_id long, width int, height int, mean_e4 long, std_e4 long, "
-    "hist array<long>"
-)
+def image_feature_schema(n_bins: int = 4) -> str:
+    """Histogram bins are flattened to scalar hist_i columns: every consumer
+    (driver canonicalizer, CSV sink, DuckDB mirror) handles scalars; an
+    array<long> column is unhashable in pandas-side canonicalization
+    (CORRECTNESS_r01 regression)."""
+    hist_cols = ", ".join(f"hist_{i} long" for i in range(n_bins))
+    return (
+        "media_id long, width int, height int, mean_e4 long, std_e4 long, " + hist_cols
+    )
+
+
+IMAGE_FEATURE_SCHEMA = image_feature_schema(4)
 
 
 def image_features(df: DataFrame, n_bins: int = 4) -> DataFrame:
     """Decode + feature-extract images: dimensions, mean/std intensity
-    (x1e4 fixed-point), n_bins histogram. mapInPandas; one Arrow crossing."""
+    (x1e4 fixed-point), n_bins histogram (scalar hist_0..hist_{n-1}).
+    mapInPandas; one Arrow crossing."""
+    cols = ["media_id", "width", "height", "mean_e4", "std_e4"] + [
+        f"hist_{i}" for i in range(n_bins)
+    ]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,15 +131,13 @@ def image_features(df: DataFrame, n_bins: int = 4) -> DataFrame:
                         px.shape[0],
                         int(np.floor(px.mean() * 10000)),
                         int(np.floor(px.std() * 10000)),
-                        [int(x) for x in hist],
+                        *[int(x) for x in hist],
                     )
                 )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "mean_e4", "std_e4", "hist"]
-            )
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
-        gen, IMAGE_FEATURE_SCHEMA
+        gen, image_feature_schema(n_bins)
     )
 
 

@@ -34,13 +34,19 @@ def test_metadata_matches_payload(media, spark):
     assert feats.count() == media.filter(F.col("kind") == "image").count()
 
 
+def _hist(row):
+    return tuple(v for k, v in row.asDict().items() if k.startswith("hist_"))
+
+
 def test_image_features_deterministic(media):
-    a = {r.media_id: (r.mean_e4, r.std_e4, tuple(r.hist)) for r in image_features(media).collect()}
-    b = {r.media_id: (r.mean_e4, r.std_e4, tuple(r.hist)) for r in image_features(media).collect()}
+    a = {r.media_id: (r.mean_e4, r.std_e4, _hist(r)) for r in image_features(media).collect()}
+    b = {r.media_id: (r.mean_e4, r.std_e4, _hist(r)) for r in image_features(media).collect()}
     assert a == b and len(a) > 0
-    # histogram mass == pixel count
+    # histogram mass == pixel count; scalar bins (arrays are unhashable in
+    # pandas canonicalizers — CORRECTNESS_r01 regression)
     row = image_features(media).head()
-    assert sum(row.hist) == row.width * row.height
+    assert len(_hist(row)) == 4
+    assert sum(_hist(row)) == row.width * row.height
 
 
 def test_resize_halves_dims(media):
