@@ -304,8 +304,9 @@ def q_connected_components(spark, sf_dir):
 
 def q_kg_pages_pipeline(spark, sf_dir):
     """Full KG construction over the synthetic pages corpus (html -> text ->
-    sentences -> kernel triples -> broadcast linking -> edge aggregation).
-    Not SQL-expressible (dependency-parse kernel) -> rows-only check."""
+    sentences -> kernel triples -> broadcast linking -> edge aggregation),
+    hash-checked against the closed-form expected edge set (the template
+    corpus's triples are exactly known — posextract_spark/oracles.py)."""
     from posextract_spark.pipeline import kg_from_pages
     from posextract_spark.sources.pages import alias_table, generate_pages
 
@@ -474,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_features": _oracles.media_audio_features_sql(),
         "media_resize": _oracles.media_resize_sql(),
         "media_frame_sample": _oracles.media_frame_sample_sql(),
+        "kg_pages_pipeline": _oracles.kg_pages_edges_sql(),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

@@ -141,6 +141,115 @@ def media_resize_sql(n: int = 120, seed: int = 42, factor: int = 2) -> str:
     return _values_sql(rows, cols)
 
 
+# --- kg_pages_pipeline -------------------------------------------------------
+#
+# The pages corpus draws every sentence from 8 fixed templates
+# (sources/pages.py _gen_sentences), so the full html -> text -> sentences ->
+# kernel -> linking -> edge-aggregation pipeline has a closed-form expected
+# output: replay the generator RNG to recover each page's sentences, map each
+# sentence to its triples via the per-template table below (pure regex, no
+# kernel import — tests/test_kg_pipeline.py pins this table against the
+# actual kernel so it cannot drift), then apply the alias dictionary and the
+# portable hash in plain Python. Kernel *semantics* are independently gated
+# by the reference differential (tools/differential.py, P=R=1.0); this
+# oracle hard-verifies the distributed plumbing around it.
+
+import re as _re
+
+# (pattern, slot -> triples). Quirks this table intentionally encodes:
+# - negated "did not acquire" emits the positive verb text (negation lives
+#   in the neg fields, not the predicate);
+# - conjunction expansion fans "acquired n1, and n2, and n3" to 3 triples;
+# - "bought X and sold Y" keeps only the first clause's triple;
+# - the relative-clause template emits its triple TWICE (two rules fire);
+# - "A said B acquired C" adds the quirky (A, said, C) triple;
+# - the quoted variant extracts only inside the quotes (split_quotes drops
+#   the carrier clause).
+TEMPLATE_TRIPLE_RULES = [
+    (
+        _re.compile(r"^(\S+) did not acquire (\S+)\.$"),
+        lambda m: [(m[1], "acquire", m[2])],
+    ),
+    (
+        _re.compile(r"^(\S+) acquired (\S+), and (\S+), and (\S+)\.$"),
+        lambda m: [(m[1], "acquired", m[2]), (m[1], "acquired", m[3]), (m[1], "acquired", m[4])],
+    ),
+    (
+        _re.compile(r"^(\S+) bought (\S+) and sold (\S+)\.$"),
+        lambda m: [(m[1], "bought", m[2])],
+    ),
+    (
+        _re.compile(r"^The tycoon who owned (\S+) retired\.$"),
+        lambda m: [("tycoon", "owned", m[1]), ("tycoon", "owned", m[1])],
+    ),
+    (
+        _re.compile(r"^(\S+) wanted to acquire (\S+)\.$"),
+        lambda m: [(m[1], "acquire", m[2])],
+    ),
+    (
+        _re.compile(r'^(\S+) said "(\S+) acquired (\S+)" yesterday\.$'),
+        lambda m: [(m[2], "acquired", m[3])],
+    ),
+    (
+        _re.compile(r"^(\S+) said (\S+) acquired (\S+)\.$"),
+        lambda m: [(m[2], "acquired", m[3]), (m[1], "said", m[3])],
+    ),
+    (
+        _re.compile(r"^(.+) gave up the (\S+)\.$"),
+        lambda m: [(m[1], "gave up", m[2])],
+    ),
+]
+
+
+def triples_for_sentence(sentence: str):
+    for pattern, emit in TEMPLATE_TRIPLE_RULES:
+        m = pattern.match(sentence)
+        if m:
+            return emit(m)
+    return []  # decoy/boilerplate sentences extract nothing
+
+
+def _portable_hash64_py(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def kg_pages_edges_sql(n: int = 200, seed: int = 42) -> str:
+    """Expected (src, predicate, dst, weight) edges for
+    __spark_entry__.q_kg_pages_pipeline over generate_pages(n, seed)."""
+    import random
+    from collections import Counter
+
+    from posextract_spark.sources.pages import ENTITY_ALIASES, _gen_sentences
+
+    alias = {
+        surface.lower(): canonical
+        for canonical, surfaces in ENTITY_ALIASES.items()
+        for surface in surfaces
+    }
+
+    def entity_id(surface: str) -> int:
+        norm = surface.strip().lower()
+        return _portable_hash64_py(alias.get(norm, norm))
+
+    weights: Counter = Counter()
+    for i in range(n):
+        rng = random.Random(f"{seed}:{i}")
+        if rng.random() >= 0.85:
+            continue  # non-en page, dropped by the lang filter
+        for sentence in _gen_sentences(rng):
+            for subj, verb, obj in triples_for_sentence(sentence):
+                weights[(entity_id(subj), verb, entity_id(obj))] += 1
+
+    rows = [(src, pred, dst, w) for (src, pred, dst), w in sorted(weights.items())]
+    cols = [
+        ("src", "BIGINT"),
+        ("predicate", "VARCHAR"),
+        ("dst", "BIGINT"),
+        ("weight", "BIGINT"),
+    ]
+    return _values_sql(rows, cols)
+
+
 def media_frame_sample_sql(n: int = 120, seed: int = 42, every_k: int = 2) -> str:
     """Expected sampled-frame count per video: ceil(n_frames / every_k)."""
     rows: List[Tuple] = []

@@ -105,3 +105,38 @@ def test_salted_counts_matches_direct(spark):
     direct = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     salted = {r.k: r.n for r in salted_counts(df, "k", n_salts=4).collect()}
     assert direct == salted
+
+
+def test_template_triple_table_pins_kernel():
+    """The closed-form template->triples table used by the kg_pages oracle
+    (oracles.TEMPLATE_TRIPLE_RULES) must agree with the real kernel on every
+    template shape, including entity-collision variants. If a kernel or
+    template change shifts extraction, this fails before the driver gate."""
+    from posextract_spark.kernel.extract import extract_triples_one
+    from posextract_spark.kernel.quotes import split_quotes_list
+    from posextract_spark.oracles import triples_for_sentence
+    from posextract_spark.parse.provider import get_provider
+
+    sentences = [
+        "Acme did not acquire Zorin.",
+        "Acme acquired factories, and mines, and railways.",
+        "Acme bought factories and sold mines.",
+        "The tycoon who owned Acme retired.",
+        "Acme wanted to acquire Zorin.",
+        "Acme said Zorin acquired Initech.",
+        "Stark Group gave up the lawsuit.",
+        'Acme said "Zorin acquired Initech" yesterday.',
+        # collisions + compound surfaces
+        "Acme said Zorin acquired Acme.",
+        'Hooli said "Bolt acquired Hooli" yesterday.',
+        "Zorin Holdings gave up the shares.",
+        # decoy paragraph sentence: must extract nothing
+        "Quarterly report shows steady growth overall today.",
+    ]
+    provider = get_provider("template")
+    for sentence in sentences:
+        kernel_triples = []
+        for seg in provider.parse_batch(split_quotes_list(sentence)):
+            for flat in extract_triples_one(seg):
+                kernel_triples.append((flat["subject"], flat["verb"], flat["object"]))
+        assert kernel_triples == triples_for_sentence(sentence), sentence
