@@ -191,37 +191,69 @@ def ivf_assign(
     df: DataFrame, k: int = IVF_K, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(id, centroid_id, sim_e6): nearest centroid by cosine, ties broken by
-    smallest centroid id. Plan shape: explode(centroids) [Generate boundary,
-    so each pair's dot product is computed exactly once] -> window argmax.
-    The ranking uses the floored fixed-point similarity so the tie-break is
-    provably identical across engines."""
-    from pyspark.sql import Window
+    smallest centroid id.
 
+    Scale shape: a single scan-side projection — per row, transform() maps
+    the centroid literal array to (sim_e6, -cid) structs and array_max takes
+    the argmax (struct ordering = sim desc winner; on sim ties the larger
+    -cid wins, i.e. the SMALLEST centroid id — matching the DuckDB mirror's
+    ``ORDER BY sim_e6 DESC, centroid_id ASC``). Zero shuffle and zero
+    Generate; the previous explode + row_number()-window formulation pushed
+    N*k rows through a full Exchange just to take a per-row argmax
+    (VERDICT r01), which at 100 TB is the dominant cost. Centroid norms are
+    folded into the literals so each pair costs one dot-product pass.
+    Pinned by tests/test_plan_shape.py::test_ivf_assign_no_shuffle.
+    """
     cents = _centroid_literals(df, k, id_col, vec_col)
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(cid).cast("int").alias("cid"),
                 F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+                # sequential float64 sum-of-squares == both engines' aggregate
+                F.lit(_seq_norm(vec)).alias("cnorm"),
             )
             for cid, vec in cents
         ]
     )
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    pairs = df.select(F.col(id_col), emb.alias("_e"), F.explode(cent_arr).alias("c"))
-    sims = pairs.select(
+    base = df.select(
+        F.col(id_col),
+        emb.alias("_e"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(emb, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+            )
+        ).alias("_norm"),
+    )
+
+    def sim_e6(c):
+        dot = F.aggregate(
+            F.zip_with(F.col("_e"), c["cvec"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.floor(dot / (F.col("_norm") * c["cnorm"]) * F.lit(1000000.0)).cast(
+            "bigint"
+        )
+
+    best = F.array_max(
+        F.transform(cent_arr, lambda c: F.struct(sim_e6(c).alias("sim"), (-c["cid"]).alias("ncid")))
+    )
+    return base.select(
         id_col,
-        F.col("c.cid").alias("centroid_id"),
-        F.floor(_cosine(F.col("_e"), F.col("c.cvec")) * F.lit(1000000.0))
-        .cast("bigint")
-        .alias("sim_e6"),
+        (-best["ncid"]).alias("centroid_id"),
+        best["sim"].alias("sim_e6"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim_e6"), F.asc("centroid_id"))
-    return (
-        sims.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+
+
+def _seq_norm(vec) -> float:
+    """sqrt of the left-to-right float64 sum of squares — the exact value
+    both Spark's F.aggregate and DuckDB's list_aggregate('sum') produce."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc ** 0.5
 
 
 def ivf_topk(

@@ -45,3 +45,15 @@ def test_broadcast_linking_no_shuffle_join(spark):
     plan = _plan(linked)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_assign_no_shuffle(spark):
+    """ivf_assign must be a pure scan-side projection: the r01 explode +
+    window-argmax formulation shuffled N*k rows (VERDICT r01 item 3)."""
+    from posextract_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(ivf_assign(emb))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode either
+    assert "Window" not in plan
