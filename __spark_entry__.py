@@ -189,7 +189,9 @@ def q_embedding_neardup(spark, sf_dir):
     from posextract_spark.operators.similarity import neardup_bucket_stats
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return neardup_bucket_stats(emb)
+    # n_planes pinned so the static SQL mirror stays exact; production uses
+    # the auto (planes_for) default + max_bucket_width for skew.
+    return neardup_bucket_stats(emb, n_planes=4)
 
 
 def _media(spark):

@@ -93,21 +93,68 @@ def lsh_bucket(
     return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def planes_for(n_vecs: int, target_bucket: int = 1024, min_planes: int = 4,
+               max_planes: int = 24) -> int:
+    """Hyperplane count that keeps the EXPECTED bucket width near
+    ``target_bucket``: ceil(log2(N / target)). Fixed planes do not survive a
+    scale-up — 16 buckets over 10^9 rows makes the within-bucket self-join a
+    cartesian (VERDICT r01 item 4); planes must grow with log2(N)."""
+    import math
+
+    if n_vecs <= target_bucket:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n_vecs / target_bucket))))
+
+
 def neardup_bucket_stats(
     df: DataFrame,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     threshold_e6: int = 250000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 1024,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection, LSH-bucketed (the scale
     path: the pair join only runs within a bucket, ~1/2^planes of the
     quadratic work). Returns per-bucket stats: vector count, pairs with
-    cosine >= threshold, and the max pairwise similarity (x1e6)."""
+    cosine >= threshold, and the max pairwise similarity (x1e6).
+
+    Scale levers (both needed at 100 TB — VERDICT r01 item 4):
+    - ``n_planes=None`` sizes the bucket space from the data: one count job
+      up front (at production scale pass the known table rowcount via
+      ``n_planes=planes_for(n)`` instead), then ceil(log2(N/target_bucket))
+      planes so expected width stays ~target_bucket regardless of N;
+    - ``max_bucket_width`` bounds the WORST bucket (hyperplanes cannot bound
+      skew — 10^6 embeddings of one boilerplate page all share a bucket):
+      pair generation sees only the first ``max_bucket_width`` rows per
+      bucket in deterministic hash-of-id order, a uniform sample of the
+      bucket, so per-bucket pair work is <= cap^2/2 no matter the skew.
+      ``n_vecs`` still reports the TRUE width, so capped buckets are
+      visible to the caller (n_pairs < n_vecs*(n_vecs-1)/2 flags sampling).
+    """
+    from posextract_spark.functions.hashing import portable_hash64
+
+    if n_planes is None:
+        n_planes = planes_for(df.count(), target_bucket)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     b = lsh_bucket(df, n_planes, id_col, vec_col).join(
         df.select(F.col(id_col), emb.alias("_e")), id_col
     )
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+    if max_bucket_width is not None:
+        from pyspark.sql import Window
+
+        # rank by hash-of-id: deterministic uniform sample; the window's
+        # bucket partitioning is the same key the pair join shuffles on.
+        w = Window.partitionBy("bucket").orderBy(
+            portable_hash64(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        b = (
+            b.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket_width)
+            .drop("_rk")
+        )
     left = b.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col("_e").alias("ea")
     )
@@ -125,7 +172,6 @@ def neardup_bucket_stats(
         F.sum((F.col("sim_e6") >= threshold_e6).cast("long")).alias("n_neardup"),
         F.max("sim_e6").alias("max_sim_e6"),
     )
-    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
     return sizes.join(per_bucket, "bucket", "left").select(
         "bucket",
         "n_vecs",

@@ -1,0 +1,64 @@
+"""Scale-hardening guards for the embedding near-dup path (VERDICT r01 #4).
+
+The oracle gate already pins value correctness at n_planes=4; these tests
+pin the SCALE behavior: plane count grows with N, and a skew-hammered
+bucket (every vector identical -> one bucket) stays bounded under
+max_bucket_width instead of going quadratic.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from posextract_spark.operators.similarity import neardup_bucket_stats, planes_for
+
+
+def test_planes_scale_with_n():
+    assert planes_for(500) == 4  # floor
+    assert planes_for(10**6, target_bucket=1024) == 10
+    assert planes_for(10**9, target_bucket=1024) == 20
+    assert planes_for(10**12, target_bucket=1024) == 24  # ceiling
+    # monotone non-decreasing
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9, 10**11):
+        p = planes_for(n)
+        assert p >= prev
+        prev = p
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 300 identical vectors: every row lands in ONE lsh bucket — the
+    # adversarial case hyperplanes cannot split.
+    vec = [1.0, 0.5, -0.25, 0.125]
+    return spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in vec]).alias("embedding"),
+    )
+
+
+def test_skewed_bucket_width_bounded(skewed):
+    cap = 20
+    rows = neardup_bucket_stats(
+        skewed, n_planes=4, max_bucket_width=cap
+    ).collect()
+    hot = max(rows, key=lambda r: r.n_vecs)
+    assert hot.n_vecs == 300  # true width still reported
+    assert hot.n_pairs == cap * (cap - 1) // 2  # pair work bounded by cap
+    assert hot.max_sim_e6 == 1000000  # identical vectors -> cosine 1
+
+
+def test_uncapped_matches_capped_on_small_buckets(spark):
+    # When every bucket is under the cap, the cap must be a no-op.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r.bucket: r for r in neardup_bucket_stats(emb, n_planes=4).collect()}
+    b = {
+        r.bucket: r
+        for r in neardup_bucket_stats(emb, n_planes=4, max_bucket_width=10**6).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert (a[k].n_pairs, a[k].n_neardup, a[k].max_sim_e6) == (
+            b[k].n_pairs,
+            b[k].n_neardup,
+            b[k].max_sim_e6,
+        )
