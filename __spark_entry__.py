@@ -349,6 +349,20 @@ def q_tag_sentence(spark, sf_dir):
     )
 
 
+def q_sample_n(spark, sf_dir):
+    """P8 parity: seeded hash-order sample — identical draw at any
+    parallelism (reference df.sample is not reproducible)."""
+    from posextract_spark.operators.evalops import sample_n
+
+    return sample_n(_docs(spark, sf_dir), n=50, seed=7).select("doc_id")
+
+
+def q_sample_fraction(spark, sf_dir):
+    from posextract_spark.operators.evalops import sample_fraction
+
+    return sample_fraction(_docs(spark, sf_dir), fraction=0.1, seed=7).select("doc_id")
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -407,6 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_data": q_validate_data,
         "syntax_check": q_syntax_check,
         "tag_sentence": q_tag_sentence,
+        "sample_n": q_sample_n,
+        "sample_fraction": q_sample_fraction,
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -438,6 +454,8 @@ def oracle_sql() -> dict[str, str]:
         SYNTAX_CHECK_SQL,
         TAG_SENTENCE_SQL,
         VALIDATE_DATA_SQL,
+        sample_fraction_sql,
+        sample_n_sql,
     )
     from posextract_spark.operators.triples import SVO_TRIPLES_CTE
     from posextract_spark.posrule import parse_posrule_text, to_sql
@@ -516,6 +534,8 @@ def oracle_sql() -> dict[str, str]:
         "validate_data": VALIDATE_DATA_SQL,
         "syntax_check": SYNTAX_CHECK_SQL,
         "tag_sentence": TAG_SENTENCE_SQL,
+        "sample_n": sample_n_sql(n=50, seed=7),
+        "sample_fraction": sample_fraction_sql(fraction=0.1, seed=7),
         "events_by_type_day": (
             "SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events, "
             "CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_e2 "

@@ -98,6 +98,49 @@ def stratified_take(df: DataFrame, tag_col: str, id_col: str, n_per_tag: int = 1
     )
 
 
+def sample_n(df: DataFrame, n: int, seed: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """P8 parity with the reference's ``df.sample(n)``
+    (select_sentences.py:69,74), made reproducible: rank rows by
+    md5(seed:id) and take the first n — a seeded pseudo-random draw that is
+    identical across engines AND cluster sizes (rand(seed) is
+    partitioning-dependent, so a 4N-executor rerun would sample different
+    rows — unacceptable for resumable pipelines).
+
+    Plan shape: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-n, single driver merge of n*P candidates), not a
+    global sort — safe at any scale for n << data."""
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return df.orderBy(key, F.col(id_col)).limit(n)
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Seeded Bernoulli sample by hash threshold: keep iff the 60-bit
+    portable hash of (seed:id) < fraction * 2^60. A pure scan-side filter —
+    no shuffle, no state — and the same rows fall in the sample at any
+    parallelism (the property the reference's pandas df.sample lacks)."""
+    from posextract_spark.functions.hashing import portable_hash64
+
+    threshold = int(fraction * (1 << 60))
+    key = portable_hash64(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    return df.filter(key < F.lit(threshold))
+
+
+def random_sample(df: DataFrame, n: int | None = None, fraction: float | None = None,
+                  seed: int = 0) -> DataFrame:
+    """Thin reference-API wrapper (df.sample semantics). NOT run-reproducible
+    across cluster sizes — use sample_n / sample_fraction in pipelines; this
+    exists for drop-in parity with select_sentences.py:69,74."""
+    if fraction is not None:
+        return df.sample(fraction=fraction, seed=seed)
+    if n is None:
+        raise ValueError("random_sample: pass n or fraction")
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
 # --- DuckDB mirrors ---------------------------------------------------------
 
 _WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
@@ -107,6 +150,19 @@ _POS = (
     "WHEN {w} IN ('scan','merge','join','sort','filter','group','order','hash','batch','stream','query') THEN 'VERB' "
     "ELSE 'NOUN' END"
 )
+
+def sample_n_sql(n: int, seed: int = 0) -> str:
+    return (
+        f"SELECT doc_id FROM documents "
+        f"ORDER BY md5(concat('{seed}', ':', CAST(doc_id AS VARCHAR))), doc_id LIMIT {n}"
+    )
+
+
+def sample_fraction_sql(fraction: float, seed: int = 0) -> str:
+    threshold = int(fraction * (1 << 60))
+    h = f"(('0x' || substring(md5(concat('{seed}', ':', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT)"
+    return f"SELECT doc_id FROM documents WHERE {h} < {threshold}"
+
 
 VALIDATE_DATA_SQL = f"""
 WITH docs2 AS (

@@ -80,9 +80,12 @@ def extract_subj_verb_pairs(
     letter_case: str = "default",
     provider: str = "auto",
     provider_kwargs: Optional[dict] = None,
+    keep: bool = True,
 ) -> DataFrame:
     """reference: subj_verb_pairs.py:49-114 (incl. the stale-subject
-    carry-over quirk — see kernel.pairs.subj_verb_pairs_one)."""
+    carry-over quirk — see kernel.pairs.subj_verb_pairs_one).
+    ``keep=False`` mirrors the column-drop variant
+    (reference: subj_verb_pairs.py:21-31)."""
     id_cols = list(id_cols or [])
     pk = provider_kwargs or {}
 
@@ -102,8 +105,9 @@ def extract_subj_verb_pairs(
             )
         return pd.Series(out)
 
-    exploded = df.select(*id_cols, F.explode(pairs_udf(F.col(text_col))).alias("pair"))
-    return exploded.select(*id_cols, "pair.*")
+    keep_cols = id_cols if keep else []
+    exploded = df.select(*keep_cols, F.explode(pairs_udf(F.col(text_col))).alias("pair"))
+    return exploded.select(*keep_cols, "pair.*")
 
 
 # DuckDB mirrors for the SVO provider over the `documents` view. -------------

@@ -54,3 +54,44 @@ def test_stratified_take_deterministic(spark):
         ("leftward_sent", 5),
         ("leftward_sent", 6),
     ]
+
+
+def test_sample_n_deterministic_across_parallelism(spark):
+    from posextract_spark.operators.evalops import sample_n
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(r.doc_id for r in sample_n(docs, 20, seed=3).collect())
+    b = sorted(
+        r.doc_id for r in sample_n(docs.repartition(17), 20, seed=3).collect()
+    )
+    assert a == b and len(a) == 20
+    # different seed -> different draw
+    c = sorted(r.doc_id for r in sample_n(docs, 20, seed=4).collect())
+    assert a != c
+    # top-n merge, not a global sort
+    plan = sample_n(docs, 20, seed=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_fraction_scan_side_and_stable(spark):
+    from posextract_spark.operators.evalops import sample_fraction
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(r.doc_id for r in sample_fraction(docs, 0.2, seed=3).collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_fraction(docs.repartition(17), 0.2, seed=3).collect()
+    )
+    assert a == b
+    n = docs.count()
+    assert 0.05 * n < len(a) < 0.5 * n  # loose Bernoulli bounds
+    plan = sample_fraction(docs, 0.2, seed=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_random_sample_api_parity(spark):
+    from posextract_spark.operators.evalops import random_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert random_sample(docs, n=10).count() == 10
+    assert 0 < random_sample(docs, fraction=0.3, seed=1).count() < docs.count()

@@ -113,3 +113,20 @@ def test_posrule_escape_sequences():
 def test_posrule_empty_raises():
     with pytest.raises(ValueError):
         parse_posrule_text("// only a comment\n")
+
+
+def test_subj_verb_keep_modes(spark):
+    """keep=True carries the id columns through the explode; keep=False is
+    the reference's column-drop variant (subj_verb_pairs.py:21-31)."""
+    from posextract_spark.operators.pairs import extract_subj_verb_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = extract_subj_verb_pairs(
+        docs, text_col="text", id_cols=["doc_id"], provider="svo"
+    )
+    dropped = extract_subj_verb_pairs(
+        docs, text_col="text", id_cols=["doc_id"], provider="svo", keep=False
+    )
+    assert kept.columns == ["doc_id", "subject", "verb_neg", "verb"]
+    assert dropped.columns == ["subject", "verb_neg", "verb"]
+    assert kept.count() == dropped.count()
