@@ -76,16 +76,25 @@ class BucketedRun:
         stage_fn, write parquet part, append manifest row. ``fail_after``
         simulates a crash after N buckets (tests resume semantics).
         Returns the number of buckets processed this call."""
+        from pyspark.sql import Observation
+
         bucketed = pages.withColumn("_bucket", bucket_of(F.col(key_col), self.n_buckets))
         processed = 0
         for b in self.pending_buckets():
             t0 = time.time()
-            part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-            in_rows = part.count()
-            out_df = stage_fn(part)
+            # observe() harvests both row counts from the ONE write job —
+            # r01 paid part.count() + a re-read count() per bucket, i.e. two
+            # extra full passes per bucket just for manifest stats.
+            obs_in = Observation(f"{self.stage}-in-{b}")
+            obs_out = Observation(f"{self.stage}-out-{b}")
+            part = bucketed.filter(F.col("_bucket") == b).drop("_bucket").observe(
+                obs_in, F.count(F.lit(1)).alias("rows")
+            )
+            out_df = stage_fn(part).observe(obs_out, F.count(F.lit(1)).alias("rows"))
             out_path = os.path.join(self.out_dir, self.stage, f"bucket={b}")
             out_df.write.mode("overwrite").parquet(out_path)
-            out_rows = self.spark.read.parquet(out_path).count()
+            in_rows = obs_in.get["rows"]
+            out_rows = obs_out.get["rows"]
             row = {
                 "stage": self.stage,
                 "bucket": b,
