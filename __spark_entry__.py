@@ -185,6 +185,25 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_ivf_assign_kmeans(spark, sf_dir):
+    """IVF with TRAINED centroids: 2 Lloyd iterations in exact integer
+    fixed-point, bit-identical across engines (oracle = the same iterations
+    unrolled as DuckDB CTEs)."""
+    from posextract_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_assign(emb, centroids=kmeans_centroids(emb, n_iter=2))
+
+
+def q_ivf_topk_kmeans(spark, sf_dir):
+    from posextract_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, centroids=kmeans_centroids(emb, n_iter=2)
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     from posextract_spark.operators.similarity import neardup_bucket_stats
 
@@ -408,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket": q_lsh_bucket,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
+        "ivf_assign_kmeans": q_ivf_assign_kmeans,
+        "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "embedding_neardup": q_embedding_neardup,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -440,6 +461,8 @@ def oracle_sql() -> dict[str, str]:
     from posextract_spark.operators.similarity import (
         IVF_ASSIGN_SQL,
         cosine_topk_sql,
+        ivf_assign_kmeans_sql,
+        ivf_topk_kmeans_sql,
         ivf_topk_sql,
         lsh_bucket_sql,
         neardup_bucket_stats_sql,
@@ -490,6 +513,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket": lsh_bucket_sql(),
         "ivf_assign": IVF_ASSIGN_SQL,
         "ivf_topk": ivf_topk_sql(k=10),
+        "ivf_assign_kmeans": ivf_assign_kmeans_sql(n_iter=2),
+        "ivf_topk_kmeans": ivf_topk_kmeans_sql(k_results=10, n_iter=2),
         "embedding_neardup": neardup_bucket_stats_sql(),
         "media_image_features": _oracles.media_image_features_sql(),
         "media_audio_features": _oracles.media_audio_features_sql(),

@@ -233,8 +233,60 @@ def _centroid_literals(df: DataFrame, k: int, id_col: str, vec_col: str):
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def _centroid_struct_array(cents):
+    """Literal array<struct<cid,cvec,cnorm>> for the scan-side argmax."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("int").alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+                F.lit(_seq_norm(vec)).alias("cnorm"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def _ivf_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col),
+        emb.alias("_e"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(emb, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+            )
+        ).alias("_norm"),
+    )
+
+
+def _best_centroid(cent_arr):
+    """struct(sim, ncid) of the nearest centroid over _e/_norm columns:
+    array_max picks max sim; on ties max(-cid) == smallest centroid id."""
+
+    def sim_e6(c):
+        dot = F.aggregate(
+            F.zip_with(F.col("_e"), c["cvec"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.floor(dot / (F.col("_norm") * c["cnorm"]) * F.lit(1000000.0)).cast(
+            "bigint"
+        )
+
+    return F.array_max(
+        F.transform(
+            cent_arr, lambda c: F.struct(sim_e6(c).alias("sim"), (-c["cid"]).alias("ncid"))
+        )
+    )
+
+
 def ivf_assign(
-    df: DataFrame, k: int = IVF_K, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    k: int = IVF_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """(id, centroid_id, sim_e6): nearest centroid by cosine, ties broken by
     smallest centroid id.
@@ -249,48 +301,74 @@ def ivf_assign(
     (VERDICT r01), which at 100 TB is the dominant cost. Centroid norms are
     folded into the literals so each pair costs one dot-product pass.
     Pinned by tests/test_plan_shape.py::test_ivf_assign_no_shuffle.
+
+    ``centroids`` overrides the coarse quantizer with precomputed
+    (cid, vector) literals — pass ``kmeans_centroids(df)`` for trained ones.
     """
-    cents = _centroid_literals(df, k, id_col, vec_col)
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("int").alias("cid"),
-                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
-                # sequential float64 sum-of-squares == both engines' aggregate
-                F.lit(_seq_norm(vec)).alias("cnorm"),
-            )
-            for cid, vec in cents
-        ]
-    )
-    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(
-        F.col(id_col),
-        emb.alias("_e"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(emb, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-            )
-        ).alias("_norm"),
-    )
-
-    def sim_e6(c):
-        dot = F.aggregate(
-            F.zip_with(F.col("_e"), c["cvec"], lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.floor(dot / (F.col("_norm") * c["cnorm"]) * F.lit(1000000.0)).cast(
-            "bigint"
-        )
-
-    best = F.array_max(
-        F.transform(cent_arr, lambda c: F.struct(sim_e6(c).alias("sim"), (-c["cid"]).alias("ncid")))
-    )
+    cents = centroids if centroids is not None else _centroid_literals(df, k, id_col, vec_col)
+    base = _ivf_base(df, id_col, vec_col)
+    best = _best_centroid(_centroid_struct_array(cents))
     return base.select(
         id_col,
         (-best["ncid"]).alias("centroid_id"),
         best["sim"].alias("sim_e6"),
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = IVF_K,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's k-means with a fixed iteration count and seeded (first-k-ids)
+    init — the real IVF coarse quantizer, replacing r01's init-only
+    centroids.
+
+    Deterministic and ENGINE-EXACT by construction, so the DuckDB mirror
+    (kmeans SQL CTE chain) reproduces bit-identical centroids:
+    - assignment compares floored fixed-point similarities (sim_e6 BIGINT),
+      ties to the smallest centroid id;
+    - the update averages in integer fixed-point: sum over members of
+      floor(x * 1e6) as BIGINT (integer addition is order-independent, so
+      shuffle/partition order cannot perturb the result — float sums would),
+      then floor(sum/count)/1e6;
+    - empty clusters keep their previous centroid.
+
+    Scale shape per iteration: one scan-side assignment projection (no
+    shuffle — same plan as ivf_assign) + posexplode(dims) + a groupBy on
+    (centroid, dim) whose result is k*dim rows — the only shuffle, with
+    map-side partial aggregation, collecting k*dim longs to the driver.
+    """
+    import math
+
+    cents = _centroid_literals(df, k, id_col, vec_col)
+    base = _ivf_base(df, id_col, vec_col)
+    for _ in range(n_iter):
+        best = _best_centroid(_centroid_struct_array(cents))
+        # two selects: resolving a lambda-struct field in the same projection
+        # as a generator trips analysis (FIELD_NOT_FOUND col1/col2);
+        # CollapseProject fuses them back into one stage anyway.
+        assigned = base.select(
+            (-best["ncid"]).alias("centroid_id"), F.col("_e")
+        ).select("centroid_id", F.posexplode(F.col("_e")).alias("pos", "val"))
+        rows = (
+            assigned.groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(F.floor(F.col("val") * F.lit(1000000.0)).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        acc: dict = {}
+        for r in rows:
+            acc.setdefault(r.centroid_id, {})[r.pos] = math.floor(r.s / r.c) / 1000000.0
+        cents = [
+            (cid, [acc[cid][p] for p in range(len(vec))] if cid in acc else vec)
+            for cid, vec in cents
+        ]
+    return cents
 
 
 def _seq_norm(vec) -> float:
@@ -309,12 +387,13 @@ def ivf_topk(
     n_centroids: int = IVF_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF search, nprobe=1: rank only the query-centroid's inverted list.
     The scale path vs brute force: the scan touches ~1/n_centroids of the
     data (in storage terms: the inverted lists are bucket partitions and
     the probe is partition pruning)."""
-    assign = ivf_assign(df, n_centroids, id_col, vec_col)
+    assign = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
     # the query is vec_id 0's embedding => its centroid is its assignment
     qc = assign.filter(F.col(id_col) == 0).select("centroid_id")
     probe = assign.join(F.broadcast(qc), "centroid_id").select(id_col)
@@ -372,6 +451,98 @@ sims AS (
   FROM vecs v JOIN probe p ON v.vec_id = p.vec_id, q
 )
 SELECT vec_id, sim_e6 FROM sims ORDER BY sim_e6 DESC, vec_id LIMIT {k}
+"""
+    )
+
+
+# --- k-means mirror (unrolled Lloyd iterations as CTE chain) -----------------
+
+_COS_SQL = (
+    "CAST(floor("
+    "list_aggregate(list_transform(generate_series(1, len(v.e)), j -> v.e[j] * c.cvec[j]), 'sum')"
+    " / (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))"
+    "    * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum')))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def _assign_ctes(i, cents_name: str) -> str:
+    """pairs{i}/assign{i} CTEs: fixed-point cosine vs cents_name + argmax
+    with the same (sim desc, cid asc) tie-break as the Spark side."""
+    return f"""
+pairs{i} AS (
+  SELECT v.vec_id, c.cid, {_COS_SQL} AS sim_e6
+  FROM vecs v CROSS JOIN {cents_name} c
+),
+assign{i} AS (
+  SELECT vec_id, cid, sim_e6 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e6 DESC, cid ASC) AS rn
+    FROM pairs{i}
+  ) WHERE rn = 1
+)"""
+
+
+def kmeans_cents_cte(n_iter: int, k: int = IVF_K):
+    """(cte_fragment, final_cents_name): Lloyd unrolled — DuckDB has no
+    iteration, but n_iter is a small fixed constant, so each round becomes
+    one assign + one integer-fixed-point update CTE. Mirrors
+    kmeans_centroids() exactly: floor(x*1e6) BIGINT member sums (order-free),
+    floor(sum/count)/1e6 updates, COALESCE keeps empty clusters."""
+    parts = [
+        f"cents0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec\n"
+        f"  FROM embeddings WHERE vec_id < {k})",
+        "vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings)",
+    ]
+    for i in range(n_iter):
+        parts.append(_assign_ctes(i, f"cents{i}").lstrip())
+        parts.append(
+            f"""upd{i} AS (
+  SELECT a.cid, t.d,
+    CAST(floor(CAST(sum(CAST(floor(v.e[t.d] * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*)) AS DOUBLE)
+      / 1000000.0 AS x
+  FROM assign{i} a JOIN vecs v ON a.vec_id = v.vec_id
+  CROSS JOIN UNNEST(generate_series(1, len(v.e))) AS t(d)
+  GROUP BY a.cid, t.d
+),
+centsu{i} AS (SELECT cid, list(x ORDER BY d) AS cvec FROM upd{i} GROUP BY cid),
+cents{i+1} AS (
+  SELECT c.cid, COALESCE(u.cvec, c.cvec) AS cvec
+  FROM cents{i} c LEFT JOIN centsu{i} u ON c.cid = u.cid
+)"""
+        )
+    return "WITH " + ",\n".join(parts), f"cents{n_iter}"
+
+
+def ivf_assign_kmeans_sql(n_iter: int = 2, k: int = IVF_K) -> str:
+    ctes, final = kmeans_cents_cte(n_iter, k)
+    return (
+        ctes
+        + ",\n"
+        + _assign_ctes("F", final).lstrip()
+        + "\nSELECT vec_id, cid AS centroid_id, sim_e6 FROM assignF"
+    )
+
+
+def ivf_topk_kmeans_sql(k_results: int = 10, n_iter: int = 2, k: int = IVF_K) -> str:
+    ctes, final = kmeans_cents_cte(n_iter, k)
+    return (
+        ctes
+        + ",\n"
+        + _assign_ctes("F", final).lstrip()
+        + f"""
+, qc AS (SELECT cid FROM assignF WHERE vec_id = 0),
+q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT a.vec_id FROM assignF a JOIN qc ON a.cid = qc.cid),
+sims AS (
+  SELECT v.vec_id,
+    CAST(floor(
+      list_aggregate(list_transform(generate_series(1, len(v.e)), j -> v.e[j] * qv[j]), 'sum')
+      / (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')))
+      * 1000000.0) AS BIGINT) AS sim_e6
+  FROM vecs v JOIN probe p ON v.vec_id = p.vec_id, q
+)
+SELECT vec_id, sim_e6 FROM sims ORDER BY sim_e6 DESC, vec_id LIMIT {k_results}
 """
     )
 

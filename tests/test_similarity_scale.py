@@ -62,3 +62,19 @@ def test_uncapped_matches_capped_on_small_buckets(spark):
             b[k].n_neardup,
             b[k].max_sim_e6,
         )
+
+
+def test_kmeans_convergence_properties(spark):
+    """Trained centroids must (a) keep all k clusters, (b) be deterministic,
+    (c) not decrease total assignment similarity vs the init centroids."""
+    from posextract_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = kmeans_centroids(emb, n_iter=2)
+    c2 = kmeans_centroids(emb, n_iter=2)
+    assert c1 == c2  # deterministic
+    assert len(c1) == 8 and all(len(v) == 64 for _, v in c1)
+
+    init_sim = ivf_assign(emb).agg({"sim_e6": "sum"}).head()[0]
+    trained_sim = ivf_assign(emb, centroids=c1).agg({"sim_e6": "sum"}).head()[0]
+    assert trained_sim >= init_sim
