@@ -323,6 +323,20 @@ def q_connected_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_connected_components_star(spark, sf_dir):
+    """Same fixpoint as q_connected_components, computed by the O(log n)
+    alternating large-star/small-star algorithm (the adversarial-depth scale
+    path) — the oracle is algorithm-independent."""
+    from posextract_spark.operators.canonicalize import connected_components_star
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = nation.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey").cast("long") + F.lit(1000)).alias("dst"),
+    )
+    return connected_components_star(edges)
+
+
 def q_kg_pages_pipeline(spark, sf_dir):
     """Full KG construction over the synthetic pages corpus (html -> text ->
     sentences -> kernel triples -> broadcast linking -> edge aggregation),
@@ -438,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "entity_link": q_entity_link,
         "connected_components": q_connected_components,
+        "connected_components_star": q_connected_components_star,
         "kg_pages_pipeline": q_kg_pages_pipeline,
         "validate_data": q_validate_data,
         "syntax_check": q_syntax_check,
@@ -549,6 +564,14 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1"
         ),
         "connected_components": (
+            "WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn "
+            "FROM nation GROUP BY n_regionkey) "
+            "SELECT CAST(n.n_nationkey AS BIGINT) AS node, CAST(m.mn AS BIGINT) AS component "
+            "FROM nation n JOIN m ON n.n_regionkey = m.n_regionkey "
+            "UNION ALL "
+            "SELECT CAST(1000 + n_regionkey AS BIGINT) AS node, CAST(mn AS BIGINT) AS component FROM m"
+        ),
+        "connected_components_star": (
             "WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn "
             "FROM nation GROUP BY n_regionkey) "
             "SELECT CAST(n.n_nationkey AS BIGINT) AS node, CAST(m.mn AS BIGINT) AS component "

@@ -140,3 +140,34 @@ def test_template_triple_table_pins_kernel():
             for flat in extract_triples_one(seg):
                 kernel_triples.append((flat["subject"], flat["verb"], flat["object"]))
         assert kernel_triples == triples_for_sentence(sentence), sentence
+
+
+def test_star_cc_matches_label_propagation_on_random_graphs(spark):
+    """large-star/small-star and min-label propagation must compute the
+    identical node->component map (component = min reachable id)."""
+    import random
+
+    from posextract_spark.operators.canonicalize import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.node: r.component for r in connected_components(df).collect()}
+    b = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_star_cc_logarithmic_on_deep_chain(spark):
+    """A 512-node path is the adversarial case for label propagation
+    (O(diameter) rounds); the star algorithm must settle in O(log n)."""
+    from posextract_spark.operators.canonicalize import connected_components_star
+
+    n = 512
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    labels, rounds = connected_components_star(df, return_rounds=True)
+    comps = {r.node: r.component for r in labels.collect()}
+    assert set(comps.values()) == {0} and len(comps) == n + 1
+    assert rounds <= 12, f"expected O(log n) rounds, took {rounds}"
