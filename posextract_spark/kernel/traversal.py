@@ -77,13 +77,23 @@ def subject_search(token: Token, verb_phrase: bool = False) -> List[SubjectCand]
     return found
 
 
+_OBJ_DEP_TAGS = frozenset({"dobj", "pobj", "acomp"})
+_POA_DEPS = frozenset({"prep", "agent", "det", "nmod"})
+_VERB_DEP_TAGS = frozenset(
+    {"ccomp", "relcl", "xcomp", "acl", "advcl", "pcomp", "csubj", "csubjpass", "conj"}
+)
+
+
 def object_search(token: Token) -> List[ObjectCand]:
     """Worklist DFS over children only (reference: traversal.py:131-158).
-    Prunes VERB/AUX-pos children (153-155)."""
+    Prunes VERB/AUX-pos children (153-155). The object test is
+    classifiers.is_object inlined — this is the kernel's hottest loop."""
     found: List[ObjectCand] = []
     visited = set()
     considering = [token]
-    children_of = token._sent._children
+    sent = token._sent
+    children_of = sent._children
+    tokens = sent.tokens
 
     while considering:
         candidate = considering.pop()
@@ -92,10 +102,18 @@ def object_search(token: Token) -> List[ObjectCand]:
             continue
         visited.add(ci)
 
-        if is_object(candidate):
+        dep = candidate.dep
+        pos = candidate.pos
+        if (
+            dep in _OBJ_DEP_TAGS
+            or (pos == "NOUN" and (dep == "amod" or dep == "attr"))
+            or (pos == "PROPN" and dep == "attr")
+            or (pos == "ADV" and dep == "advmod")
+            or (pos == "PRON" and dep == "dative")
+        ):
             obj_negdet = get_object_neg(candidate)
-            head = candidate.head
-            poa = head if is_poa(head) else None
+            head = tokens[candidate.head_i]
+            poa = head if head.dep in _POA_DEPS else None
             poa_neg = get_poa_neg(poa) if poa is not None else None
             found.append((poa_neg, poa, obj_negdet, candidate))
 
@@ -133,14 +151,27 @@ def _dedup_sorted_objects(objects: List[ObjectCand]) -> List[ObjectCand]:
     return out
 
 
+# rule tag strings precomputed once (not per emitted triple)
+_RULES = tuple((f, " <%s>" % f.__name__) for f in RULE_FUNCS)
+
+
 def visit_verb(
     verb: TokenLike,
     parent_subjects: List[SubjectCand],
     parent_objects: List[ObjectCand],
-) -> Iterator[TripleExtraction]:
+    out: Optional[List[TripleExtraction]] = None,
+) -> List[TripleExtraction]:
     """reference: traversal.py:30-84 — cross product subjects x objects,
-    rules 1-12 first-match-wins, then recurse into children."""
-    if isinstance(verb, VerbPhrase):
+    rules 1-12 first-match-wins, then recurse into children.
+
+    Appends to (and returns) ``out`` in the reference's emission order.
+    Accumulator-passing instead of nested generators: `yield from` chains
+    pay per-item frame delegation down the whole recursion stack (profiled
+    at ~14x call amplification on web-text trees)."""
+    if out is None:
+        out = []
+    is_vp = isinstance(verb, VerbPhrase)
+    if is_vp:
         subjects = subject_search(verb.subject_search_root, verb_phrase=True)
         objects = object_search(verb.object_search_root) + parent_objects
     else:
@@ -151,37 +182,53 @@ def visit_verb(
     objects = _dedup_sorted_objects(objects)
 
     neg_adverb, neg_adverb_part = get_verb_neg(verb)
+    append = out.append
 
     for subject_negdet, subject in subjects:
         for poa_neg, poa, obj_negdet, obj in objects:
-            for rule in RULE_FUNCS:
+            for rule, tag in _RULES:
                 if rule(verb, subject, obj, poa):
-                    yield TripleExtraction(
-                        subject_negdet=subject_negdet,
-                        subject=subject,
-                        neg_adverb=neg_adverb,
-                        neg_adverb_part=neg_adverb_part,
-                        verb=verb,
-                        poa_neg=poa_neg,
-                        poa=poa,
-                        object_negdet=obj_negdet,
-                        object=obj,
-                        rule=" <%s>" % rule.__name__,
-                        verb_phrase=isinstance(verb, VerbPhrase),
+                    append(
+                        TripleExtraction(
+                            subject_negdet=subject_negdet,
+                            subject=subject,
+                            neg_adverb=neg_adverb,
+                            neg_adverb_part=neg_adverb_part,
+                            verb=verb,
+                            poa_neg=poa_neg,
+                            poa=poa,
+                            object_negdet=obj_negdet,
+                            object=obj,
+                            rule=tag,
+                            verb_phrase=is_vp,
+                        )
                     )
                     break
 
-    yield from visit_token(verb, parent_subjects=subjects)
+    visit_token(verb, subjects, out)
+    return out
 
 
-def visit_token(token: TokenLike, parent_subjects: List[SubjectCand]) -> Iterator[TripleExtraction]:
+def visit_token(
+    token: TokenLike,
+    parent_subjects: List[SubjectCand],
+    out: Optional[List[TripleExtraction]] = None,
+) -> List[TripleExtraction]:
     """reference: traversal.py:87-93 — child verbs restart with empty
     inherited context."""
+    if out is None:
+        out = []
+    # classifiers.is_verb inlined (kept in sync with util.py:73-80 parity;
+    # pinned by the differential) — this runs once per token in the tree.
     for child in token.children:
-        if is_verb(child):
-            yield from visit_verb(child, parent_subjects=[], parent_objects=[])
+        dep = child.dep
+        if dep == "ROOT" or (
+            dep in _VERB_DEP_TAGS and not (dep == "conj" and child.pos == "PROPN")
+        ):
+            visit_verb(child, [], [], out)
         else:
-            yield from visit_token(child, [])
+            visit_token(child, [], out)
+    return out
 
 
 def graph_tokens(sent: Sentence) -> List[TripleExtraction]:
@@ -195,11 +242,12 @@ def graph_tokens(sent: Sentence) -> List[TripleExtraction]:
     if root_verb is None:
         return []
 
-    extractions = list(visit_verb(root_verb, [], []))
+    extractions: List[TripleExtraction] = []
+    visit_verb(root_verb, [], [], extractions)
 
     for vp in find_verb_phrases(sent):
         if not should_consider_verb_phrase(vp):
             continue
-        extractions.extend(visit_verb(vp, [], []))
+        visit_verb(vp, [], [], extractions)
 
     return extractions
