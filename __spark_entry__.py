@@ -130,6 +130,14 @@ def q_minhash_band_pairs(spark, sf_dir):
     return minhash_band_pairs(_docs(spark, sf_dir))
 
 
+def q_minhash_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dup dedup: LSH pairs -> connected components ->
+    survivor per cluster (oracle: recursive-CTE transitive closure)."""
+    from posextract_spark.operators.dedup import minhash_dedup_survivors
+
+    return minhash_dedup_survivors(_docs(spark, sf_dir))
+
+
 def q_simhash(spark, sf_dir):
     from posextract_spark.operators.dedup import simhash
 
@@ -435,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
+        "minhash_dedup_survivors": q_minhash_dedup_survivors,
         "simhash": q_simhash,
         "ngram_jaccard_stats": q_ngram_jaccard_stats,
         "cosine_topk": q_cosine_topk,
@@ -468,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
     from posextract_spark.operators.dedup import (
         EXACT_DEDUP_SQL,
         MINHASH_BAND_PAIRS_SQL,
+        MINHASH_DEDUP_SURVIVORS_SQL,
         MINHASH_SIGNATURES_SQL,
         NGRAM_JACCARD_STATS_SQL,
         SIMHASH_SQL,
@@ -522,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_signatures": MINHASH_SIGNATURES_SQL,
         "minhash_band_pairs": MINHASH_BAND_PAIRS_SQL,
+        "minhash_dedup_survivors": MINHASH_DEDUP_SURVIVORS_SQL,
         "simhash": SIMHASH_SQL,
         "ngram_jaccard_stats": NGRAM_JACCARD_STATS_SQL,
         "cosine_topk": cosine_topk_sql(k=10),

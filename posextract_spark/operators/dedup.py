@@ -140,6 +140,41 @@ def minhash_band_pairs(
     return pairs
 
 
+def minhash_dedup_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_seeds: int = MINHASH_SEEDS,
+    band_size: int = 2,
+) -> DataFrame:
+    """End-to-end near-duplicate deduplication — what a 100 TB training-data
+    pipeline actually runs: LSH candidate pairs (bucketed equijoin, never
+    all-pairs) -> connected components over the pair graph (O(log n)
+    large-star/small-star rounds) -> per-cluster survivor = smallest doc id.
+
+    Output: (doc_id, cluster_id, is_survivor 0/1). Downstream keeps
+    ``is_survivor = 1`` rows; cluster_id gives full dedup lineage. Documents
+    with no near-dup candidates are their own singleton cluster (left join +
+    coalesce, no shuffle beyond the CC rounds)."""
+    from posextract_spark.operators.canonicalize import connected_components_star
+
+    pairs = minhash_band_pairs(df, text_col, id_col, n_seeds, band_size)
+    comps = connected_components_star(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_survivor", (F.col(id_col) == F.col("cluster_id")).cast("int")
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """16-bit SimHash over the word multiset: bit j is set iff
     sum over word instances of (+1 if bit j of hash(word) else -1) > 0.
@@ -247,8 +282,7 @@ SELECT id_a AS doc_id, count(*) AS n_candidates, max(shared) AS max_shared
 FROM overl GROUP BY id_a
 """
 
-MINHASH_BAND_PAIRS_SQL = f"""
-WITH sh AS (
+_BAND_PAIRS_CTES = f"""sh AS (
   SELECT doc_id, {_H.format(x='shingle')} AS h
   FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
 ),
@@ -263,9 +297,33 @@ keys AS (
   SELECT doc_id, (seed // 2) AS band,
          {_H.format(x="array_to_string(list_transform(list_sort(list({'s': seed, 'm': minhash})), r -> r.m::VARCHAR), ',')")} AS band_key
   FROM sig GROUP BY doc_id, (seed // 2)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
+
+MINHASH_BAND_PAIRS_SQL = (
+    "WITH " + _BAND_PAIRS_CTES + "\nSELECT id_a, id_b, n_bands FROM pairs"
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
-FROM keys a JOIN keys b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
+
+# Survivor selection: transitive closure of the candidate-pair graph as a
+# recursive CTE (exact fixpoint, algorithm-independent — mirrors whatever
+# CC implementation the Spark side uses), cluster id = min reachable doc.
+MINHASH_DEDUP_SURVIVORS_SQL = (
+    "WITH RECURSIVE " + _BAND_PAIRS_CTES + """,
+und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a AND r.a <> u.b
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
+SELECT d.doc_id,
+       CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_survivor
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
+)

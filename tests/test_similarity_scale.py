@@ -78,3 +78,21 @@ def test_kmeans_convergence_properties(spark):
     init_sim = ivf_assign(emb).agg({"sim_e6": "sum"}).head()[0]
     trained_sim = ivf_assign(emb, centroids=c1).agg({"sim_e6": "sum"}).head()[0]
     assert trained_sim >= init_sim
+
+
+def test_minhash_dedup_survivors_clusters(spark):
+    """Exact duplicates must share a cluster with exactly one survivor (the
+    min id); unique docs are their own singleton survivor."""
+    from posextract_spark.operators.dedup import minhash_dedup_survivors
+
+    rows = (
+        [(i, "the quick brown fox jumps over the lazy dog wearing hats") for i in range(5)]
+        + [(i, "merge sort beats bubble sort on large random integer arrays") for i in range(10, 13)]
+        + [(20, "completely unrelated singleton text about spark shuffles here")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.is_survivor) for r in minhash_dedup_survivors(df).collect()}
+    assert len(out) == 9
+    assert all(out[i] == (0, 1 if i == 0 else 0) for i in range(5))
+    assert all(out[i] == (10, 1 if i == 10 else 0) for i in range(10, 13))
+    assert out[20] == (20, 1)
