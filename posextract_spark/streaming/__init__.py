@@ -6,4 +6,7 @@ so a pages *stream* (e.g. a WARC firehose landing in object storage) can
 reuse the identical batch stages unchanged via foreachBatch.
 """
 
-from posextract_spark.streaming.pipeline import stream_pages_to_triples  # noqa: F401
+from posextract_spark.streaming.pipeline import (  # noqa: F401
+    stream_pages_to_triples,
+    streaming_edge_weights,
+)

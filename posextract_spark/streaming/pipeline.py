@@ -56,3 +56,54 @@ def stream_pages_to_triples(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_edge_weights(
+    spark: SparkSession,
+    source_dir: str,
+    provider: str = "template",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """NATIVE stateful streaming aggregation (not foreachBatch): pages
+    stream -> fused extraction UDF -> event-time-windowed edge weights.
+
+    Returns the unstarted streaming DataFrame
+    (window, subject, verb, object, weight); the caller picks sink and
+    output mode. The watermark on ``warc_ts`` bounds aggregation state —
+    windows older than (max event time - watermark) are finalized and
+    evicted, so state size is O(active windows x distinct edges), not
+    O(stream length); late pages beyond the watermark are dropped (append
+    mode) by Spark's standard semantics. ``withWatermark`` is applied to
+    the post-UDF frame: mapInPandas is a stateless streaming operator and
+    the event-time column passes through it as data.
+    """
+    from posextract_spark.operators.sentences import split_sentences
+    from posextract_spark.operators.triples import extract_triples
+
+    pages_schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(pages_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+        .filter(F.col("lang") == "en")
+    )
+    sents = split_sentences(
+        stream.select("url", "warc_ts", "text"), text_col="text", remove_quotes=False
+    )
+    triples = extract_triples(
+        sents,
+        text_col="sentence",
+        id_cols=["url", "warc_ts", "sent_pos"],
+        provider=provider,
+    )
+    return (
+        triples.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window_duration).alias("window"),
+            "subject",
+            "verb",
+            "object",
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

@@ -27,3 +27,58 @@ def test_stream_matches_batch(spark, tmp_path):
     q2 = stream_pages_to_triples(spark, src, ckpt, out, provider="template")
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(a)
+
+
+def test_streaming_windowed_edge_weights(spark, tmp_path):
+    """Native stateful agg: watermarked event-time windows over the triple
+    stream must (a) run as a real streaming state operator and (b) agree
+    with the equivalent batch aggregation on a bounded source."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.sentences import split_sentences
+    from posextract_spark.operators.triples import extract_triples
+    from posextract_spark.streaming import streaming_edge_weights
+
+    src = str(tmp_path / "pages_src")
+    generate_pages(spark, 40, seed=9, n_partitions=2).write.parquet(src)
+
+    agg = streaming_edge_weights(spark, src, window_duration="10 seconds")
+    sink = f"edge_weights_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    progress = q.lastProgress
+    assert progress["stateOperators"], "expected a stateful streaming aggregation"
+
+    got = sorted(
+        (r.window.start.isoformat(), r.subject, r.verb, r.object, r.weight)
+        for r in spark.table(sink).collect()
+    )
+
+    pages = spark.read.parquet(src).filter(F.col("lang") == "en")
+    sents = split_sentences(
+        pages.select("url", "warc_ts", "text"), text_col="text", remove_quotes=False
+    )
+    batch = (
+        extract_triples(
+            sents, text_col="sentence", id_cols=["url", "warc_ts", "sent_pos"],
+            provider="template",
+        )
+        .groupBy(
+            F.window("warc_ts", "10 seconds").alias("window"), "subject", "verb", "object"
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    want = sorted(
+        (r.window.start.isoformat(), r.subject, r.verb, r.object, r.weight)
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
