@@ -58,6 +58,70 @@ def stream_pages_to_triples(
     return writer.start()
 
 
+def streaming_entity_profiles(
+    spark: SparkSession,
+    source_dir: str,
+    provider: str = "template",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a rolling per-entity mention profile (cumulative mention count +
+    subject-role count) maintained in the state store across micro-batches
+    AND across query restarts (state recovers from the checkpoint — the
+    streaming analog of plans/lineage resume).
+
+    This is the API for aggregations Spark's built-in windowed aggs cannot
+    express (arbitrary per-key state transitions); the profile count is
+    deliberately simple so tests can verify exact state recovery. Update
+    output mode: each batch emits one row per entity TOUCHED in that batch,
+    carrying the all-time totals from state.
+    """
+    from posextract_spark.operators.sentences import split_sentences
+    from posextract_spark.operators.triples import extract_triples
+
+    pages_schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(pages_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+        .filter(F.col("lang") == "en")
+    )
+    sents = split_sentences(
+        stream.select("url", "text"), text_col="text", remove_quotes=False
+    )
+    triples = extract_triples(
+        sents, text_col="sentence", id_cols=["url", "sent_pos"], provider=provider
+    )
+    mentions = triples.select(
+        F.lower(F.trim(F.col("subject"))).alias("surface_norm"),
+        F.lit(1).alias("is_subject"),
+    ).unionAll(
+        triples.select(
+            F.lower(F.trim(F.col("object"))).alias("surface_norm"),
+            F.lit(0).alias("is_subject"),
+        )
+    )
+
+    def update_profile(key, pdfs, state):
+        import pandas as pd
+
+        n, n_subj = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            n_subj += int(pdf["is_subject"].sum())
+        state.update((n, n_subj))
+        yield pd.DataFrame(
+            {"surface_norm": [key[0]], "n_mentions": [n], "n_subject_mentions": [n_subj]}
+        )
+
+    return mentions.groupBy("surface_norm").applyInPandasWithState(
+        update_profile,
+        outputStructType="surface_norm string, n_mentions long, n_subject_mentions long",
+        stateStructType="n long, n_subj long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def streaming_edge_weights(
     spark: SparkSession,
     source_dir: str,

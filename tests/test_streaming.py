@@ -82,3 +82,64 @@ def test_streaming_windowed_edge_weights(spark, tmp_path):
         for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stateful_entity_profiles_recover_across_restart(spark, tmp_path):
+    """applyInPandasWithState: per-entity totals accumulate in the state
+    store and RECOVER from the checkpoint on restart — run 1 processes file
+    batch A, run 2 (same checkpoint) processes only batch B but must emit
+    all-time totals for entities it touches."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from posextract_spark.streaming import streaming_entity_profiles
+
+    src = str(tmp_path / "pages_src")
+    ckpt = str(tmp_path / "ckpt")
+    generate_pages(spark, 30, seed=4, n_partitions=1).write.mode("append").parquet(src)
+
+    def run_once():
+        # memory sink refuses checkpoint recovery; foreachBatch is the
+        # fault-tolerant sink shape (same as the production pipeline)
+        out = str(tmp_path / f"profiles_{uuid.uuid4().hex[:8]}")
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_entity_profiles(spark, src)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r.surface_norm: (r.n_mentions, r.n_subject_mentions)
+                for r in spark.read.parquet(out).collect()}
+
+    first = run_once()
+    assert first and all(v[0] >= v[1] for v in first.values())
+
+    # batch B: new pages only; totals for re-touched entities must include A
+    generate_pages(spark, 30, seed=77, n_partitions=1).write.mode("append").parquet(src)
+    second = run_once()
+    assert second
+
+    # ground truth: batch pipeline over BOTH files
+    from posextract_spark.pipeline import pages_to_triples
+
+    t = pages_to_triples(spark.read.parquet(src), provider="template")
+    men = t.select(F.lower(F.trim("subject")).alias("s"), F.lit(1).alias("i")).unionAll(
+        t.select(F.lower(F.trim("object")).alias("s"), F.lit(0).alias("i"))
+    )
+    truth = {
+        r.s: (r.n, r.ns)
+        for r in men.groupBy("s").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("i").alias("ns")
+        ).collect()
+    }
+    for surface, totals in second.items():
+        assert totals == truth[surface], surface
+    assert len(second) > 0
