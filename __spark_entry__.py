@@ -318,6 +318,21 @@ def q_entity_link(spark, sf_dir):
     )
 
 
+def q_entity_link_scored(spark, sf_dir):
+    """Fuzzy mention-detect + link-score: distinct triple surfaces resolved
+    against the broadcast alias dictionary by prefix blocking + bigram
+    Jaccard, best candidate per surface, threshold fallback. Pure native
+    Columns — the scorer is fully codegen'd, zero Python."""
+    from posextract_spark.operators.linking import resolve_surfaces_scored
+
+    t = q_svo_triples(spark, sf_dir)
+    surfaces = t.select(F.col("subject").alias("surface_norm")).unionAll(
+        t.select(F.col("object").alias("surface_norm"))
+    )
+    alias_df = spark.createDataFrame(_ALIAS_ROWS, "surface_norm string, canonical string")
+    return resolve_surfaces_scored(surfaces, alias_df)
+
+
 def q_connected_components(spark, sf_dir):
     """Iterative min-label CC over a star graph (nation -> region anchor);
     the oracle computes the closed form, verifying convergence exactly."""
@@ -460,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
         "entity_link": q_entity_link,
+        "entity_link_scored": q_entity_link_scored,
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
         "kg_pages_pipeline": q_kg_pages_pipeline,
@@ -573,6 +589,36 @@ def oracle_sql() -> dict[str, str]:
             "max(CASE WHEN a.canonical IS NOT NULL THEN 1 ELSE 0 END) AS any_linked "
             "FROM mentions m LEFT JOIN aliases a ON lower(trim(m.surface)) = a.surface_norm "
             "GROUP BY 1"
+        ),
+        "entity_link_scored": SVO_TRIPLES_CTE
+        + (
+            ", mentions AS (SELECT subject AS surface FROM svo_triples "
+            "UNION ALL SELECT object FROM svo_triples), "
+            "aliases(surface_norm, canonical) AS (VALUES "
+            + ", ".join(f"('{s}', '{c}')" for s, c in _ALIAS_ROWS)
+            + "), "
+            "surfaces AS (SELECT DISTINCT lower(trim(surface)) AS surface_norm FROM mentions), "
+            "sb AS (SELECT surface_norm, substring(surface_norm, 1, 2) AS pfx, "
+            "  list_distinct(list_transform(generate_series(1, greatest(len(surface_norm)-1, 0)), "
+            "    i -> substring(surface_norm, i, 2))) AS bg FROM surfaces), "
+            "ab AS (SELECT substring(surface_norm, 1, 2) AS pfx, "
+            "  list_distinct(list_transform(generate_series(1, greatest(len(surface_norm)-1, 0)), "
+            "    i -> substring(surface_norm, i, 2))) AS abg, canonical AS cand FROM aliases), "
+            "scored AS (SELECT s.surface_norm, a.cand, "
+            "  CASE WHEN a.abg IS NULL THEN 0 "
+            "       WHEN (len(s.bg) + len(a.abg) - len(list_filter(s.bg, x -> list_contains(a.abg, x)))) > 0 "
+            "       THEN CAST(floor(len(list_filter(s.bg, x -> list_contains(a.abg, x)))::DOUBLE "
+            "            / (len(s.bg) + len(a.abg) - len(list_filter(s.bg, x -> list_contains(a.abg, x)))) "
+            "            * 1000000.0) AS BIGINT) ELSE 0 END AS score "
+            "  FROM sb s LEFT JOIN ab a ON s.pfx = a.pfx), "
+            "best AS (SELECT surface_norm, cand, score FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY surface_norm "
+            "    ORDER BY score DESC, cand DESC) AS rn FROM scored) WHERE rn = 1) "
+            "SELECT surface_norm, "
+            "  CASE WHEN score >= 300000 THEN cand ELSE surface_norm END AS canonical, "
+            "  CAST(CASE WHEN score >= 300000 THEN score ELSE 0 END AS BIGINT) AS score_e6, "
+            "  CAST(CASE WHEN score >= 300000 THEN 1 ELSE 0 END AS INT) AS linked "
+            "FROM best"
         ),
         "connected_components": (
             "WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn "

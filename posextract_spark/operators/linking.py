@@ -32,6 +32,76 @@ def mentions_from_triples(triples: DataFrame, id_cols=("url", "sent_id")) -> Dat
     return subj.unionAll(obj)
 
 
+def char_bigrams(col):
+    """Distinct character 2-grams of the normalized surface — the linking
+    similarity's feature set. Native Columns (codegen), no Python."""
+    s = normalize_surface(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substr(s, i, F.lit(2))))
+
+
+def bigram_jaccard_e6(a, b):
+    """floor(Jaccard(a, b) * 1e6) over distinct bigram arrays — integer set
+    sizes, so the fixed-point value is engine-exact."""
+    inter = F.size(F.filter(a, lambda x: F.array_contains(b, x)))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, F.floor(inter / union * F.lit(1000000.0)).cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+
+
+def resolve_surfaces_scored(
+    surfaces: DataFrame,
+    alias_df: DataFrame,
+    surface_col: str = "surface_norm",
+    min_score_e6: int = 300000,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Fuzzy mention-detect + link-score (north_star: 'batched
+    mention-detect + link-score UDFs'), expressed as native Columns so
+    Catalyst codegens the whole scorer — no Python crossing at all.
+
+    Scale shape: score DISTINCT surfaces (the dictionary-resolution trick —
+    mention traffic is huge but distinct surfaces are small), blocking on a
+    normalized prefix against the BROADCAST alias dictionary, then pick the
+    best candidate per surface with max(struct(score, canonical)) — a
+    map-side-combinable agg, no window. Callers broadcast the resolved
+    (surface -> entity) table back onto full mention traffic.
+
+    Output: (surface_norm, canonical, score_e6, linked) — one row per input
+    surface; below-threshold surfaces fall back to themselves (linked=false),
+    exact alias hits score 1e6 by construction.
+    """
+    s = surfaces.select(
+        normalize_surface(F.col(surface_col)).alias("surface_norm")
+    ).distinct()
+    s = s.withColumn("_pfx", F.substring("surface_norm", 1, prefix_len)).withColumn(
+        "_bg", char_bigrams(F.col("surface_norm"))
+    )
+    a = alias_df.select(
+        F.substring("surface_norm", 1, prefix_len).alias("_pfx"),
+        char_bigrams(F.col("surface_norm")).alias("_abg"),
+        F.col("canonical").alias("_cand"),
+    )
+    scored = s.join(F.broadcast(a), "_pfx", "left").withColumn(
+        "_score", bigram_jaccard_e6(F.col("_bg"), F.col("_abg"))
+    )
+    best = scored.groupBy("surface_norm").agg(
+        F.max(F.struct(F.col("_score").alias("s"), F.col("_cand").alias("c"))).alias("_b")
+    )
+    return best.select(
+        "surface_norm",
+        F.when(
+            F.col("_b.s") >= min_score_e6, F.col("_b.c")
+        ).otherwise(F.col("surface_norm")).alias("canonical"),
+        F.when(F.col("_b.s") >= min_score_e6, F.col("_b.s"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("score_e6"),
+        (F.col("_b.s") >= min_score_e6).cast("int").alias("linked"),
+    )
+
+
 def link_entities(
     mentions: DataFrame,
     alias_df: DataFrame,

@@ -171,3 +171,29 @@ def test_star_cc_logarithmic_on_deep_chain(spark):
     comps = {r.node: r.component for r in labels.collect()}
     assert set(comps.values()) == {0} and len(comps) == n + 1
     assert rounds <= 12, f"expected O(log n) rounds, took {rounds}"
+
+
+def test_scored_linking_fuzzy_and_codegen(spark):
+    """Bigram-Jaccard resolution links inflected/typo'd surfaces the exact
+    dictionary misses, falls back below threshold, and compiles to pure
+    native Columns (no Python eval in the plan)."""
+    from posextract_spark.operators.linking import resolve_surfaces_scored
+
+    alias_df = spark.createDataFrame(
+        [("customer", "client"), ("column", "field")],
+        "surface_norm string, canonical string",
+    )
+    surfaces = spark.createDataFrame(
+        [("customers",), ("Customer",), ("columns",), ("zebra",), ("cusp",)],
+        "surface_norm string",
+    )
+    out = {r.surface_norm: r for r in resolve_surfaces_scored(surfaces, alias_df).collect()}
+    assert out["customers"].canonical == "client" and out["customers"].linked == 1
+    assert out["customer"].canonical == "client" and out["customer"].score_e6 == 1000000
+    assert out["columns"].canonical == "field"
+    assert out["zebra"].canonical == "zebra" and out["zebra"].linked == 0
+    assert out["cusp"].canonical == "cusp" and out["cusp"].linked == 0  # shares prefix, low score
+
+    plan = resolve_surfaces_scored(surfaces, alias_df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # scorer is JVM-side
+    assert "BroadcastHashJoin" in plan
