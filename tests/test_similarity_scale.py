@@ -96,3 +96,19 @@ def test_minhash_dedup_survivors_clusters(spark):
     assert all(out[i] == (0, 1 if i == 0 else 0) for i in range(5))
     assert all(out[i] == (10, 1 if i == 10 else 0) for i in range(10, 13))
     assert out[20] == (20, 1)
+
+
+def test_band_join_correct_under_heavy_skew(spark):
+    """Boilerplate-heavy corpus: one band bucket holds every doc. The pair
+    join must stay correct (exact n*(n-1)/2 pairs with all bands colliding)
+    — AQE's skew split changes the physical plan, never the result."""
+    from posextract_spark.operators.dedup import MINHASH_SEEDS, minhash_band_pairs
+
+    n = 120
+    df = spark.createDataFrame(
+        [(i, "identical boilerplate navigation footer text repeated on every page") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_band_pairs(df).collect()
+    assert len(pairs) == n * (n - 1) // 2
+    assert all(p.n_bands == MINHASH_SEEDS // 2 for p in pairs)
