@@ -371,6 +371,17 @@ def kmeans_centroids(
     return cents
 
 
+def _fixed_sim_e6(a, b) -> int:
+    """Driver-side floored fixed-point cosine with the engines' sequential
+    float64 evaluation order (used to rank probe centroids)."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    import math
+
+    return math.floor(dot / (_seq_norm(a) * _seq_norm(b)) * 1000000.0)
+
+
 def _seq_norm(vec) -> float:
     """sqrt of the left-to-right float64 sum of squares — the exact value
     both Spark's F.aggregate and DuckDB's list_aggregate('sum') produce."""
@@ -388,14 +399,32 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search, nprobe=1: rank only the query-centroid's inverted list.
-    The scale path vs brute force: the scan touches ~1/n_centroids of the
-    data (in storage terms: the inverted lists are bucket partitions and
-    the probe is partition pruning)."""
+    """IVF search: rank only the ``nprobe`` inverted lists nearest the
+    query. The scale path vs brute force: the scan touches
+    ~nprobe/n_centroids of the data (in storage terms: the inverted lists
+    are bucket partitions and the probe is partition pruning). nprobe
+    trades scan fraction for recall; nprobe == n_centroids degenerates to
+    exact brute force (pinned by tests)."""
     assign = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
-    # the query is vec_id 0's embedding => its centroid is its assignment
-    qc = assign.filter(F.col(id_col) == 0).select("centroid_id")
+    # the query is vec_id 0's embedding => probe its centroid, then the
+    # next-closest centroids of ITS OWN assignment ranking when nprobe > 1
+    if nprobe <= 1:
+        qc = assign.filter(F.col(id_col) == 0).select("centroid_id")
+    else:
+        cents = centroids if centroids is not None else _centroid_literals(
+            df, n_centroids, id_col, vec_col
+        )
+        qrow = df.filter(F.col(id_col) == 0).select(vec_col).head()
+        qv = [float(x) for x in qrow[0]]
+        ranked = sorted(
+            cents,
+            key=lambda cv: (-_fixed_sim_e6(qv, cv[1]), cv[0]),
+        )[:nprobe]
+        qc = df.sparkSession.createDataFrame(
+            [(cid,) for cid, _ in ranked], "centroid_id int"
+        )
     probe = assign.join(F.broadcast(qc), "centroid_id").select(id_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))

@@ -45,6 +45,18 @@ TOKEN_STRUCT = StructType(
 )
 
 
+def repartition_by_hash(
+    df: DataFrame, col: str = "url", n_partitions: Optional[int] = None
+) -> DataFrame:
+    """Explicit url-hash repartition (north_rule skew seam): call before
+    extract_triples when upstream partitions are skewed — e.g. a scan whose
+    input files cluster oversized pages. Hash partitioning spreads the KEYS
+    uniformly; pair it with split_sentences' max_sentence_chars cap, which
+    bounds the per-ROW work an oversized page can demand."""
+    n = n_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.xxhash64(F.col(col)))
+
+
 def extract_triples(
     df: DataFrame,
     text_col: str = "text",

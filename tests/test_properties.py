@@ -70,3 +70,26 @@ def test_oversized_sentence_dropped(spark):
     assert "Acme formally acquired Zorin today." in out
     assert "Bolt bought mines and sold bonds." in out
     assert all(len(s) <= 8192 + 1 for s in out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_star_equals_label_propagation(spark, edge_list):
+    """Property: on ANY graph shape hypothesis produces (self-loops, multi
+    components, cycles, stars, chains), large-star/small-star and min-label
+    propagation compute the identical component map."""
+    from posextract_spark.operators.canonicalize import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    a = {r.node: r.component for r in connected_components(df).collect()}
+    b = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert a == b

@@ -112,3 +112,39 @@ def test_band_join_correct_under_heavy_skew(spark):
     pairs = minhash_band_pairs(df).collect()
     assert len(pairs) == n * (n - 1) // 2
     assert all(p.n_bands == MINHASH_SEEDS // 2 for p in pairs)
+
+
+def test_ivf_nprobe_recall_and_degeneration(spark):
+    """nprobe widens the probe: results stay a subset-consistent ranking,
+    and nprobe == n_centroids must equal exact brute force."""
+    from posextract_spark.operators.similarity import cosine_topk, ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()[1]]
+    cents = kmeans_centroids(emb, n_iter=2)
+
+    brute = [tuple(r) for r in cosine_topk(emb, qv, k=10).collect()]
+    full_probe = [tuple(r) for r in ivf_topk(emb, qv, k=10, centroids=cents, nprobe=8).collect()]
+    assert full_probe == brute
+
+    one = {r[0] for r in ivf_topk(emb, qv, k=10, centroids=cents, nprobe=1).collect()}
+    four = [tuple(r) for r in ivf_topk(emb, qv, k=10, centroids=cents, nprobe=4).collect()]
+    # recall is monotone: the wider probe's hits overlap brute force at
+    # least as much as the narrow probe's
+    brute_ids = {b[0] for b in brute}
+    assert len({f[0] for f in four} & brute_ids) >= len(one & brute_ids)
+
+
+def test_repartition_by_hash_colocates(spark):
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.triples import repartition_by_hash
+
+    df = spark.createDataFrame(
+        [(f"https://x.test/{i % 7}", i) for i in range(200)], "url string, n long"
+    )
+    out = repartition_by_hash(df, "url", n_partitions=8)
+    assert out.rdd.getNumPartitions() == 8
+    parts = out.select("url", F.spark_partition_id().alias("p")).distinct()
+    # each url lands in exactly one partition (co-location for bucketing)
+    assert parts.groupBy("url").count().filter("count > 1").count() == 0
