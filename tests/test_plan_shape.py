@@ -57,3 +57,31 @@ def test_ivf_assign_no_shuffle(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode either
     assert "Window" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must merge-join with ZERO
+    Exchange — the write-time shuffle pays for every later join. (Sort
+    nodes may remain: sortBy order is only usable when each bucket is a
+    single file, which parallel writers don't guarantee.)"""
+    from posextract_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    left = docs.select("doc_id", "text")
+    right = docs.select("doc_id", "lang")
+    write_bucketed(left, "bkt_left", "doc_id", 8, sort_col="doc_id",
+                   path=str(tmp_path / "l"))
+    write_bucketed(right, "bkt_right", "doc_id", 8, sort_col="doc_id",
+                   path=str(tmp_path / "r"))
+    try:
+        a = read_bucketed(spark, "bkt_left").hint("merge")
+        b = read_bucketed(spark, "bkt_right")
+        joined = a.join(b, "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "SelectedBucketsCount" in plan  # bucketed scan, not plain files
+        assert joined.count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
