@@ -11,13 +11,10 @@ first-wins dedup could differ, and those duplicates agree on (s, v, o)).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 from posextract_spark.kernel.classifiers import (
-    is_object,
-    is_poa,
     is_root,
-    is_verb,
     should_consider_verb_phrase,
 )
 from posextract_spark.kernel.model import Sentence, Token, TokenLike, VerbPhrase

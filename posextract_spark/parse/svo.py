@@ -43,14 +43,15 @@ VERB_WORDS = frozenset(
 )
 
 
+_POS_MAP = (
+    {w: "DET" for w in DET_WORDS}
+    | {w: "ADJ" for w in ADJ_WORDS}
+    | {w: "VERB" for w in VERB_WORDS}
+)
+
+
 def classify(word: str) -> str:
-    if word in DET_WORDS:
-        return "DET"
-    if word in ADJ_WORDS:
-        return "ADJ"
-    if word in VERB_WORDS:
-        return "VERB"
-    return "NOUN"
+    return _POS_MAP.get(word, "NOUN")
 
 
 class SVOChunkParser(ParseProvider):
@@ -59,7 +60,8 @@ class SVOChunkParser(ParseProvider):
     def parse_one(self, text: str) -> Sentence:
         words = [w for w in text.split(" ") if w]
         n = len(words)
-        pos = [classify(w) for w in words]
+        get_pos = _POS_MAP.get
+        pos = [get_pos(w, "NOUN") for w in words]
         head = [None] * n  # type: List[Optional[int]]
         dep = [None] * n  # type: List[Optional[str]]
 
