@@ -56,25 +56,28 @@ def adj_noun_pairs_one(
 def subj_verb_pairs_one(
     sent: Sentence, lemmatize: bool = False, letter_case: str = "default"
 ) -> List[dict]:
-    """(subject, verb_neg, verb) per VERB-pos token (reference:
-    subj_verb_pairs.py:49-81).
+    """(subject, verb_neg, verb) per VERB-pos token that has its OWN
+    subject (reference: subj_verb_pairs.py:49-81).
 
     Faithfulness notes:
-    - the reference's ``subject`` variable leaks across loop iterations, so
-      a verb without its own subject inherits the previous verb's subject;
-      reproduced via ``last_subject``.
-    - a verb with no subject and no prior subject raises UnboundLocalError
-      in the reference (SURVEY.md §0.1.3); we define that case as
-      skip-emit-nothing, the only behavior consistent with intent.
+    - the reference's ``subject`` variable does leak across loop iterations
+      (subj_verb_pairs.py:49-59), but it is stringified at the END of every
+      emitting iteration (``subject = subject.text``, :68-72), so a verb
+      that would inherit a carried-over subject crashes on ``str.text``
+      (AttributeError); a verb with no subject and no prior one crashes
+      with UnboundLocalError (SURVEY.md §0.1.3). Either way the reference
+      NEVER emits a carry-over pair — proven by the pairs differential
+      (tools/differential.py), which runs the actual reference code. We
+      define both crash classes as skip-this-verb, the only output-defined
+      behavior consistent with what the reference can actually produce.
     - the *last* nsubj/nsubjpass child wins (subj_verb_pairs.py:57-59).
     """
     pairs: List[dict] = []
-    last_subject: Optional[Token] = None
     for verb in sent:
         if verb.pos != "VERB":
             continue
 
-        subject = last_subject
+        subject: Optional[Token] = None
         if verb.head.dep in ("nsubj", "nsubjpass"):
             subject = verb.head
         for child in verb.children:
@@ -83,7 +86,6 @@ def subj_verb_pairs_one(
 
         if subject is None:
             continue
-        last_subject = subject
 
         verb_neg_tok, _ = get_verb_neg(verb)
         verb_neg = "" if verb_neg_tok is None else verb_neg_tok.text

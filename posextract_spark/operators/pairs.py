@@ -146,9 +146,12 @@ WHERE a.pos = 'ADJ'
 """
 
 # subj-verb: per VERB token in order; own subject = last NOUN in the gap
-# after the previous verb unless it was that verb's object; the effective
-# subject carries forward across subject-less verbs (the reference's stale
-# local variable, subj_verb_pairs.py:49-59).
+# after the previous verb unless it was that verb's object (that noun is
+# not nsubj-attached by the SVO parser). Verbs without an own subject emit
+# nothing: the reference's stale-subject variable is stringified at the end
+# of each emitting iteration, so a carried-over subject always crashes
+# (AttributeError / UnboundLocalError — see kernel.pairs.subj_verb_pairs_one
+# and the pairs differential).
 SVO_SUBJ_VERB_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(ws) AS word,
@@ -200,15 +203,8 @@ own AS (
   FROM verbs v
   LEFT JOIN subj s ON s.doc_id = v.doc_id AND s.v_idx = v.v_idx
   LEFT JOIN obj o ON o.doc_id = v.doc_id AND o.v_idx = v.v_idx
-),
-eff AS (
-  SELECT doc_id, v_idx, verb,
-    last_value(own_subj_idx IGNORE NULLS) OVER (
-      PARTITION BY doc_id ORDER BY v_idx
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff_subj_idx
-  FROM own
 )
 SELECT e.doc_id, t.word AS subject, '' AS verb_neg, e.verb
-FROM eff e JOIN ctoks t ON t.doc_id = e.doc_id AND t.idx = e.eff_subj_idx
-WHERE e.eff_subj_idx IS NOT NULL
+FROM own e JOIN ctoks t ON t.doc_id = e.doc_id AND t.idx = e.own_subj_idx
+WHERE e.own_subj_idx IS NOT NULL
 """

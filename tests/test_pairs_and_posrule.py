@@ -45,21 +45,23 @@ def test_adj_noun_verb_neg_and_case():
     assert out == [{"verb_neg": "NOT", "neg_det": "", "adjective": "BLACK", "noun": "CATS"}]
 
 
-def test_subj_verb_carryover_quirk():
-    # Second verb with no own subject inherits the previous verb's subject
-    # (the reference's stale local, subj_verb_pairs.py:49-59); a leading
-    # subject-less verb emits nothing (reference would crash).
+def test_subj_verb_own_subject_only():
+    # A verb without its OWN nsubj/nsubjpass emits nothing: the reference's
+    # stale-subject local is stringified at the end of every emitting
+    # iteration (subj_verb_pairs.py:68-72), so a carried-over subject always
+    # crashes (str.text AttributeError; first verb: UnboundLocalError) —
+    # proven by the pairs differential running the actual reference code.
+    # We define both crash classes as skip-this-verb.
     rows = [
         ("Running", "run", "VERB", "ROOT", 0),  # no subject -> skip
         ("dogs", "dog", "NOUN", "nsubj", 2),
         ("bark", "bark", "VERB", "conj", 0),
         ("and", "and", "CCONJ", "cc", 2),
-        ("howl", "howl", "VERB", "conj", 2),  # no own subject -> carries 'dogs'
+        ("howl", "howl", "VERB", "conj", 2),  # no own subject -> ref crashes -> skip
     ]
     out = subj_verb_pairs_one(S(rows))
     assert out == [
         {"subject": "dogs", "verb_neg": "", "verb": "bark"},
-        {"subject": "dogs", "verb_neg": "", "verb": "howl"},
     ]
 
 

@@ -67,7 +67,9 @@ def _load_patched_reference():
     load("posextract.posrule.parser", "posrule/parser.py")
     load("posextract.traversal", "traversal.py")
     gt = load("posextract.grammatical_triples", "grammatical_triples.py", patch=dedent_patch)
-    return gt
+    anp = load("posextract.adj_noun_pairs", "adj_noun_pairs.py")
+    svp = load("posextract.subj_verb_pairs", "subj_verb_pairs.py")
+    return gt, anp, svp
 
 
 def reference_triples(gt, rows, options=None):
@@ -91,8 +93,56 @@ def tokens_of(sent):
     ]
 
 
+def pairs_differential(anp, svp, corpora) -> dict:
+    """Reference adj_noun_pairs.rule / subj_verb_pairs.rule vs our kernel
+    pairs extractors on identical trees — EXACT sequence comparison (same
+    pairs, same emission order, every field). The reference subj-verb rule
+    raises UnboundLocalError when the first verb of a doc has no subject
+    (SURVEY.md §0.1.3; we define crash -> skip); crashing sentences are
+    counted and excluded from the parity stats."""
+    from posextract_spark.kernel.model import Sentence
+    from posextract_spark.kernel.pairs import adj_noun_pairs_one, subj_verb_pairs_one
+
+    out = {}
+    for label, ref_rule, ours_fn, fields in (
+        ("adj_noun_pairs", anp.rule, adj_noun_pairs_one,
+         ("verb_neg", "neg_det", "adjective", "noun")),
+        ("subj_verb_pairs", svp.rule, subj_verb_pairs_one,
+         ("subject", "verb_neg", "verb")),
+    ):
+        exact = total = crashes = 0
+        mism = 0
+        for _, sents in corpora:
+            for rows in sents:
+                ours = [tuple(d[f] for f in fields)
+                        for d in ours_fn(Sentence.from_rows(rows))]
+                try:
+                    ref = [tuple(p) for p in ref_rule(spacy_shim.ShimDoc(rows))]
+                except (UnboundLocalError, AttributeError):
+                    # subj-verb: verb without its own subject -> the
+                    # reference raises (first verb: UnboundLocalError;
+                    # later verbs: str.text AttributeError on the
+                    # stringified stale subject). Defined divergence:
+                    # our kernel skips that verb instead.
+                    crashes += 1
+                    continue
+                total += 1
+                if ref == ours:
+                    exact += 1
+                else:
+                    mism += 1
+        out[label] = {
+            "sentences": total,
+            "exact_sentence_match": f"{exact}/{total}",
+            "mismatches": mism,
+            "reference_crashes_skipped": crashes,
+            "pass": mism == 0,
+        }
+    return out
+
+
 def main() -> int:
-    gt = _load_patched_reference()
+    gt, anp, svp = _load_patched_reference()
 
     # corpus 1: golden fixture sentences (template parses)
     from posextract_spark.parse.template import TemplateParser
@@ -177,9 +227,18 @@ def main() -> int:
         }
         worst = min(worst, precision, recall)
 
-    report["gate"] = {"threshold": 0.95, "worst": round(worst, 4), "pass": worst >= 0.95}
+    pairs_report = pairs_differential(anp, svp, corpora)
+    report.update(pairs_report)
+    pairs_ok = all(v["pass"] for v in pairs_report.values())
+
+    report["gate"] = {
+        "threshold": 0.95,
+        "worst": round(worst, 4),
+        "pairs_exact": pairs_ok,
+        "pass": worst >= 0.95 and pairs_ok,
+    }
     print(json.dumps(report, indent=2))
-    return 0 if worst >= 0.95 else 1
+    return 0 if (worst >= 0.95 and pairs_ok) else 1
 
 
 if __name__ == "__main__":

@@ -85,7 +85,7 @@ sys.path.insert(0, "/root/repo")
 from tools.differential import _load_patched_reference
 from tools import spacy_shim
 payload = json.loads(sys.stdin.read())
-gt = _load_patched_reference()
+gt, _anp, _svp = _load_patched_reference()
 opts = gt.TripleExtractorOptions(**payload["opts"])
 triples = gt.extract_one(spacy_shim.ShimDoc(payload["tree"]), opts, flatten=False)
 keys = sorted(
@@ -120,7 +120,7 @@ def run(n_trees: int = 400, seed: int = 1234) -> dict:
     from posextract_spark.kernel.model import Sentence
     from posextract_spark.options import TripleExtractorOptions
 
-    gt = _load_patched_reference()
+    gt, _anp, _svp = _load_patched_reference()
     rng = random.Random(seed)
 
     stats = Counter()
