@@ -93,3 +93,37 @@ def test_cc_star_equals_label_propagation(spark, edge_list):
     a = {r.node: r.component for r in connected_components(df).collect()}
     b = {r.node: r.component for r in connected_components_star(df).collect()}
     assert a == b
+
+
+def _reference_split_quotes():
+    """Load the reference's pure-python split_quotes through the shim loader.
+    Only safe when no real spaCy is installed (the shim occupies
+    sys.modules['spacy']); with real spaCy present the subprocess-isolated
+    tools/differential.py covers this instead."""
+    try:
+        import spacy as _sp
+
+        if not getattr(_sp, "__shim__", False):
+            return None
+    except ImportError:
+        pass
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.differential import _load_patched_reference
+
+    _load_patched_reference()
+    return sys.modules["posextract.util"].split_quotes
+
+
+_REF_SPLIT_QUOTES = _reference_split_quotes()
+
+
+@given(_TEXT)
+@settings(max_examples=500, deadline=None)
+def test_split_quotes_matches_reference(doc):
+    import pytest as _pytest
+
+    if _REF_SPLIT_QUOTES is None:  # real spaCy present; see docstring
+        _pytest.skip("real spaCy installed; covered by tools/differential.py")
+    assert split_quotes_list(doc) == list(_REF_SPLIT_QUOTES(doc))
