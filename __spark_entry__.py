@@ -112,6 +112,21 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "text_hash", "min_word_hash")
 
 
+def q_clean_text(spark, sf_dir):
+    """Unicode NFC (pandas UDF — Spark has no native normalizer) + control/
+    zero-width strip + space collapse, hash-checked against DuckDB's native
+    nfc_normalize on deterministically dirtied text."""
+    from posextract_spark.operators.textops import DIRT_PREFIX, DIRT_SUFFIX, clean_text
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(DIRT_SUFFIX)))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit(DIRT_PREFIX), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    return clean_text(docs).select("doc_id", "n_chars_raw", "clean_text", "n_chars_clean")
+
+
 def q_exact_dedup(spark, sf_dir):
     from posextract_spark.operators.dedup import exact_dedup_groups
 
@@ -455,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
+        "clean_text": q_clean_text,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -509,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         neardup_bucket_stats_sql,
     )
     from posextract_spark.operators.textops import (
+        CLEAN_TEXT_SQL,
         FINGERPRINT_SQL,
         LANGUAGE_ID_SQL,
         QUALITY_SCORE_SQL,
@@ -545,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": QUALITY_SCORE_SQL,
         "language_id": LANGUAGE_ID_SQL,
         "fingerprint": FINGERPRINT_SQL,
+        "clean_text": CLEAN_TEXT_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_signatures": MINHASH_SIGNATURES_SQL,
         "minhash_band_pairs": MINHASH_BAND_PAIRS_SQL,

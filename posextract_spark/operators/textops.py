@@ -136,3 +136,69 @@ SELECT doc_id,
   list_min(list_transform({_WORDS}, w -> (('0x' || substring(md5(w), 1, 15))::BIGINT))) AS min_word_hash
 FROM documents
 """
+
+
+# --- text cleaning (unicode NFC + control/zero-width strip) ------------------
+
+# deterministic "dirt" the contract query injects so the cleaning oracle is
+# discriminative on the otherwise-clean synthetic corpus: a combining acute
+# (NFC composes e+U+0301 -> U+00E9), a BEL control char, double spaces, and
+# a zero-width space.
+DIRT_SUFFIX = " café \x07zz  end"
+DIRT_PREFIX = "​pad "
+
+_CONTROL_RE = r"[\x00-\x1F\x7F]"
+_ZEROWIDTH_RE = "[​-‏  ﻿]"
+
+
+def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """Standard training-data text cleaning:
+
+    1. Unicode NFC normalization — Spark has NO native normalizer, so this
+       is a legitimate Arrow-batched pandas UDF (unicodedata.normalize over
+       the batch); the DuckDB oracle cross-checks it against DuckDB's
+       native C nfc_normalize;
+    2. control chars (C0 + DEL) -> space, zero-width/bidi chars removed,
+       space runs collapsed, trimmed — native regexp_replace (codegen).
+
+    Adds n_chars_raw / n_chars_clean for downstream quality filters.
+    """
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s):
+        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+    c = nfc(F.col(text_col))
+    c = F.regexp_replace(c, _CONTROL_RE, " ")
+    c = F.regexp_replace(c, _ZEROWIDTH_RE, "")
+    c = F.trim(F.regexp_replace(c, " +", " "))
+    return (
+        df.withColumn("n_chars_raw", F.length(F.col(text_col)))
+        .withColumn(out_col, c)
+        .withColumn("n_chars_clean", F.length(F.col(out_col)))
+    )
+
+
+# NOTE: DuckDB regexp_replace is single-occurrence WITHOUT the 'g' flag
+# (Spark's is always global).
+CLEAN_TEXT_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || '{DIRT_SUFFIX}'
+         WHEN doc_id % 3 = 1 THEN '{DIRT_PREFIX}' || text
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars_raw,
+  trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+       '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+       '[{_ZEROWIDTH_RE[1:-1]}]', '', 'g'),
+       ' +', ' ', 'g')) AS clean_text,
+  length(trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+       '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+       '[{_ZEROWIDTH_RE[1:-1]}]', '', 'g'),
+       ' +', ' ', 'g'))) AS n_chars_clean
+FROM dirty
+"""

@@ -95,3 +95,18 @@ def test_random_sample_api_parity(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert random_sample(docs, n=10).count() == 10
     assert 0 < random_sample(docs, fraction=0.3, seed=1).count() < docs.count()
+
+
+def test_clean_text_nfc_and_strips(spark):
+    from posextract_spark.operators.textops import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "café x"), (2, "a\x07b  c"), (3, "​z​"), (4, "  ok  ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in clean_text(df).collect()}
+    assert out[1].clean_text == "café x"  # NFC composed
+    assert out[1].n_chars_raw == 7 and out[1].n_chars_clean == 6
+    assert out[2].clean_text == "a b c"  # control -> space, runs collapsed
+    assert out[3].clean_text == "z"  # zero-width removed
+    assert out[4].clean_text == "ok"  # trimmed
