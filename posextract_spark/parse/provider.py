@@ -47,6 +47,11 @@ def get_provider(name: str = "auto", **kwargs) -> ParseProvider:
     provider: Optional[ParseProvider] = None
     if name in ("auto", "spacy"):
         try:
+            import spacy as _spacy_probe
+
+            if getattr(_spacy_probe, "__shim__", False):
+                # the differential harness's test shim is not a parser
+                raise ImportError("spacy module is the differential shim")
             from posextract_spark.parse.spacy_provider import SpacyParseProvider
 
             provider = SpacyParseProvider(**kwargs)
