@@ -47,3 +47,37 @@ def test_metrics_and_idempotent_rerun(spark, pages, tmp_path):
     assert m["output_rows"] == run.read_output().count()
     # second call is a no-op
     assert run.run(pages, _stage) == 0
+
+
+def test_two_stage_kg_resume_matches_single_run(spark, pages, tmp_path):
+    """The full KG materialize as TWO chained checkpointed stages — crash in
+    each, resume, and the final edge table must equal the uninterrupted
+    kg_from_pages run. Stage 2 buckets on subject_entity_id so every
+    (src, predicate, dst) group lives wholly inside one bucket (bucketing on
+    raw subject surface would split a canonical's groups and double-count)."""
+    from posextract_spark.operators.graph import build_edges, link_triples
+    from posextract_spark.pipeline import kg_from_pages
+    from posextract_spark.sources.pages import alias_table
+
+    r1 = BucketedRun(spark, str(tmp_path / "kg"), n_buckets=4, stage="triples")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        r1.run(pages, _stage, fail_after=1)
+    assert r1.run(pages, _stage) == 3
+
+    linked = link_triples(r1.read_output(), alias_table(spark)).persist()
+    linked.count()
+    r2 = BucketedRun(spark, str(tmp_path / "kg"), n_buckets=4, stage="edges")
+
+    def edge_stage(part):
+        return build_edges(part, source_col="url")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        r2.run(linked, edge_stage, key_col="subject_entity_id", fail_after=1)
+    assert r2.run(linked, edge_stage, key_col="subject_entity_id") == 3
+
+    cols = ["src", "predicate", "dst", "weight"]
+    got = sorted(map(tuple, r2.read_output().select(*cols).collect()))
+    _, edges = kg_from_pages(pages, alias_table(spark), use_stored_text=True)
+    want = sorted(map(tuple, edges.select(*cols).collect()))
+    assert got == want and len(got) > 0
+    linked.unpersist()
