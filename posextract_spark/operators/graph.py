@@ -81,9 +81,14 @@ def materialize_graph(
     source_col: str = "url",
 ):
     """Full materialize: link -> edges + nodes (optionally written as
-    bucket-partitioned parquet). Returns (nodes_df, edges_df)."""
+    bucket-partitioned parquet). Returns (nodes_df, edges_df).
+
+    Persists the input triples: edges and the (subject UNION object)
+    mention fan-out would otherwise recompute the upstream lineage up to
+    4x (see pipeline.kg_from_pages)."""
     from posextract_spark.operators.linking import link_entities, mentions_from_triples
 
+    triples = triples.persist()
     linked = link_triples(triples, alias_df)
     edges = build_edges(linked, source_col=source_col).withColumn(
         "bucket", F.pmod(F.col("src"), F.lit(n_buckets))

