@@ -294,10 +294,11 @@ def q_kg_edges(spark, sf_dir):
 
 def q_kg_nodes(spark, sf_dir):
     """Node table: canonical surface (lower) + deterministic entity id +
-    mention count, from subject and object mentions."""
+    mention count, from subject and object mentions. Triples persisted:
+    the subject/object union would re-run the extraction UDF per branch."""
     from posextract_spark.functions.hashing import portable_hash64
 
-    t = q_svo_triples(spark, sf_dir)
+    t = q_svo_triples(spark, sf_dir).persist()
     mentions = t.select(F.col("subject").alias("surface")).unionAll(
         t.select(F.col("object").alias("surface"))
     )
@@ -321,7 +322,7 @@ def q_entity_link(spark, sf_dir):
     mentions -> mention counts per canonical entity."""
     from posextract_spark.operators.linking import link_entities
 
-    t = q_svo_triples(spark, sf_dir)
+    t = q_svo_triples(spark, sf_dir).persist()
     mentions = t.select(F.col("subject").alias("surface")).unionAll(
         t.select(F.col("object").alias("surface"))
     )
@@ -340,7 +341,7 @@ def q_entity_link_scored(spark, sf_dir):
     Columns — the scorer is fully codegen'd, zero Python."""
     from posextract_spark.operators.linking import resolve_surfaces_scored
 
-    t = q_svo_triples(spark, sf_dir)
+    t = q_svo_triples(spark, sf_dir).persist()
     surfaces = t.select(F.col("subject").alias("surface_norm")).unionAll(
         t.select(F.col("object").alias("surface_norm"))
     )

@@ -79,16 +79,21 @@ def materialize_graph(
     out_dir: str | None = None,
     n_buckets: int = 16,
     source_col: str = "url",
+    persist: bool = True,
 ):
     """Full materialize: link -> edges + nodes (optionally written as
     bucket-partitioned parquet). Returns (nodes_df, edges_df).
 
-    Persists the input triples: edges and the (subject UNION object)
-    mention fan-out would otherwise recompute the upstream lineage up to
-    4x (see pipeline.kg_from_pages)."""
+    ``persist`` caches the input triples: edges and the (subject UNION
+    object) mention fan-out would otherwise recompute the upstream lineage
+    up to 4x (see pipeline.kg_from_pages). Pass persist=False when the
+    caller already persisted/materialized the triples (re-persisting at a
+    different StorageLevel raises). When out_dir is set the cache is
+    released after both writes."""
     from posextract_spark.operators.linking import link_entities, mentions_from_triples
 
-    triples = triples.persist()
+    if persist:
+        triples = triples.persist()
     linked = link_triples(triples, alias_df)
     edges = build_edges(linked, source_col=source_col).withColumn(
         "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
@@ -100,4 +105,6 @@ def materialize_graph(
     if out_dir:
         edges.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/edges")
         nodes.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/nodes")
+        if persist:
+            triples.unpersist()
     return nodes, edges

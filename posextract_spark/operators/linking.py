@@ -34,10 +34,17 @@ def mentions_from_triples(triples: DataFrame, id_cols=("url", "sent_id")) -> Dat
 
 def char_bigrams(col):
     """Distinct character 2-grams of the normalized surface — the linking
-    similarity's feature set. Native Columns (codegen), no Python."""
+    similarity's feature set. Native Columns (codegen), no Python.
+
+    Guarded for length <= 1: Spark's sequence(1, 0) yields a DESCENDING
+    [1, 0] (default step -1 when start > stop), which would fabricate a
+    bigram where DuckDB's generate_series(1, 0) is empty."""
     s = normalize_surface(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substr(s, i, F.lit(2))))
+    idx = F.sequence(F.lit(1), F.length(s) - 1)
+    grams = F.array_distinct(F.transform(idx, lambda i: F.substr(s, i, F.lit(2))))
+    return F.when(F.length(s) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def bigram_jaccard_e6(a, b):

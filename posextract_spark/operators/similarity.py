@@ -363,7 +363,12 @@ def kmeans_centroids(
         )
         acc: dict = {}
         for r in rows:
-            acc.setdefault(r.centroid_id, {})[r.pos] = math.floor(r.s / r.c) / 1000000.0
+            # float(s)/c, not int-truediv: the mirror computes
+            # CAST(sum AS DOUBLE)/count, and python's exact int division
+            # would diverge from it once a cluster sum exceeds 2^53
+            acc.setdefault(r.centroid_id, {})[r.pos] = (
+                math.floor(float(r.s) / r.c) / 1000000.0
+            )
         cents = [
             (cid, [acc[cid][p] for p in range(len(vec))] if cid in acc else vec)
             for cid, vec in cents
@@ -373,22 +378,30 @@ def kmeans_centroids(
 
 def _fixed_sim_e6(a, b) -> int:
     """Driver-side floored fixed-point cosine with the engines' sequential
-    float64 evaluation order (used to rank probe centroids)."""
+    float64 evaluation order (used to rank probe centroids). Zero-norm
+    vectors rank below every real similarity instead of dividing by zero."""
+    import math
+
     dot = 0.0
     for x, y in zip(a, b):
         dot += float(x) * float(y)
-    import math
-
-    return math.floor(dot / (_seq_norm(a) * _seq_norm(b)) * 1000000.0)
+    denom = _seq_norm(a) * _seq_norm(b)
+    if denom == 0.0:
+        return -2000000
+    return math.floor(dot / denom * 1000000.0)
 
 
 def _seq_norm(vec) -> float:
     """sqrt of the left-to-right float64 sum of squares — the exact value
-    both Spark's F.aggregate and DuckDB's list_aggregate('sum') produce."""
+    both Spark's F.aggregate+F.sqrt and DuckDB's list_aggregate('sum')+sqrt
+    produce. math.sqrt, NOT ``** 0.5``: pow(x, 0.5) is not guaranteed
+    correctly rounded on every libm, while both engines use true IEEE sqrt."""
+    import math
+
     acc = 0.0
     for x in vec:
         acc += float(x) * float(x)
-    return acc ** 0.5
+    return math.sqrt(acc)
 
 
 def ivf_topk(
@@ -417,6 +430,10 @@ def ivf_topk(
             df, n_centroids, id_col, vec_col
         )
         qrow = df.filter(F.col(id_col) == 0).select(vec_col).head()
+        if qrow is None:
+            raise ValueError(
+                f"ivf_topk(nprobe={nprobe}): query vector row ({id_col} == 0) not found"
+            )
         qv = [float(x) for x in qrow[0]]
         ranked = sorted(
             cents,

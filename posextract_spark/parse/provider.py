@@ -47,11 +47,13 @@ def get_provider(name: str = "auto", **kwargs) -> ParseProvider:
     provider: Optional[ParseProvider] = None
     if name in ("auto", "spacy"):
         try:
-            import spacy as _spacy_probe
+            import sys as _sys
 
-            if getattr(_spacy_probe, "__shim__", False):
-                # the differential harness's test shim is not a parser
-                raise ImportError("spacy module is the differential shim")
+            if getattr(_sys.modules.get("spacy"), "__shim__", False):
+                # a test double occupies sys.modules['spacy'] (it satisfies
+                # import but cannot parse) — treat spaCy as absent. Checked
+                # via sys.modules only: no eager import is added.
+                raise ImportError("spacy module is a non-parsing shim")
             from posextract_spark.parse.spacy_provider import SpacyParseProvider
 
             provider = SpacyParseProvider(**kwargs)

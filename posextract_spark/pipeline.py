@@ -88,4 +88,8 @@ def kg_from_pages(
     if out_dir:
         edges.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/edges")
         nodes.write.mode("overwrite").partitionBy("bucket").parquet(f"{out_dir}/nodes")
+        if persist:
+            # both consumers are materialized — release the cache instead of
+            # leaking one MEMORY_AND_DISK block set per call in long sessions
+            triples.unpersist()
     return nodes, edges

@@ -197,3 +197,24 @@ def test_scored_linking_fuzzy_and_codegen(spark):
     plan = resolve_surfaces_scored(surfaces, alias_df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # scorer is JVM-side
     assert "BroadcastHashJoin" in plan
+
+
+def test_char_bigrams_short_surfaces(spark):
+    """len<=1 surfaces must produce ZERO bigrams: Spark's sequence(1, 0) is
+    a descending [1, 0] (step defaults to -1), which would fabricate a
+    spurious bigram the DuckDB mirror (generate_series -> empty) never sees."""
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.linking import char_bigrams, resolve_surfaces_scored
+
+    df = spark.createDataFrame([("x",), ("",), ("ab",)], "s string")
+    got = {r.s: r.bg for r in df.select("s", char_bigrams(F.col("s")).alias("bg")).collect()}
+    assert got["x"] == [] and got[""] == []
+    assert got["ab"] == ["ab"]
+
+    # a 1-char surface vs a 1-char alias must NOT link (Jaccard of empties = 0)
+    alias_df = spark.createDataFrame([("x", "ex")], "surface_norm string, canonical string")
+    out = {r.surface_norm: r for r in resolve_surfaces_scored(
+        spark.createDataFrame([("x",)], "surface_norm string"), alias_df
+    ).collect()}
+    assert out["x"].linked == 0 and out["x"].canonical == "x"

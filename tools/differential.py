@@ -104,11 +104,11 @@ def pairs_differential(anp, svp, corpora) -> dict:
     from posextract_spark.kernel.pairs import adj_noun_pairs_one, subj_verb_pairs_one
 
     out = {}
-    for label, ref_rule, ours_fn, fields in (
+    for label, ref_rule, ours_fn, fields, may_crash in (
         ("adj_noun_pairs", anp.rule, adj_noun_pairs_one,
-         ("verb_neg", "neg_det", "adjective", "noun")),
+         ("verb_neg", "neg_det", "adjective", "noun"), False),
         ("subj_verb_pairs", svp.rule, subj_verb_pairs_one,
-         ("subject", "verb_neg", "verb")),
+         ("subject", "verb_neg", "verb"), True),
     ):
         exact = total = crashes = 0
         mism = 0
@@ -119,11 +119,14 @@ def pairs_differential(anp, svp, corpora) -> dict:
                 try:
                     ref = [tuple(p) for p in ref_rule(spacy_shim.ShimDoc(rows))]
                 except (UnboundLocalError, AttributeError):
-                    # subj-verb: verb without its own subject -> the
-                    # reference raises (first verb: UnboundLocalError;
+                    # subj-verb ONLY: a verb without its own subject makes
+                    # the reference raise (first verb: UnboundLocalError;
                     # later verbs: str.text AttributeError on the
-                    # stringified stale subject). Defined divergence:
-                    # our kernel skips that verb instead.
+                    # stringified stale subject). Defined divergence: our
+                    # kernel skips that verb. adj-noun has no legitimate
+                    # crash class, so a crash there is a harness failure.
+                    if not may_crash:
+                        raise
                     crashes += 1
                     continue
                 total += 1
@@ -136,7 +139,9 @@ def pairs_differential(anp, svp, corpora) -> dict:
             "exact_sentence_match": f"{exact}/{total}",
             "mismatches": mism,
             "reference_crashes_skipped": crashes,
-            "pass": mism == 0,
+            # total > 0 keeps the gate non-vacuous if a loader/shim
+            # regression ever makes EVERY sentence "crash"
+            "pass": mism == 0 and total > 0,
         }
     return out
 
