@@ -112,6 +112,14 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "text_hash", "min_word_hash")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style boilerplate signals: duplicate-word fraction, modal
+    bigram fraction, longest same-word run — scan-side native Columns."""
+    from posextract_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_clean_text(spark, sf_dir):
     """Unicode NFC (pandas UDF — Spark has no native normalizer) + control/
     zero-width strip + space collapse, hash-checked against DuckDB's native
@@ -472,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "clean_text": q_clean_text,
+        "repetition_stats": q_repetition_stats,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -527,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from posextract_spark.operators.textops import (
         CLEAN_TEXT_SQL,
+        REPETITION_STATS_SQL,
         FINGERPRINT_SQL,
         LANGUAGE_ID_SQL,
         QUALITY_SCORE_SQL,
@@ -564,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": LANGUAGE_ID_SQL,
         "fingerprint": FINGERPRINT_SQL,
         "clean_text": CLEAN_TEXT_SQL,
+        "repetition_stats": REPETITION_STATS_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_signatures": MINHASH_SIGNATURES_SQL,
         "minhash_band_pairs": MINHASH_BAND_PAIRS_SQL,

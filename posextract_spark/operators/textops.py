@@ -202,3 +202,116 @@ SELECT doc_id,
        ' +', ' ', 'g'))) AS n_chars_clean
 FROM dirty
 """
+
+
+# --- repetition stats (Gopher-style boilerplate signals) ---------------------
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Boilerplate/repetition signals per document (the Gopher-rule family
+    used by web-scale training-data filters):
+
+    - dup_word_frac_e4: 1 - distinct(words)/words — high for pages that
+      repeat navigation tokens;
+    - top_bigram_frac_e4: occurrences of the most frequent word bigram /
+      total bigrams — high for templated/boilerplate text;
+    - max_word_run: longest run of the SAME word repeated consecutively.
+
+    All scan-side native Columns (aggregate/transform over the word array,
+    zero shuffle, zero Python) with exact integer fixed-point outputs.
+    """
+    words = word_array(F.col(text_col))
+    n = F.size(words)
+
+    dup_frac = F.when(
+        n > 0,
+        F.floor((n - F.size(F.array_distinct(words))) * F.lit(10000.0) / n).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    # modal bigram count = longest equal-run of the SORTED bigram array —
+    # O(n log n) per row; the naive distinct x filter scan is O(n^2) and
+    # would bind on long documents at scale
+    sorted_bg = F.array_sort(bigrams)
+    modal_acc = F.aggregate(
+        sorted_bg,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_bigram_n = F.when(nb > 0, modal_acc["best"]).otherwise(F.lit(0))
+    top_bigram_frac = F.when(
+        nb > 0, F.floor(top_bigram_n * F.lit(10000.0) / nb).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+
+    # longest consecutive same-word run via aggregate carrying (prev, run, best)
+    run_acc = F.aggregate(
+        words,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        dup_frac.alias("dup_word_frac_e4"),
+        top_bigram_frac.alias("top_bigram_frac_e4"),
+        run_acc["best"].cast("int").alias("max_word_run"),
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+b AS (
+  SELECT doc_id, words,
+    CASE WHEN len(words) >= 2
+         THEN list_transform(generate_series(1, len(words) - 1),
+                             i -> words[i] || ' ' || words[i + 1])
+         ELSE [] END AS bigrams
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN len(words) > 0
+       THEN CAST(floor((len(words) - len(list_distinct(words))) * 10000.0 / len(words)) AS BIGINT)
+       ELSE 0 END AS dup_word_frac_e4,
+  CASE WHEN len(bigrams) > 0
+       THEN CAST(floor(
+            list_max(list_transform(generate_series(1, len(bstarts)),
+              k -> (CASE WHEN k < len(bstarts) THEN bstarts[k+1]
+                         ELSE len(bigrams) + 1 END) - bstarts[k]))
+            * 10000.0 / len(bigrams)) AS BIGINT)
+       ELSE 0 END AS top_bigram_frac_e4,
+  CAST(CASE WHEN len(words) = 0 THEN 0 ELSE (
+    -- run-start indices; run length = gap to the next start (or end+1)
+    list_max(list_transform(generate_series(1, len(starts)),
+      k -> (CASE WHEN k < len(starts) THEN starts[k+1] ELSE len(words) + 1 END) - starts[k]))
+  ) END AS INT) AS max_word_run
+FROM (
+  SELECT doc_id, words, bigrams,
+    list_filter(generate_series(1, len(words)),
+                i -> i = 1 OR words[i] <> words[i-1]) AS starts,
+    list_filter(generate_series(1, len(sb)),
+                i -> i = 1 OR sb[i] <> sb[i-1]) AS bstarts
+  FROM (SELECT *, list_sort(bigrams) AS sb FROM b)
+)
+"""

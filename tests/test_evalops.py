@@ -110,3 +110,18 @@ def test_clean_text_nfc_and_strips(spark):
     assert out[2].clean_text == "a b c"  # control -> space, runs collapsed
     assert out[3].clean_text == "z"  # zero-width removed
     assert out[4].clean_text == "ok"  # trimmed
+
+
+def test_repetition_stats_known_values(spark):
+    from posextract_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "x y x y x y"), (3, ""), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.dup_word_frac_e4, r.top_bigram_frac_e4, r.max_word_run)
+           for r in repetition_stats(df).collect()}
+    assert out[1] == (4000, 5000, 3)   # 2/5 dup, 'a a' 2/4 bigrams, run aaa
+    assert out[2] == (6666, 6000, 1)   # 4/6 dup, 'x y' 3/5 bigrams
+    assert out[3] == (0, 0, 0)
+    assert out[4] == (0, 0, 1)
