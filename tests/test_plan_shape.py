@@ -85,3 +85,23 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_ivf_inverted_lists_partition_pruned(spark, tmp_path):
+    """The IVF probe's storage form: inverted lists written as
+    centroid_id-partitioned parquet, probe = partition filter at the scan
+    (touching ~1/k of the files), not a post-scan filter."""
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lists = ivf_assign(emb).join(emb, "vec_id")
+    path = str(tmp_path / "ivf_lists")
+    lists.write.partitionBy("centroid_id").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("centroid_id") == 3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # pruned scan reads only that list's rows
+    assert probe.count() == lists.filter(F.col("centroid_id") == 3).count()
