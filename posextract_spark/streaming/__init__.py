@@ -8,6 +8,7 @@ reuse the identical batch stages unchanged via foreachBatch.
 
 from posextract_spark.streaming.pipeline import (  # noqa: F401
     stream_pages_to_triples,
+    streaming_dedup,
     streaming_edge_weights,
     streaming_entity_profiles,
 )

@@ -8,8 +8,11 @@ Design choices:
   caller adds downstream (edge weights per day, etc.);
 - checkpointLocation gives exactly-once sink semantics for file sinks —
   the streaming analog of plans/lineage.py's manifest resume;
-- stateful custom operators (e.g. per-entity accumulation) would use
-  applyInPandasWithState; nothing in the reference's semantics needs one.
+- four surfaces: foreachBatch reuse (stream_pages_to_triples), a NATIVE
+  watermarked windowed aggregation (streaming_edge_weights), a custom
+  stateful operator via applyInPandasWithState with checkpoint state
+  recovery (streaming_entity_profiles), and watermark-bounded streaming
+  dedup (streaming_dedup).
 """
 
 from __future__ import annotations
@@ -171,3 +174,27 @@ def streaming_edge_weights(
         )
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup over the page firehose: portable text hash +
+    ``dropDuplicatesWithinWatermark`` — dedup state is EVICTED once the
+    watermark passes (bounded by the late-data window), unlike plain
+    dropDuplicates whose state grows with the whole stream history. Returns
+    the unstarted deduplicated stream (first occurrence per text hash
+    within the watermark window)."""
+    from posextract_spark.functions.hashing import portable_hash64
+
+    pages_schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(pages_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+        .withWatermark("warc_ts", watermark)
+        .withColumn("text_hash", portable_hash64(F.col("text")))
+    )
+    return stream.dropDuplicatesWithinWatermark(["text_hash"])

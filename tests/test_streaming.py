@@ -143,3 +143,27 @@ def test_stateful_entity_profiles_recover_across_restart(spark, tmp_path):
     for surface, totals in second.items():
         assert totals == truth[surface], surface
     assert len(second) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """The same corpus landed twice must dedup to one copy per distinct
+    text; dedup state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    from posextract_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "pages_src")
+    generate_pages(spark, 30, seed=4, n_partitions=1).write.mode("append").parquet(src)
+    generate_pages(spark, 30, seed=4, n_partitions=1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "deduped")
+    q = (
+        streaming_dedup(spark, src)
+        .writeStream.foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    n_distinct = spark.read.parquet(src).select("text").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("text_hash").distinct().count() == n_distinct
