@@ -449,7 +449,9 @@ def q_events_by_type_day(spark, sf_dir):
         F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.floor(F.sum("value") * F.lit(100)).cast("bigint").alias("sum_value_e2"),
+        # per-row round to exact cents THEN integer sum: order-independent
+        # (floor(sum(double)*100) flips at boundaries with summation order)
+        F.sum(F.round(F.col("value") * F.lit(100.0)).cast("bigint")).alias("sum_value_e2"),
     )
 
 
@@ -463,7 +465,7 @@ def q_revenue_by_nation(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.floor(F.sum("o_totalprice") * F.lit(100)).cast("bigint").alias("revenue_e2"),
+            F.sum(F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")).alias("revenue_e2"),
         )
     )
 
@@ -513,6 +515,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
     }
+
+
+# closed-form CC fixpoint over the nation->region star graph — shared by
+# both CC implementations (the fixpoint is algorithm-independent)
+_CC_ORACLE_SQL = (
+    "WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn "
+    "FROM nation GROUP BY n_regionkey) "
+    "SELECT CAST(n.n_nationkey AS BIGINT) AS node, CAST(m.mn AS BIGINT) AS component "
+    "FROM nation n JOIN m ON n.n_regionkey = m.n_regionkey "
+    "UNION ALL "
+    "SELECT CAST(1000 + n_regionkey AS BIGINT) AS node, CAST(mn AS BIGINT) AS component FROM m"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -650,22 +664,8 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN score >= 300000 THEN 1 ELSE 0 END AS INT) AS linked "
             "FROM best"
         ),
-        "connected_components": (
-            "WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn "
-            "FROM nation GROUP BY n_regionkey) "
-            "SELECT CAST(n.n_nationkey AS BIGINT) AS node, CAST(m.mn AS BIGINT) AS component "
-            "FROM nation n JOIN m ON n.n_regionkey = m.n_regionkey "
-            "UNION ALL "
-            "SELECT CAST(1000 + n_regionkey AS BIGINT) AS node, CAST(mn AS BIGINT) AS component FROM m"
-        ),
-        "connected_components_star": (
-            "WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn "
-            "FROM nation GROUP BY n_regionkey) "
-            "SELECT CAST(n.n_nationkey AS BIGINT) AS node, CAST(m.mn AS BIGINT) AS component "
-            "FROM nation n JOIN m ON n.n_regionkey = m.n_regionkey "
-            "UNION ALL "
-            "SELECT CAST(1000 + n_regionkey AS BIGINT) AS node, CAST(mn AS BIGINT) AS component FROM m"
-        ),
+        "connected_components": _CC_ORACLE_SQL,
+        "connected_components_star": _CC_ORACLE_SQL,  # same fixpoint, algorithm-independent
         "validate_data": VALIDATE_DATA_SQL,
         "syntax_check": SYNTAX_CHECK_SQL,
         "tag_sentence": TAG_SENTENCE_SQL,
@@ -673,12 +673,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_fraction": sample_fraction_sql(fraction=0.1, seed=7),
         "events_by_type_day": (
             "SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events, "
-            "CAST(floor(sum(value) * 100) AS BIGINT) AS sum_value_e2 "
+            "SUM(CAST(round(value * 100.0) AS BIGINT)) AS sum_value_e2 "
             "FROM events GROUP BY event_type, date_trunc('day', ts)"
         ),
         "revenue_by_nation": (
             "SELECT n_name, count(*) AS n_orders, "
-            "CAST(floor(sum(o_totalprice) * 100) AS BIGINT) AS revenue_e2 "
+            "SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS revenue_e2 "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name"

@@ -16,10 +16,14 @@ from pyspark.sql import functions as F
 
 
 def _cosine(a, b):
+    """Cosine with a zero-norm guard: 0/0 is NaN in Spark but NULL in
+    DuckDB — a zero vector would silently diverge the engines (or throw
+    under ANSI cast). Zero-norm pairs rank as -2.0, below any real cosine."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom != 0, dot / denom).otherwise(F.lit(-2.0))
 
 
 def cosine_topk(
@@ -48,11 +52,12 @@ WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
            FROM embeddings WHERE vec_id = 0),
 sims AS (
   SELECT vec_id,
-    CAST(floor(
+    CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
       list_aggregate(list_transform(generate_series(1, len(embedding)),
                      i -> embedding[i]::DOUBLE * qv[i]), 'sum')
       / (sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'))
-         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')))
+         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) END)
       * 1000000.0) AS BIGINT) AS sim_e6
   FROM embeddings, q
 )
@@ -73,6 +78,14 @@ def lsh_bucket(
     to recompute scan-side (no broadcast needed). Bucketed ANN then probes a
     single bucket (and optionally its Hamming-1 neighbors) instead of the
     full table."""
+    return df.select(
+        F.col(id_col), lsh_bucket_expr(n_planes, vec_col).alias("bucket")
+    )
+
+
+def lsh_bucket_expr(n_planes: int, vec_col: str = "embedding"):
+    """The bucket id as a pure per-row Column (shared by lsh_bucket and
+    neardup_bucket_stats so callers never need a join to attach it)."""
     from posextract_spark.functions.hashing import portable_hash64
 
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -90,7 +103,7 @@ def lsh_bucket(
         s = F.aggregate(_weighted(p), F.lit(0.0), lambda acc, v: acc + v)
         bit = F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+    return bucket.cast("int")
 
 
 def planes_for(n_vecs: int, target_bucket: int = 1024, min_planes: int = 4,
@@ -138,8 +151,13 @@ def neardup_bucket_stats(
     if n_planes is None:
         n_planes = planes_for(df.count(), target_bucket)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    b = lsh_bucket(df, n_planes, id_col, vec_col).join(
-        df.select(F.col(id_col), emb.alias("_e")), id_col
+    # one projection: the bucket is a pure per-row expression, so joining
+    # lsh_bucket's output back onto df would shuffle the whole embedding
+    # table once before the pair join for nothing
+    b = df.select(
+        F.col(id_col),
+        lsh_bucket_expr(n_planes, vec_col).alias("bucket"),
+        emb.alias("_e"),
     )
     sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
     if max_bucket_width is not None:
@@ -183,11 +201,14 @@ def neardup_bucket_stats(
 
 def neardup_bucket_stats_sql(n_planes: int = 4, threshold_e6: int = 250000) -> str:
     bucket_sql = lsh_bucket_sql(n_planes)
+    norms = (
+        "(sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum')))"
+    )
     cos = (
-        "CAST(floor("
+        "CAST(floor((CASE WHEN " + norms + " = 0 THEN -2.0 ELSE "
         "list_aggregate(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]), 'sum')"
-        " / (sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))"
-        "    * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum')))"
+        " / " + norms + " END)"
         " * 1000000.0) AS BIGINT)"
     )
     return f"""
@@ -270,9 +291,9 @@ def _best_centroid(cent_arr):
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        return F.floor(dot / (F.col("_norm") * c["cnorm"]) * F.lit(1000000.0)).cast(
-            "bigint"
-        )
+        denom = F.col("_norm") * c["cnorm"]
+        cos = F.when(denom != 0, dot / denom).otherwise(F.lit(-2.0))
+        return F.floor(cos * F.lit(1000000.0)).cast("bigint")
 
     return F.array_max(
         F.transform(
@@ -420,15 +441,15 @@ def ivf_topk(
     are bucket partitions and the probe is partition pruning). nprobe
     trades scan fraction for recall; nprobe == n_centroids degenerates to
     exact brute force (pinned by tests)."""
-    assign = ivf_assign(df, n_centroids, id_col, vec_col, centroids=centroids)
+    cents = centroids if centroids is not None else _centroid_literals(
+        df, n_centroids, id_col, vec_col
+    )
+    assign = ivf_assign(df, n_centroids, id_col, vec_col, centroids=cents)
     # the query is vec_id 0's embedding => probe its centroid, then the
     # next-closest centroids of ITS OWN assignment ranking when nprobe > 1
     if nprobe <= 1:
         qc = assign.filter(F.col(id_col) == 0).select("centroid_id")
     else:
-        cents = centroids if centroids is not None else _centroid_literals(
-            df, n_centroids, id_col, vec_col
-        )
         qrow = df.filter(F.col(id_col) == 0).select(vec_col).head()
         if qrow is None:
             raise ValueError(
@@ -462,10 +483,11 @@ vecs AS (
 ),
 pairs AS (
   SELECT v.vec_id, c.cid AS centroid_id,
-    CAST(floor(
+    CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
       list_aggregate(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.cvec[i]), 'sum')
       / (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
-         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum')))
+         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) END)
       * 1000000.0) AS BIGINT) AS sim_e6
   FROM vecs v CROSS JOIN cents c
 ),
@@ -489,10 +511,11 @@ q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHE
 probe AS (SELECT a.vec_id FROM assign a JOIN qc ON a.centroid_id = qc.centroid_id),
 sims AS (
   SELECT v.vec_id,
-    CAST(floor(
+    CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
       list_aggregate(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * qv[i]), 'sum')
       / (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
-         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')))
+         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) END)
       * 1000000.0) AS BIGINT) AS sim_e6
   FROM vecs v JOIN probe p ON v.vec_id = p.vec_id, q
 )
@@ -503,11 +526,14 @@ SELECT vec_id, sim_e6 FROM sims ORDER BY sim_e6 DESC, vec_id LIMIT {k}
 
 # --- k-means mirror (unrolled Lloyd iterations as CTE chain) -----------------
 
+_COS_NORMS_SQL = (
+    "(sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum')))"
+)
 _COS_SQL = (
-    "CAST(floor("
+    "CAST(floor((CASE WHEN " + _COS_NORMS_SQL + " = 0 THEN -2.0 ELSE "
     "list_aggregate(list_transform(generate_series(1, len(v.e)), j -> v.e[j] * c.cvec[j]), 'sum')"
-    " / (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))"
-    "    * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum')))"
+    " / " + _COS_NORMS_SQL + " END)"
     " * 1000000.0) AS BIGINT)"
 )
 
@@ -581,10 +607,11 @@ q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHE
 probe AS (SELECT a.vec_id FROM assignF a JOIN qc ON a.cid = qc.cid),
 sims AS (
   SELECT v.vec_id,
-    CAST(floor(
+    CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
       list_aggregate(list_transform(generate_series(1, len(v.e)), j -> v.e[j] * qv[j]), 'sum')
       / (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
-         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')))
+         * sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))) END)
       * 1000000.0) AS BIGINT) AS sim_e6
   FROM vecs v JOIN probe p ON v.vec_id = p.vec_id, q
 )

@@ -52,11 +52,13 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("n_words", n_words)
         .withColumn(
             "mean_word_len_e4",
-            F.when(n_words > 0, F.floor(n_chars_nospace * F.lit(10000) / n_words)).otherwise(F.lit(0)).cast("bigint"),
+            # 10000.0 (double): int*int overflows IntegerType and throws
+            # under ANSI mode once a document exceeds ~214k chars
+            F.when(n_words > 0, F.floor(n_chars_nospace * F.lit(10000.0) / n_words)).otherwise(F.lit(0)).cast("bigint"),
         )
         .withColumn(
             "stopword_ratio_e4",
-            F.when(n_words > 0, F.floor(stop_hits * F.lit(10000) / n_words)).otherwise(F.lit(0)).cast("bigint"),
+            F.when(n_words > 0, F.floor(stop_hits * F.lit(10000.0) / n_words)).otherwise(F.lit(0)).cast("bigint"),
         )
     )
 
@@ -84,7 +86,9 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = word_array(F.col(text_col))
     word_hashes = F.transform(words, lambda w: portable_hash64(w))
     return df.withColumn("text_hash", portable_hash64(F.col(text_col))).withColumn(
-        "min_word_hash", F.array_min(word_hashes)
+        # coalesce: empty/whitespace-only docs would emit NULL (engines
+        # render NULL differently -> breaks engine-agnostic value hashing)
+        "min_word_hash", F.coalesce(F.array_min(word_hashes), F.lit(-1).cast("bigint"))
     )
 
 
@@ -133,7 +137,7 @@ FROM documents
 FINGERPRINT_SQL = f"""
 SELECT doc_id,
   (('0x' || substring(md5(text), 1, 15))::BIGINT) AS text_hash,
-  list_min(list_transform({_WORDS}, w -> (('0x' || substring(md5(w), 1, 15))::BIGINT))) AS min_word_hash
+  COALESCE(list_min(list_transform({_WORDS}, w -> (('0x' || substring(md5(w), 1, 15))::BIGINT))), -1) AS min_word_hash
 FROM documents
 """
 

@@ -38,9 +38,14 @@ def _values_sql(
             return "'" + v.replace("'", "''") + "'"
         return str(int(v))
 
-    body = ", ".join("(" + ", ".join(cell(v) for v in row) + ")" for row in rows)
     names = ", ".join(name for name, _ in columns)
     casts = ", ".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in columns)
+    if not rows:
+        # empty expectation must be a valid zero-row table, not a VALUES
+        # parse error: emit one dummy row filtered out
+        dummy = ", ".join("0" for _ in columns)
+        return f"SELECT {casts} FROM (VALUES ({dummy})) AS t({names}) WHERE 1 = 0"
+    body = ", ".join("(" + ", ".join(cell(v) for v in row) + ")" for row in rows)
     return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
 
 

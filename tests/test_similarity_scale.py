@@ -148,3 +148,36 @@ def test_repartition_by_hash_colocates(spark):
     parts = out.select("url", F.spark_partition_id().alias("p")).distinct()
     # each url lands in exactly one partition (co-location for bucketing)
     assert parts.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_zero_norm_vectors_rank_last_both_paths(spark):
+    """A zero vector must rank below every real similarity (-2e6) instead of
+    producing NaN (Spark) vs NULL (DuckDB) divergence or an ANSI cast error."""
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.similarity import cosine_topk, ivf_assign
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.5]), (1, [0.5, 0.1, 0.0, 0.2]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = cosine_topk(df, [1.0, 0.0, 0.0, 0.5], k=3).collect()
+    assert top[-1].vec_id == 2 and top[-1].sim_e6 == -2000000
+
+    assign = {r.vec_id: r.sim_e6 for r in ivf_assign(df, k=2).collect()}
+    assert assign[2] == -2000000
+
+
+def test_neardup_single_projection_no_prejoin(spark):
+    """The bucket+embedding frame must come from ONE scan projection — the
+    r2 join-back shape shuffled the whole embedding table before the pair
+    join."""
+    from posextract_spark.operators.similarity import neardup_bucket_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = neardup_bucket_stats(emb, n_planes=4)._jdf.queryExecution().executedPlan().toString()
+    # no equi-join keyed on vec_id anywhere (the join-back shape); the only
+    # joins are the bucket-keyed pair join and the sizes left-join
+    import re
+
+    assert not re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[vec_id", plan)
+    # three scans: sizes + pair-left + pair-right (join-back had four)
+    assert plan.count("Scan parquet") <= 3
