@@ -112,6 +112,27 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "text_hash", "min_word_hash")
 
 
+def q_mask_pii(spark, sf_dir):
+    """Redaction stage over deterministically dirtied text: typed
+    placeholder masking + per-class counts, RE2-compatible patterns so the
+    Java-regex side and the DuckDB mirror agree on spans."""
+    from posextract_spark.operators.textops import mask_pii
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" contact bob.smith+spam@mail.example.org now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("see https://ex.test/a?b=1 and 10.0.255.7 "), F.col("text")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return mask_pii(docs).select("doc_id", "n_email", "n_url", "n_ip", "masked_text")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style boilerplate signals: duplicate-word fraction, modal
     bigram fraction, longest same-word run — scan-side native Columns."""
@@ -483,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "clean_text": q_clean_text,
         "repetition_stats": q_repetition_stats,
+        "mask_pii": q_mask_pii,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -550,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from posextract_spark.operators.textops import (
         CLEAN_TEXT_SQL,
+        MASK_PII_SQL,
         REPETITION_STATS_SQL,
         FINGERPRINT_SQL,
         LANGUAGE_ID_SQL,
@@ -589,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": FINGERPRINT_SQL,
         "clean_text": CLEAN_TEXT_SQL,
         "repetition_stats": REPETITION_STATS_SQL,
+        "mask_pii": MASK_PII_SQL,
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_signatures": MINHASH_SIGNATURES_SQL,
         "minhash_band_pairs": MINHASH_BAND_PAIRS_SQL,

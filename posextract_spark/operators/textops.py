@@ -319,3 +319,54 @@ FROM (
   FROM (SELECT *, list_sort(bigrams) AS sb FROM b)
 )
 """
+
+
+# --- PII masking (training-data redaction) -----------------------------------
+
+# RE2-compatible patterns (no lookaround/backrefs) so the Java-regex Spark
+# side and the RE2 DuckDB mirror match the SAME spans.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def mask_pii(df: DataFrame, text_col: str = "text", out_col: str = "masked_text") -> DataFrame:
+    """Standard redaction stage: replace emails / URLs / IPv4 literals with
+    typed placeholder tokens and count each class per document. Order
+    matters (emails before URLs would otherwise leave 'mailto'-ish residue;
+    URLs before IPs so an IP inside a URL is already consumed). Pure native
+    regexp columns — codegen, no Python."""
+    c = F.col(text_col)
+    counts = []
+    for name, pattern, _ in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).alias(f"n_{name}"))
+    masked = c
+    for _, pattern, token in PII_PATTERNS:
+        masked = F.regexp_replace(masked, pattern, token)
+    return df.select(
+        "*", *counts, masked.alias(out_col)
+    )
+
+
+# NOTE: counts computed on the ORIGINAL text (Spark side identical);
+# DuckDB needs the 'g' flag for global regexp_replace.
+MASK_PII_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text || ' contact bob.smith+spam@mail.example.org now'
+         WHEN doc_id % 4 = 1 THEN 'see https://ex.test/a?b=1 and 10.0.255.7 ' || text
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_url,
+  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    'https?://[^ ]+', '<URL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS masked_text
+FROM dirty
+"""

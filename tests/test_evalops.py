@@ -125,3 +125,23 @@ def test_repetition_stats_known_values(spark):
     assert out[2] == (6666, 6000, 1)   # 4/6 dup, 'x y' 3/5 bigrams
     assert out[3] == (0, 0, 0)
     assert out[4] == (0, 0, 1)
+
+
+def test_mask_pii_known_values(spark):
+    from posextract_spark.operators.textops import mask_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@c.io or x_y%z@d.example.com today"),
+            (2, "go to https://a.test/p?q=1 from 192.168.0.1 now"),
+            (3, "no pii here at all"),
+            (4, "bad ip 999.1.1.1 still masked by the simple pattern"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in mask_pii(df).collect()}
+    assert out[1].n_email == 2 and out[1].masked_text == "mail <EMAIL> or <EMAIL> today"
+    assert (out[2].n_url, out[2].n_ip) == (1, 1)
+    assert out[2].masked_text == "go to <URL> from <IP> now"
+    assert out[3].masked_text == "no pii here at all"
+    assert out[4].n_ip == 1  # documented: simple pattern, no octet range check
