@@ -68,11 +68,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
     def timed(name: str, fn):
-        t0 = time.time()
-        result = fn()
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-N: this VM shows occasional 5-25x noisy-neighbor spikes on
+        # individual queries (BENCH/BASELINE.md); a single sample can land
+        # entirely inside one. The min is the honest capability number.
+        best, result = None, None
+        for _ in range(runs_per_query):
+            t0 = time.time()
+            result = fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         return result
 
     # Full-width warmup: run the real extraction once untimed so every
@@ -119,6 +127,7 @@ def main() -> None:
         "sf": sf_dir,
         "cpus": cpus,
         "replicate": replicate,
+        "runs_per_query": runs_per_query,
         **extras,
     }
     print(json.dumps(out))
