@@ -112,6 +112,14 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "text_hash", "min_word_hash")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (64-word windows, 16 overlap) — one row per
+    chunk, scan-side explode."""
+    from posextract_spark.operators.textops import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=64, overlap=16)
+
+
 def q_mask_pii(spark, sf_dir):
     """Redaction stage over deterministically dirtied text: typed
     placeholder masking + per-class counts, RE2-compatible patterns so the
@@ -505,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "repetition_stats": q_repetition_stats,
         "mask_pii": q_mask_pii,
+        "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -573,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
     from posextract_spark.operators.textops import (
         CLEAN_TEXT_SQL,
         MASK_PII_SQL,
+        chunk_documents_sql,
         REPETITION_STATS_SQL,
         FINGERPRINT_SQL,
         LANGUAGE_ID_SQL,
@@ -613,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_text": CLEAN_TEXT_SQL,
         "repetition_stats": REPETITION_STATS_SQL,
         "mask_pii": MASK_PII_SQL,
+        "chunk_documents": chunk_documents_sql(chunk_size=64, overlap=16),
         "exact_dedup": EXACT_DEDUP_SQL,
         "minhash_signatures": MINHASH_SIGNATURES_SQL,
         "minhash_band_pairs": MINHASH_BAND_PAIRS_SQL,

@@ -370,3 +370,64 @@ SELECT doc_id,
     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS masked_text
 FROM dirty
 """
+
+
+# --- document chunking (context-window packing) -------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size word windows with overlap — the
+    standard LLM-training chunking stage (sequence packing feeds on these).
+
+    One row per chunk: (id, chunk_id, n_words_chunk, chunk_text). Chunk k
+    covers words [k*stride, k*stride + chunk_size) with
+    stride = chunk_size - overlap; the final chunk may be short; empty
+    documents produce no chunks. Scan-side sequence/transform + posexplode —
+    no shuffle, no Python; per-row work is linear in document length.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    words = word_array(F.col(text_col))
+    n = F.size(words)
+    # start offsets 0, stride, 2*stride ... < n (empty docs -> empty array;
+    # note sequence(a, b) DESCENDS when a > b, so guard n == 0 explicitly)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, k: F.struct(
+            k.alias("chunk_id"),
+            F.least(n - s, F.lit(chunk_size)).alias("n_words_chunk"),
+            F.concat_ws(" ", F.slice(words, s + 1, chunk_size)).alias("chunk_text"),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return exploded.select(id_col, "c.chunk_id", "c.n_words_chunk", "c.chunk_text")
+
+
+def chunk_documents_sql(chunk_size: int = 64, overlap: int = 16) -> str:
+    stride = chunk_size - overlap
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(words) > 0
+         THEN generate_series(1, len(words), {stride})
+         ELSE [] END AS starts,
+    words
+  FROM w
+)
+SELECT doc_id,
+  CAST(k - 1 AS INT) AS chunk_id,
+  CAST(least(len(words) - starts[k] + 1, {chunk_size}) AS INT) AS n_words_chunk,
+  array_to_string(words[starts[k]:starts[k] + {chunk_size} - 1], ' ') AS chunk_text
+FROM c CROSS JOIN UNNEST(generate_series(1, len(starts))) AS t(k)
+"""

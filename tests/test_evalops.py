@@ -145,3 +145,25 @@ def test_mask_pii_known_values(spark):
     assert out[2].masked_text == "go to <URL> from <IP> now"
     assert out[3].masked_text == "no pii here at all"
     assert out[4].n_ip == 1  # documented: simple pattern, no octet range check
+
+
+def test_chunk_documents_windows(spark):
+    import pytest as _pytest
+
+    from posextract_spark.operators.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "x y")], "doc_id long, text string"
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.n_words_chunk, r.chunk_text)
+        for r in chunk_documents(df, chunk_size=4, overlap=1).collect()
+    )
+    assert out == [
+        (1, 0, 4, "a b c d"),
+        (1, 1, 4, "d e f g"),
+        (1, 2, 1, "g"),
+        (3, 0, 2, "x y"),
+    ]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
