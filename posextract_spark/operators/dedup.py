@@ -34,13 +34,28 @@ def _shingles(text_col: str):
     return F.array_distinct(F.when(n >= SHINGLE_N, sh).otherwise(F.array()))
 
 
+def portable_hash64b(col):
+    """Second independent 60-bit hash (md5 chars 17-31) — paired with
+    portable_hash64 it forms a 120-bit dedup key, so hash-keyed 'exact'
+    dedup does not silently merge distinct texts at the 10^12-doc design
+    point (a single 60-bit key hits 50% collision odds near 1.3e9 rows)."""
+    return F.conv(F.substring(F.md5(col), 17, 15), 16, 10).cast("bigint")
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text with its
-    representative (min id) and multiplicity."""
+    representative (min id) and multiplicity. Groups on a 120-bit dual
+    hash (shuffle stays two BIGINTs wide instead of carrying full text);
+    output exposes the first half as text_hash."""
     return (
-        df.select(portable_hash64(F.col(text_col)).alias("text_hash"), F.col(id_col))
-        .groupBy("text_hash")
+        df.select(
+            portable_hash64(F.col(text_col)).alias("text_hash"),
+            portable_hash64b(F.col(text_col)).alias("_h2"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash", "_h2")
         .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .drop("_h2")
     )
 
 
@@ -53,12 +68,22 @@ MINHASH_A = [7, 131, 2053, 16411, 131101, 524309, 1048583, 999983]
 MINHASH_B = [3, 401, 4099, 32771, 262147, 786433, 65537, 424243]
 
 
+def _check_n_seeds(n_seeds: int) -> None:
+    if n_seeds > len(MINHASH_A):
+        raise ValueError(
+            f"n_seeds={n_seeds} exceeds the {len(MINHASH_A)}-entry affine "
+            "family; extend MINHASH_A/MINHASH_B (silent wrapping would "
+            "duplicate hash functions and the Column path would read out "
+            "of bounds)"
+        )
+
+
 def _affine_min(hs, seed):
     """min over the base-hash array of the affine rehash for ``seed``
     (seed may be a python int or a Column)."""
     if isinstance(seed, int):
-        a = F.lit(MINHASH_A[seed % len(MINHASH_A)])
-        b = F.lit(MINHASH_B[seed % len(MINHASH_B)])
+        a = F.lit(MINHASH_A[seed])
+        b = F.lit(MINHASH_B[seed])
     else:
         a = F.element_at(F.array(*[F.lit(x) for x in MINHASH_A]), seed + 1)
         b = F.element_at(F.array(*[F.lit(x) for x in MINHASH_B]), seed + 1)
@@ -93,6 +118,7 @@ def minhash_signatures(
     per-(row, seed) single min pass. No shuffle; md5 exactly once per
     shingle. Documents with fewer than SHINGLE_N words emit no rows.
     """
+    _check_n_seeds(n_seeds)
     hs = _with_base_hashes(df, text_col, id_col)
     seeds = F.array(*[F.lit(s).cast("int") for s in range(n_seeds)])
     exploded = hs.select(F.col(id_col), F.col("_hs"), F.explode(seeds).alias("seed"))
@@ -113,6 +139,7 @@ def minhash_band_pairs(
     collided."""
     # Band keys: base-hash once [below the Generate], then per-(row, band)
     # compute the band's member minhashes and hash them into one key.
+    _check_n_seeds(n_seeds)
     hs_df = _with_base_hashes(df, text_col, id_col)
     n_bands = n_seeds // band_size
     band_lits = F.array(*[F.lit(b).cast("int") for b in range(n_bands)])
@@ -233,7 +260,8 @@ _SHINGLES = (
 EXACT_DEDUP_SQL = f"""
 SELECT {_H.format(x='text')} AS text_hash,
        min(doc_id) AS rep_id, count(*) AS n_docs
-FROM documents GROUP BY 1
+FROM documents
+GROUP BY 1, (('0x' || substring(md5(text), 17, 15))::BIGINT)
 """
 
 _A_LIST = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"

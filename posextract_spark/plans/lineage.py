@@ -55,8 +55,19 @@ class BucketedRun:
             if fn.startswith(f"{self.stage}-") and fn.endswith(".json"):
                 with open(os.path.join(self.manifest_path, fn)) as f:
                     row = json.load(f)
-                if row.get("status") == "ok":
-                    done.append(int(row["bucket"]))
+                if row.get("status") != "ok":
+                    continue
+                if int(row.get("n_buckets", -1)) != self.n_buckets:
+                    # resuming with a different bucket count would silently
+                    # double-count: old partitions hold pmod(h, old_n) rows,
+                    # new ones pmod(h, new_n) — refuse loudly
+                    raise ValueError(
+                        f"manifest {fn} was written with n_buckets="
+                        f"{row.get('n_buckets')} but this run uses "
+                        f"{self.n_buckets}; use a fresh out_dir or the "
+                        "original bucket count"
+                    )
+                done.append(int(row["bucket"]))
         return sorted(done)
 
     def pending_buckets(self) -> List[int]:
@@ -88,7 +99,12 @@ class BucketedRun:
             obs_in = Observation(f"{self.stage}-in-{b}")
             obs_out = Observation(f"{self.stage}-out-{b}")
             part = bucketed.filter(F.col("_bucket") == b).drop("_bucket").observe(
-                obs_in, F.count(F.lit(1)).alias("rows")
+                obs_in,
+                F.count(F.lit(1)).alias("rows"),
+                # order-independent input fingerprint, harvested from the
+                # same job: ties each completed bucket to the input it was
+                # computed from (manifest contract) at zero extra passes
+                F.coalesce(F.expr(f"bit_xor(xxhash64({key_col}))"), F.lit(0)).alias("fp"),
             )
             out_df = stage_fn(part).observe(obs_out, F.count(F.lit(1)).alias("rows"))
             out_path = os.path.join(self.out_dir, self.stage, f"bucket={b}")
@@ -99,6 +115,7 @@ class BucketedRun:
                 "stage": self.stage,
                 "bucket": b,
                 "n_buckets": self.n_buckets,
+                "input_fingerprint": int(obs_in.get["fp"]),
                 "input_rows": in_rows,
                 "output_rows": out_rows,
                 "engine_version": __version__,

@@ -40,16 +40,29 @@ class PagesCatalog:
         self.catalog = catalog
 
     def write(self, pages: DataFrame, mode: str = "overwrite") -> None:
+        if mode not in ("overwrite", "append"):
+            # Iceberg writeTo has no error/ignore save-mode analog; silently
+            # mapping them to append would duplicate data
+            raise ValueError(f"PagesCatalog.write: unsupported mode {mode!r}")
         if self.use_iceberg:
             full = f"{self.catalog}.{self.table}"
-            writer = pages.writeTo(full).using("iceberg")
+            # hidden partitioning: bucket(url) + days(warc_ts) — readers
+            # filter on url/warc_ts and Iceberg prunes invisibly (the
+            # parquet fallback exposes explicit bucket/day columns instead)
+            writer = (
+                pages.writeTo(full)
+                .using("iceberg")
+                .partitionedBy(F.bucket(self.n_buckets, "url"), F.days("warc_ts"))
+            )
             if mode == "overwrite":
                 writer.createOrReplace()
             else:
                 writer.append()
             return
+        from posextract_spark.plans.lineage import bucket_of
+
         withparts = pages.withColumn(
-            "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(self.n_buckets))
+            "bucket", bucket_of(F.col("url"), self.n_buckets)
         ).withColumn("day", F.date_trunc("day", F.col("warc_ts")))
         withparts.write.mode(mode).partitionBy("bucket", "day").parquet(self.location)
 

@@ -29,27 +29,32 @@ def stream_pages_to_triples(
     checkpoint_dir: str,
     out_dir: str,
     provider: str = "template",
-    watermark: str = "1 hour",
     trigger_once: bool = True,
     batch_hook: Optional[Callable[[DataFrame, int], None]] = None,
+    schema=None,
 ):
     """File-source streaming job: new parquet files under ``source_dir``
     flow through the batch pipeline into parquet parts under ``out_dir``.
+    ``schema`` defaults to the pages schema so the query can START before
+    the first file lands (probing an empty source_dir would throw).
 
-    Returns the StreamingQuery (caller awaits/stops it)."""
+    Returns the StreamingQuery (caller awaits/stops it).
+
+    Exactly-once: each micro-batch OVERWRITES its own batch_id-deterministic
+    partition (out_dir/batch_id=N). A crash between the parquet write and
+    the checkpoint commit replays batch N into the same path instead of
+    appending a duplicate copy — blind append would be at-least-once."""
     from posextract_spark.pipeline import pages_to_triples
 
-    pages_schema = spark.read.parquet(source_dir).schema
     stream = (
-        spark.readStream.schema(pages_schema)
+        spark.readStream.schema(schema or _pages_schema())
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
-        .withWatermark("warc_ts", watermark)
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         triples = pages_to_triples(batch_df, provider=provider, use_stored_text=False)
-        triples.write.mode("append").parquet(out_dir)
+        triples.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         if batch_hook is not None:
             batch_hook(triples, batch_id)
 
@@ -59,6 +64,17 @@ def stream_pages_to_triples(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _pages_schema():
+    """Static pages schema (sources.pages.PAGES_SCHEMA as a StructType) —
+    used instead of probing source_dir with a batch read, which throws when
+    the stream is deployed before the first file lands."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from posextract_spark.sources.pages import PAGES_SCHEMA
+
+    return _parse_datatype_string(PAGES_SCHEMA)
 
 
 def streaming_entity_profiles(
@@ -81,9 +97,8 @@ def streaming_entity_profiles(
     from posextract_spark.operators.sentences import split_sentences
     from posextract_spark.operators.triples import extract_triples
 
-    pages_schema = spark.read.parquet(source_dir).schema
     stream = (
-        spark.readStream.schema(pages_schema)
+        spark.readStream.schema(_pages_schema())
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
         .filter(F.col("lang") == "en")
@@ -94,15 +109,23 @@ def streaming_entity_profiles(
     triples = extract_triples(
         sents, text_col="sentence", id_cols=["url", "sent_pos"], provider=provider
     )
+    # ONE pass: a union of two selects would run the whole scan+parse
+    # lineage twice per micro-batch (streaming cannot persist the triples —
+    # the same fan-out cost the batch path fixes with persist())
     mentions = triples.select(
-        F.lower(F.trim(F.col("subject"))).alias("surface_norm"),
-        F.lit(1).alias("is_subject"),
-    ).unionAll(
-        triples.select(
-            F.lower(F.trim(F.col("object"))).alias("surface_norm"),
-            F.lit(0).alias("is_subject"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lower(F.trim(F.col("subject"))).alias("surface_norm"),
+                    F.lit(1).alias("is_subject"),
+                ),
+                F.struct(
+                    F.lower(F.trim(F.col("object"))).alias("surface_norm"),
+                    F.lit(0).alias("is_subject"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.*")
 
     def update_profile(key, pdfs, state):
         import pandas as pd
@@ -148,9 +171,8 @@ def streaming_edge_weights(
     from posextract_spark.operators.sentences import split_sentences
     from posextract_spark.operators.triples import extract_triples
 
-    pages_schema = spark.read.parquet(source_dir).schema
     stream = (
-        spark.readStream.schema(pages_schema)
+        spark.readStream.schema(_pages_schema())
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
         .filter(F.col("lang") == "en")
@@ -188,13 +210,16 @@ def streaming_dedup(
     the unstarted deduplicated stream (first occurrence per text hash
     within the watermark window)."""
     from posextract_spark.functions.hashing import portable_hash64
+    from posextract_spark.operators.dedup import portable_hash64b
 
-    pages_schema = spark.read.parquet(source_dir).schema
     stream = (
-        spark.readStream.schema(pages_schema)
+        spark.readStream.schema(_pages_schema())
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
         .withWatermark("warc_ts", watermark)
         .withColumn("text_hash", portable_hash64(F.col("text")))
+        # 120-bit dual key: a single 60-bit hash hits 50% collision odds
+        # near 1.3e9 docs — 'exact' dedup would silently drop distinct pages
+        .withColumn("text_hash2", portable_hash64b(F.col("text")))
     )
-    return stream.dropDuplicatesWithinWatermark(["text_hash"])
+    return stream.dropDuplicatesWithinWatermark(["text_hash", "text_hash2"])

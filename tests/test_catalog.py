@@ -51,6 +51,14 @@ class _FakePages:
         return _FakeWriter(self.calls)
 
 
+def _pb(w, *cols):  # records partitionedBy transforms by their string form
+    w.calls.append(("partitionedBy", len(cols)))
+    return w
+
+
+_FakeWriter.partitionedBy = _pb
+
+
 class _FakeSpark:
     """Duck-typed session claiming an Iceberg catalog (no jar in sandbox)."""
 
@@ -76,10 +84,22 @@ def test_iceberg_branch_writer_plumbing():
 
     calls = []
     cat.write(_FakePages(calls), mode="overwrite")
-    assert calls == [("writeTo", "ice.pages"), ("using", "iceberg"), ("createOrReplace",)]
+    assert calls == [
+        ("writeTo", "ice.pages"), ("using", "iceberg"),
+        ("partitionedBy", 2),  # bucket(url) + days(warc_ts) hidden partitioning
+        ("createOrReplace",),
+    ]
 
     calls.clear()
     cat.write(_FakePages(calls), mode="append")
-    assert calls == [("writeTo", "ice.pages"), ("using", "iceberg"), ("append",)]
+    assert calls == [
+        ("writeTo", "ice.pages"), ("using", "iceberg"),
+        ("partitionedBy", 2), ("append",),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported mode"):
+        cat.write(_FakePages([]), mode="ignore")
 
     assert cat.read() == ("table", "ice.pages")
