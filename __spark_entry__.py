@@ -680,11 +680,12 @@ def oracle_sql() -> dict[str, str]:
             "sb AS (SELECT surface_norm, substring(surface_norm, 1, 2) AS pfx, "
             "  list_distinct(list_transform(generate_series(1, greatest(len(surface_norm)-1, 0)), "
             "    i -> substring(surface_norm, i, 2))) AS bg FROM surfaces), "
-            "ab AS (SELECT substring(surface_norm, 1, 2) AS pfx, "
+            "ab AS (SELECT substring(surface_norm, 1, 2) AS pfx, surface_norm AS asurf, "
             "  list_distinct(list_transform(generate_series(1, greatest(len(surface_norm)-1, 0)), "
             "    i -> substring(surface_norm, i, 2))) AS abg, canonical AS cand FROM aliases), "
             "scored AS (SELECT s.surface_norm, a.cand, "
             "  CASE WHEN a.abg IS NULL THEN 0 "
+            "       WHEN s.surface_norm = a.asurf THEN 1000000 "
             "       WHEN (len(s.bg) + len(a.abg) - len(list_filter(s.bg, x -> list_contains(a.abg, x)))) > 0 "
             "       THEN CAST(floor(len(list_filter(s.bg, x -> list_contains(a.abg, x)))::DOUBLE "
             "            / (len(s.bg) + len(a.abg) - len(list_filter(s.bg, x -> list_contains(a.abg, x)))) "

@@ -42,42 +42,61 @@ _SPACES_RE = re.compile(r" +")
 
 
 class _PageParser(HTMLParser):
+    """Section/paragraph extraction matching bs4 semantics on nested markup:
+
+    - sections are recorded in START-tag order (bs4 find_all('section'));
+    - a <p> inside nested sections contributes to EVERY open section (bs4:
+      section.find_all('p') matches descendants, so inner paragraphs appear
+      in the outer section too) — the r1 parser tracked only one current
+      section, silently dropping all outer paragraphs around a nested
+      section and everything after its close;
+    - a section's h2 id is its first h2 DESCENDANT (bs4 find('h2')), so one
+      h2 can label several open ancestor sections;
+    - an unclosed <p> is implicitly closed by the next <p> or </section>
+      (documented divergence: bs4+html.parser would NEST the p tags and
+      duplicate inner text into the outer paragraph's get_text()).
+    """
+
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.title_parts: List[str] = []
         self.sections: List[dict] = []
         self._in_title = False
-        self._section: Optional[dict] = None
+        self._stack: List[dict] = []
         self._p: Optional[dict] = None
-        self._h2_pending = False
+
+    def _flush_p(self):
+        if self._p is not None:
+            text = "".join(self._p["text"])
+            for sec in self._stack:
+                sec["paragraphs"].append((self._p["class"], text))
+            self._p = None
 
     def handle_starttag(self, tag, attrs):
         attrs = dict(attrs)
         if tag == "title":
             self._in_title = True
         elif tag == "section":
-            self._section = {"h2_id": None, "h2_seen": False, "paragraphs": []}
-        elif tag == "h2" and self._section is not None:
-            if not self._section["h2_seen"]:
-                self._section["h2_seen"] = True
-                self._section["h2_id"] = attrs.get("id")
-            self._h2_pending = True
-        elif tag == "p" and self._section is not None:
+            sec = {"h2_id": None, "h2_seen": False, "paragraphs": []}
+            self.sections.append(sec)
+            self._stack.append(sec)
+        elif tag == "h2" and self._stack:
+            for sec in self._stack:
+                if not sec["h2_seen"]:
+                    sec["h2_seen"] = True
+                    sec["h2_id"] = attrs.get("id")
+        elif tag == "p" and self._stack:
+            self._flush_p()  # implicit close of an unclosed <p>
             self._p = {"class": attrs.get("class"), "text": []}
 
     def handle_endtag(self, tag):
         if tag == "title":
             self._in_title = False
-        elif tag == "h2":
-            self._h2_pending = False
-        elif tag == "p" and self._p is not None and self._section is not None:
-            self._section["paragraphs"].append(
-                (self._p["class"], "".join(self._p["text"]))
-            )
-            self._p = None
-        elif tag == "section" and self._section is not None:
-            self.sections.append(self._section)
-            self._section = None
+        elif tag == "p":
+            self._flush_p()
+        elif tag == "section" and self._stack:
+            self._flush_p()  # a <p> left open cannot leak across sections
+            self._stack.pop()
 
     def handle_data(self, data):
         if self._in_title:

@@ -87,11 +87,17 @@ def resolve_surfaces_scored(
     )
     a = alias_df.select(
         F.substring("surface_norm", 1, prefix_len).alias("_pfx"),
+        F.col("surface_norm").alias("_asurf"),
         char_bigrams(F.col("surface_norm")).alias("_abg"),
         F.col("canonical").alias("_cand"),
     )
+    # exact dictionary hits short-circuit to 1e6: for >=2-char surfaces the
+    # bigram Jaccard already evaluates to 1e6, but a 1-char surface has NO
+    # bigrams (empty sets -> score 0) and would miss its verbatim alias
     scored = s.join(F.broadcast(a), "_pfx", "left").withColumn(
-        "_score", bigram_jaccard_e6(F.col("_bg"), F.col("_abg"))
+        "_score",
+        F.when(F.col("surface_norm") == F.col("_asurf"), F.lit(1000000).cast("bigint"))
+        .otherwise(bigram_jaccard_e6(F.col("_bg"), F.col("_abg"))),
     )
     best = scored.groupBy("surface_norm").agg(
         F.max(F.struct(F.col("_score").alias("s"), F.col("_cand").alias("c"))).alias("_b")

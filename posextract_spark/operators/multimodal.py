@@ -40,17 +40,16 @@ MEDIA_SCHEMA = (
 )
 
 
-def _require_real_codec(fmt: str):
-    try:
-        import PIL.Image  # noqa: F401
-
-        return
-    except ImportError:
-        raise NotImplementedError(
-            f"decode for format {fmt!r} needs an image codec (PIL) that is "
-            "not installed in this environment; SIMG/SAUD/SVID payloads are "
-            "the deterministic stand-ins"
-        )
+def _require_real_codec(fmt: str, lib: str = "PIL/soundfile"):
+    """Real-format payloads always raise: this build implements only the
+    deterministic synthetic formats. (The r1 version RETURNED when PIL was
+    importable, which let decode_* fall through and struct-unpack a JPEG
+    header as SIMG dimensions — garbage pixels or a reshape crash.)"""
+    raise NotImplementedError(
+        f"decode for format {fmt!r} is not implemented in this build "
+        f"(requires a real codec via {lib}); SIMG/SAUD/SVID payloads are "
+        "the deterministic stand-ins"
+    )
 
 
 # --- pure payload codecs (shared by generator, UDFs, and tests) ------------
@@ -77,7 +76,7 @@ def encode_saud(sample_rate: int, samples: np.ndarray) -> bytes:
 
 def decode_saud(payload: bytes):
     if payload[:4] != b"SAUD":
-        _require_real_codec(payload[:4].hex())
+        _require_real_codec(payload[:4].hex(), lib="soundfile")
     rate, n = struct.unpack("<II", payload[4:12])
     return rate, np.frombuffer(payload[12 : 12 + 2 * n], dtype="<i2")
 

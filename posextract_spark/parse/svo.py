@@ -5,7 +5,7 @@ corpora (like /root/testdata/sf*/documents.parquet) with semantics simple
 enough to mirror in ANSI SQL, so the full Spark pipeline
 (parse UDF -> kernel -> explode) can be verified against a DuckDB oracle.
 
-Contract (mirrored by posextract_spark.operators.triples.SVO_ORACLE_SQL):
+Contract (mirrored by posextract_spark.operators.triples.SVO_TRIPLES_CTE):
 
   * tokenize on single spaces;
   * POS: 'the'/'a'/'an' -> DET; {fast, slow, small, big} -> ADJ;

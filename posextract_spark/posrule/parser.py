@@ -82,7 +82,15 @@ class _Lexer:
         self.pos += 1
 
     def eat_string(self) -> str:
-        """Quoted string with backslash escapes (grammar.py:17-20)."""
+        """Quoted string with backslash escapes (grammar.py:17-20).
+
+        A backslash UNESCAPES only the string-level metacharacters (`\\"` ->
+        `"`, `\\\\` -> `\\`); any other `\\x` is preserved verbatim so regex
+        literals keep their character classes (``RE<"\\d+\\.\\w">`` must reach
+        the matchers as ``\\d+\\.\\w``, not the corrupted ``d+.w``). The
+        reference defines no working semantics to match: its Transformer has
+        no escape_sequence handler, so lark hands ``''.join`` a Tree and any
+        escape crashes with TypeError (grammar.py:19, parser.py:104-108)."""
         self.eat_char('"')
         out = []
         while self.pos < len(self.text):
@@ -91,7 +99,8 @@ class _Lexer:
                 self.pos += 1
                 return "".join(out)
             if c == "\\" and self.pos + 1 < len(self.text):
-                out.append(self.text[self.pos + 1])
+                nxt = self.text[self.pos + 1]
+                out.append(nxt if nxt in ('"', "\\") else "\\" + nxt)
                 self.pos += 2
             else:
                 out.append(c)

@@ -213,8 +213,52 @@ def test_char_bigrams_short_surfaces(spark):
     assert got["ab"] == ["ab"]
 
     # a 1-char surface vs a 1-char alias must NOT link (Jaccard of empties = 0)
+    # a 1-char EXACT dictionary hit must link (score short-circuits to 1e6;
+    # bigram Jaccard alone cannot see it — both bigram sets are empty), while
+    # a 1-char near-miss must not
     alias_df = spark.createDataFrame([("x", "ex")], "surface_norm string, canonical string")
     out = {r.surface_norm: r for r in resolve_surfaces_scored(
-        spark.createDataFrame([("x",)], "surface_norm string"), alias_df
+        spark.createDataFrame([("x",), ("xq",)], "surface_norm string"), alias_df
     ).collect()}
-    assert out["x"].linked == 0 and out["x"].canonical == "x"
+    assert out["x"].linked == 1 and out["x"].canonical == "ex" and out["x"].score_e6 == 1000000
+    assert out["xq"].linked == 0 and out["xq"].canonical == "xq"
+
+
+def test_html_extract_nested_sections_and_unclosed_p():
+    """bs4 parity on nested markup: a nested section's paragraphs appear in
+    the OUTER section too (find_all('p') matches descendants); paragraphs
+    after the inner close still belong to the outer; an unclosed <p> is
+    implicitly closed (r1 dropped all three outer paragraphs)."""
+    from posextract_spark.operators.html_text import extract_text_pure
+
+    html = (
+        '<html><body><section><h2 id="Intro_1">I</h2>'
+        "<p>outer one two three four five six.</p>"
+        '<section><h2 id="Sub_1">S</h2><p>inner aa bb cc dd ee ff.</p></section>'
+        "<p>tail gg hh ii jj kk ll.</p>"
+        "</section></body></html>"
+    )
+    _, text = extract_text_pure(html)
+    assert text == (
+        "outer one two three four five six. inner aa bb cc dd ee ff. "
+        "tail gg hh ii jj kk ll. inner aa bb cc dd ee ff."
+    )
+
+    # unclosed <p> before a following <p>: both survive
+    html2 = (
+        '<html><body><section><h2 id="A_1">A</h2>'
+        "<p>first para has five words<p>second para has six words total"
+        "</section></body></html>"
+    )
+    _, text2 = extract_text_pure(html2)
+    assert text2 == "first para has five words second para has six words total"
+
+    # the first h2 DESCENDANT labels every open ancestor: outer section
+    # whose only h2 lives in a nested 'link' section is dropped WITH it
+    html3 = (
+        "<html><body><section>"
+        '<section><h2 id="External_links">L</h2><p>link text here now ok.</p></section>'
+        "</section></body></html>"
+    )
+    _, text3 = extract_text_pure(html3)
+    assert text3 == ""

@@ -132,3 +132,30 @@ def test_subj_verb_keep_modes(spark):
     assert kept.columns == ["doc_id", "subject", "verb_neg", "verb"]
     assert dropped.columns == ["subject", "verb_neg", "verb"]
     assert kept.count() == dropped.count()
+
+
+def test_posrule_regex_escapes_preserved():
+    r"""Backslash unescapes only string metachars; regex classes survive:
+    RE<"\d+\.\w"> must reach the matcher as \d+\.\w (the r1 lexer stripped
+    every backslash, corrupting it to the any-char pattern d+.w). The
+    reference defines no semantics here — its lark Transformer crashes on
+    any escape (no escape_sequence handler)."""
+    node = parse_posrule_text(r'MATCH SUBJECT=RE<"\d+\.\w">;')
+    assert isinstance(node, Equality) and node.value == r"\d+\.\w"
+    pred = to_python_predicate(node)
+
+    from posextract_spark.kernel.model import Sentence, Token
+    from posextract_spark.kernel.triple import TripleExtraction
+
+    def triple(s):
+        rows = [(s, s, "NOUN", "nsubj", 1), ("ate", "ate", "VERB", "ROOT", 1), ("x", "x", "NOUN", "dobj", 1)]
+        sent = Sentence([Token(i, *r) for i, r in enumerate(rows)])
+        return TripleExtraction(subject=sent[0], verb=sent[1], object=sent[2])
+
+    assert pred(triple("42.a"))
+    assert not pred(triple("dddXw"))  # the corrupted pattern would match this
+    # backslash-quote unescaping still works
+    n2 = parse_posrule_text(r'MATCH SUBJECT="a\"b";')
+    assert n2.value == 'a"b'
+    n3 = parse_posrule_text(r'MATCH SUBJECT="a\\b";')
+    assert n3.value == "a\\b"
