@@ -43,6 +43,36 @@ def q_svo_triples(spark, sf_dir):
     return t.select("doc_id", "subject", "verb", "object")
 
 
+# One shared persisted triples frame per (session, sf_dir), reused by the
+# four KG queries (kg_edges / kg_nodes / entity_link / entity_link_scored).
+# r2 leaked three independent persist()s across the driver's 44-query
+# session (VERDICT r2 item 6); now the expensive extraction materializes
+# once, older cache keys are evicted eagerly, and release_caches() frees
+# the last one (bench.py and the pytest contract suite call it).
+_TRIPLES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shared_triples(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    for k in [k for k in _TRIPLES_CACHE if k != key]:
+        try:
+            _TRIPLES_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+    if key not in _TRIPLES_CACHE:
+        _TRIPLES_CACHE[key] = q_svo_triples(spark, sf_dir).persist()
+    return _TRIPLES_CACHE[key]
+
+
+def release_caches() -> None:
+    """Unpersist every shared frame this module has cached."""
+    for k in list(_TRIPLES_CACHE):
+        try:
+            _TRIPLES_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+
+
 def q_svo_triples_by_verb(spark, sf_dir):
     return (
         q_svo_triples(spark, sf_dir)
@@ -323,7 +353,7 @@ def q_media_frame_sample(spark, sf_dir):
 
 def q_kg_edges(spark, sf_dir):
     """Graph materialize over the SVO triples: edge weights + provenance."""
-    t = q_svo_triples(spark, sf_dir)
+    t = _shared_triples(spark, sf_dir)
     return t.groupBy("subject", "verb", "object").agg(
         F.count(F.lit(1)).alias("weight"), F.countDistinct("doc_id").alias("n_docs")
     )
@@ -335,7 +365,7 @@ def q_kg_nodes(spark, sf_dir):
     the subject/object union would re-run the extraction UDF per branch."""
     from posextract_spark.functions.hashing import portable_hash64
 
-    t = q_svo_triples(spark, sf_dir).persist()
+    t = _shared_triples(spark, sf_dir)
     mentions = t.select(F.col("subject").alias("surface")).unionAll(
         t.select(F.col("object").alias("surface"))
     )
@@ -359,7 +389,7 @@ def q_entity_link(spark, sf_dir):
     mentions -> mention counts per canonical entity."""
     from posextract_spark.operators.linking import link_entities
 
-    t = q_svo_triples(spark, sf_dir).persist()
+    t = _shared_triples(spark, sf_dir)
     mentions = t.select(F.col("subject").alias("surface")).unionAll(
         t.select(F.col("object").alias("surface"))
     )
@@ -378,7 +408,7 @@ def q_entity_link_scored(spark, sf_dir):
     Columns — the scorer is fully codegen'd, zero Python."""
     from posextract_spark.operators.linking import resolve_surfaces_scored
 
-    t = q_svo_triples(spark, sf_dir).persist()
+    t = _shared_triples(spark, sf_dir)
     surfaces = t.select(F.col("subject").alias("surface_norm")).unionAll(
         t.select(F.col("object").alias("surface_norm"))
     )
@@ -474,8 +504,12 @@ def q_sample_fraction(spark, sf_dir):
 
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
+    # renders timestamps as datetime64[us], Spark as [ns], and DATE itself
+    # pandas-ifies divergently (datetime.date objects vs datetime64) — a
+    # string column hashes identically under any canonicalizer.
     return ev.groupBy(
-        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+        F.col("event_type"), F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         # per-row round to exact cents THEN integer sum: order-independent
@@ -708,13 +742,16 @@ def oracle_sql() -> dict[str, str]:
         "sample_n": sample_n_sql(n=50, seed=7),
         "sample_fraction": sample_fraction_sql(fraction=0.1, seed=7),
         "events_by_type_day": (
-            "SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events, "
-            "SUM(CAST(round(value * 100.0) AS BIGINT)) AS sum_value_e2 "
-            "FROM events GROUP BY event_type, date_trunc('day', ts)"
+            # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT,
+            # which pandas renders as float64 ('5695.0' vs Spark's '5695') —
+            # this was the r2 driver hash failure (CORRECTNESS_r02.json).
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events, "
+            "CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_e2 "
+            "FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')"
         ),
         "revenue_by_nation": (
             "SELECT n_name, count(*) AS n_orders, "
-            "SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS revenue_e2 "
+            "CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e2 "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name"

@@ -67,20 +67,48 @@ def main() -> None:
     emb.count()
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
-    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    extras: dict = {}
+    all_runs: dict[str, list[float]] = {}
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # Pre-flight load guard: the r2 driver bench was noise-contaminated
+    # (28.7s recorded vs 16.7s reproduced on a quiet box; this VM shows
+    # documented +-60% noisy-neighbor variance). If the 1-min load average
+    # says another heavy job is running, wait briefly for it to drain and
+    # say so on stderr — the stdout contract stays ONE JSON line.
+    load_limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_LIMIT", str(max(4.0, cpus * 0.5))))
+    load_waited = 0.0
+    try:
+        for _ in range(6):
+            load1 = os.getloadavg()[0]
+            if load1 <= load_limit:
+                break
+            print(f"bench: load1={load1:.1f} > {load_limit:.1f}, waiting 10s for quiet box",
+                  file=sys.stderr)
+            time.sleep(10)
+            load_waited += 10.0
+        extras["load1_at_start"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    if load_waited:
+        extras["load_wait_sec"] = load_waited
 
     def timed(name: str, fn):
         # min-of-N: this VM shows occasional 5-25x noisy-neighbor spikes on
         # individual queries (BENCH/BASELINE.md); a single sample can land
         # entirely inside one. The min is the honest capability number.
-        best, result = None, None
+        # Every per-run sample is printed (stderr) and recorded (JSON
+        # "runs") so a spike-contaminated session is self-diagnosing.
+        best, result, samples = None, None, []
         for _ in range(runs_per_query):
             t0 = time.time()
             result = fn()
             dt = time.time() - t0
+            samples.append(round(dt, 3))
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        all_runs[name] = samples
+        print(f"bench: {name} runs={samples} min={timings[name]}", file=sys.stderr)
         return result
 
     # Full-width warmup: run the real extraction once untimed so every
@@ -128,6 +156,7 @@ def main() -> None:
         "cpus": cpus,
         "replicate": replicate,
         "runs_per_query": runs_per_query,
+        "runs": all_runs,
         **extras,
     }
     print(json.dumps(out))

@@ -1,14 +1,15 @@
 """Canonicalization: surface-form aggregation + connected components.
 
 Connected components over co-reference/alias edges is the one operator
-Spark lacks natively (SURVEY.md §4.2). Implemented as iterative min-label
-propagation over DataFrame joins with ``localCheckpoint()`` per round to
-cut lineage growth and an early-exit convergence probe. Rounds are
-O(graph diameter); alias/co-reference graphs are near-star-shaped
-(diameter <= ~4), so this settles in a handful of rounds. For adversarially
-deep graphs the alternating large-star/small-star formulation (Kiveris et
-al., "Connected Components in MapReduce and Beyond") drops this to
-O(log n) rounds — the planned upgrade path if component shapes change.
+Spark lacks natively (SURVEY.md §4.2). Two implementations share one
+output contract: ``connected_components_star`` — alternating
+large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+and Beyond"), O(log n) rounds on any graph shape — is the DEFAULT used by
+``canonical_clusters``; ``connected_components`` (iterative min-label
+propagation, O(graph-diameter) join rounds) is kept as the simpler
+reference implementation and converges faster only on near-star graphs
+(diameter <= ~4). Both localCheckpoint() per round to cut lineage growth
+and early-exit on convergence.
 
 Skew note (north_rule): head entities produce hot keys in the surface-form
 groupBy; ``salted_counts`` demonstrates the two-phase salted aggregation
@@ -186,7 +187,11 @@ def canonical_clusters(
         portable_hash64(F.col("surface_norm")).alias("src"),
         portable_hash64(F.concat(F.lit("canon:"), F.col("canonical"))).alias("dst"),
     )
-    comps = connected_components(edges)
+    # Default to large-star/small-star: O(log n) rounds on ANY component
+    # shape. min-label propagation is O(diameter) join rounds — a
+    # pronoun-hub co-reference chain at 100x data makes that dozens of
+    # shuffles (VERDICT r2 item 5); star CC is the only safe default.
+    comps = connected_components_star(edges)
 
     surfaces = alias_df.select(
         "surface_norm", portable_hash64(F.col("surface_norm")).alias("node")

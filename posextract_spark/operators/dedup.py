@@ -272,7 +272,7 @@ WITH sh AS (
   SELECT doc_id, {_H.format(x='shingle')} AS h
   FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
 ),
-seeds AS (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed),
+seeds AS (SELECT CAST(unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS INTEGER) AS seed),
 rehashed AS (
   SELECT doc_id, seed,
          ({_A_LIST}[seed + 1] * (h % {MINHASH_P}) + {_B_LIST}[seed + 1]) % {MINHASH_P} AS mh
@@ -314,7 +314,7 @@ _BAND_PAIRS_CTES = f"""sh AS (
   SELECT doc_id, {_H.format(x='shingle')} AS h
   FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
 ),
-seeds AS (SELECT unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS seed),
+seeds AS (SELECT CAST(unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS INTEGER) AS seed),
 sig AS (
   SELECT doc_id, seed,
          min(({_A_LIST}[seed + 1] * (h % {MINHASH_P}) + {_B_LIST}[seed + 1]) % {MINHASH_P}) AS minhash

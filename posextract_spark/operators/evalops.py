@@ -172,7 +172,7 @@ WITH docs2 AS (
          ELSE text END AS text
   FROM documents
 )
-SELECT doc_id, len({_WORDS}) AS num_words
+SELECT doc_id, CAST(len({_WORDS}) AS INTEGER) AS num_words
 FROM docs2
 WHERE NOT regexp_matches(text, '^hon\\.$') AND regexp_matches(text, '^[A-Z]')
 """

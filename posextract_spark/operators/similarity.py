@@ -482,7 +482,7 @@ vecs AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
 ),
 pairs AS (
-  SELECT v.vec_id, c.cid AS centroid_id,
+  SELECT v.vec_id, CAST(c.cid AS INTEGER) AS centroid_id,
     CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
          * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
       list_aggregate(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.cvec[i]), 'sum')
@@ -591,7 +591,7 @@ def ivf_assign_kmeans_sql(n_iter: int = 2, k: int = IVF_K) -> str:
         ctes
         + ",\n"
         + _assign_ctes("F", final).lstrip()
-        + "\nSELECT vec_id, cid AS centroid_id, sim_e6 FROM assignF"
+        + "\nSELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, sim_e6 FROM assignF"
     )
 
 

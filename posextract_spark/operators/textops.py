@@ -98,14 +98,14 @@ _WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
 TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
-       len({_WORDS}) AS n_tokens,
+       CAST(len({_WORDS}) AS INTEGER) AS n_tokens,
        CAST(floor(length(text) / 4) AS BIGINT) AS n_tokens_bpe_est
 FROM documents
 """
 
 QUALITY_SCORE_SQL = f"""
 SELECT doc_id,
-  len({_WORDS}) AS n_words,
+  CAST(len({_WORDS}) AS INTEGER) AS n_words,
   CASE WHEN len({_WORDS}) > 0
        THEN CAST(floor(length(replace(text, ' ', '')) * 10000.0 / len({_WORDS})) AS BIGINT)
        ELSE 0 END AS mean_word_len_e4,
@@ -195,7 +195,7 @@ WITH dirty AS (
   FROM documents
 )
 SELECT doc_id,
-  length(text) AS n_chars_raw,
+  CAST(length(text) AS INTEGER) AS n_chars_raw,
   trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
        '[\\x00-\\x1F\\x7F]', ' ', 'g'),
        '[{_ZEROWIDTH_RE[1:-1]}]', '', 'g'),
@@ -203,7 +203,7 @@ SELECT doc_id,
   length(trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
        '[\\x00-\\x1F\\x7F]', ' ', 'g'),
        '[{_ZEROWIDTH_RE[1:-1]}]', '', 'g'),
-       ' +', ' ', 'g'))) AS n_chars_clean
+       ' +', ' ', 'g')))::INTEGER AS n_chars_clean
 FROM dirty
 """
 
@@ -361,9 +361,9 @@ WITH dirty AS (
   FROM documents
 )
 SELECT doc_id,
-  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-  len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_url,
-  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_url,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
   regexp_replace(regexp_replace(regexp_replace(text,
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
     'https?://[^ ]+', '<URL>', 'g'),

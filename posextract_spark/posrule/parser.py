@@ -10,11 +10,22 @@ Grammar (reference: src/posextract/posrule/grammar.py:1-39):
     literal    : 'RE<' '"' chars '"' '>' | '"' chars '"'
     op         : AND | OR
 
-Operator chains are right-associative, matching the reference transformer's
-``Expression(op, tree[0], tree[2])`` over the right-recursive grammar
-(reference: posrule/parser.py:125-142, including the parenthesized-rule
-re-association hack whose effect is the same right fold).
-Comments ``// ...`` and whitespace are ignored.
+Operator chains are right-associative with NO AND/OR precedence, matching
+the reference transformer's ``Expression(op, tree[0], tree[2])`` over the
+right-recursive grammar (reference: posrule/parser.py:125-142, including
+the parenthesized-rule re-association hack whose effect is the same right
+fold). Comments ``// ...`` and whitespace are ignored.
+
+DIVERGENCES (pinned by tests/test_posrule_paren_goldens.py): exactly one,
+intentional. A parenthesized group NOT followed by an operator —
+``MATCH (A);`` or a trailing ``X AND (B)`` — crashes the reference: its
+re-association hack calls ``self.rule(tree[3:])`` on an empty slice and
+the first isinstance check dereferences ``tree[0]`` (IndexError, surfaced
+as lark VisitError; hand-derived, reference parser.py:130-142 — lark is
+unavailable in-sandbox to execute it). We accept such files with the only
+sensible semantics (redundant grouping). Every input the reference
+survives parses to an identical expression tree here, including the
+right-fold of ``( group ) op rest`` and the no-precedence chains.
 """
 
 from __future__ import annotations

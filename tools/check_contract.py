@@ -29,11 +29,26 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def _norm(v) -> str:
+    # STRICT stringification — deliberately NO float->int collapse: the
+    # driver's hasher stringifies raw values, so a DuckDB HUGEINT that
+    # pandas-ifies to float64 ('5695.0') must FAIL here against Spark's
+    # int64 ('5695'), exactly as it fails in the driver (r2 lesson:
+    # events_by_type_day / revenue_by_nation, CORRECTNESS_r02.json).
     if v is None or v != v:
         return ""
-    if isinstance(v, float) and v == int(v):
-        return str(int(v))
     return str(v)
+
+
+def dtypes_match(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
+    """Per-column pandas-dtype equality after name sort. Catches divergent
+    pandas-ification (HUGEINT->float64, DATE->datetime64 vs object) even
+    when the stringified values happen to collide."""
+    mism = []
+    for c in sorted(sdf.columns):
+        st, ot = str(sdf[c].dtype), str(odf[c].dtype)
+        if st != ot:
+            mism.append(f"{c}: spark={st} oracle={ot}")
+    return (not mism, "; ".join(mism))
 
 
 def main(sf_dir: str, only: list[str]) -> int:
@@ -62,13 +77,16 @@ def main(sf_dir: str, only: list[str]) -> int:
         ok_rows = len(sdf) == len(odf)
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
         ok_hash = value_hash(sdf) == value_hash(odf) if ok_rows and ok_cols else False
-        status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        ok_dtypes, dtype_msg = dtypes_match(sdf, odf) if ok_cols else (False, "cols differ")
+        status = "OK" if (ok_rows and ok_cols and ok_hash and ok_dtypes) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(
             f"{name}: {status} rows={len(sdf)}/{len(odf)} cols_ok={ok_cols} "
-            f"hash_ok={ok_hash} ({t1-t0:.1f}s)"
+            f"hash_ok={ok_hash} dtypes_ok={ok_dtypes} ({t1-t0:.1f}s)"
         )
+        if not ok_dtypes and ok_cols:
+            print(f"  dtype mismatch: {dtype_msg}")
         if status == "FAIL" and ok_cols:
             s = sdf.reindex(sorted(sdf.columns), axis=1)
             o = odf.reindex(sorted(odf.columns), axis=1)
