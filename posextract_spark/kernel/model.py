@@ -93,19 +93,61 @@ class Token:
 
 
 class Sentence:
-    """One parsed sentence: a token array wired into a tree."""
+    """One parsed sentence: a token array wired into a tree.
 
-    __slots__ = ("tokens", "_children")
+    ``_soa`` is a lazily-built struct-of-arrays view (per-token bitmask
+    flags + int child/head index arrays) used by the traversal hot path —
+    see kernel.traversal._soa_of. Built once per sentence, it replaces
+    repeated string comparisons across the ~N-verbs-per-sentence searches
+    with single int ops."""
+
+    __slots__ = ("tokens", "_children", "_kid_idx", "_soa")
 
     def __init__(self, tokens: Sequence[Token]):
         self.tokens: List[Token] = list(tokens)
+        self._soa = None
         self._children: List[List[Token]] = [[] for _ in self.tokens]
+        self._kid_idx: List[List[int]] = [[] for _ in self.tokens]
         # tokens are iterated in index order, so each child list is already
         # sorted by token index (spaCy convention) — no sort needed.
         for tok in self.tokens:
             tok._sent = self
-            if tok.head_i != tok.i:
-                self._children[tok.head_i].append(tok)
+            hi = tok.head_i
+            if hi != tok.i:
+                self._children[hi].append(tok)
+                self._kid_idx[hi].append(tok.i)
+
+    @classmethod
+    def from_arrays(
+        cls,
+        words: Sequence[str],
+        lemmas: Sequence[str],
+        pos: Sequence[str],
+        dep: Sequence[str],
+        head: Sequence[int],
+    ) -> "Sentence":
+        """Fused construction from parallel arrays: one pass creates the
+        tokens AND wires children (providers already hold these arrays;
+        the Token-listcomp + re-iteration in __init__ was ~10% of
+        single-core extraction)."""
+        sent = cls.__new__(cls)
+        n = len(words)
+        tokens: List[Token] = [None] * n  # type: ignore[list-item]
+        children: List[List[Token]] = [[] for _ in range(n)]
+        kid_idx: List[List[int]] = [[] for _ in range(n)]
+        for i in range(n):
+            hi = head[i]
+            tok = Token(i, words[i], lemmas[i], pos[i], dep[i], hi)
+            tok._sent = sent
+            tokens[i] = tok
+            if hi != i:
+                children[hi].append(tok)
+                kid_idx[hi].append(i)
+        sent.tokens = tokens
+        sent._children = children
+        sent._kid_idx = kid_idx
+        sent._soa = None
+        return sent
 
     @classmethod
     def from_rows(cls, rows: Sequence) -> "Sentence":

@@ -31,6 +31,151 @@ from posextract_spark.kernel.verb_phrase import find_verb_phrases
 SubjectCand = Tuple[Optional[Token], Token]  # (negdet, subject)
 ObjectCand = Tuple[Optional[Token], Optional[Token], Optional[Token], Token]
 
+_OBJ_DEP_TAGS = frozenset({"dobj", "pobj", "acomp"})
+_POA_DEPS = frozenset({"prep", "agent", "det", "nmod"})
+_VERB_DEP_TAGS = frozenset(
+    {"ccomp", "relcl", "xcomp", "acl", "advcl", "pcomp", "csubj", "csubjpass", "conj"}
+)
+
+# Struct-of-arrays bitmask flags, one int per token (built once per
+# sentence, cached on Sentence._soa). Each bit is a token-LOCAL predicate
+# the searches/walk would otherwise re-evaluate as string comparisons for
+# every one of the ~n-verbs-per-sentence DFS invocations.
+F_SUBJ = 1        # dep in (nsubj, nsubjpass)            [traversal.py:168-170]
+F_VERBPOS = 2     # pos == VERB                          [descend prune :185]
+F_AUXPOS = 4      # pos == AUX                           [vp descend prune :187]
+F_CONJADVCL = 8   # dep in (conj, advcl)                 [ascend prune :195-198]
+F_OBJCAND = 16    # classifiers.is_object                [util.py:83-99]
+F_POADEP = 32     # dep in (prep, agent, det, nmod)      [util.py:106-107]
+F_ISVERB = 64     # classifiers.is_verb                  [util.py:73-80]
+_F_VERB_OR_AUX = F_VERBPOS | F_AUXPOS
+
+
+# flags are a pure function of (dep, pos): memoized globally (a corpus
+# has a few dozen distinct pairs), so the per-token build is two dict gets.
+_FLAG_CACHE: dict = {}
+
+
+def _compute_flags(d: str, p: str) -> int:
+    f = 0
+    if d == "nsubj" or d == "nsubjpass":
+        f = F_SUBJ
+    if p == "VERB":
+        f |= F_VERBPOS
+    elif p == "AUX":
+        f |= F_AUXPOS
+    if d == "conj" or d == "advcl":
+        f |= F_CONJADVCL
+    if (
+        d in _OBJ_DEP_TAGS
+        or (p == "NOUN" and (d == "amod" or d == "attr"))
+        or (p == "PROPN" and d == "attr")
+        or (p == "ADV" and d == "advmod")
+        or (p == "PRON" and d == "dative")
+    ):
+        f |= F_OBJCAND
+    if d in _POA_DEPS:
+        f |= F_POADEP
+    if d == "ROOT" or (d in _VERB_DEP_TAGS and not (d == "conj" and p == "PROPN")):
+        f |= F_ISVERB
+    return f
+
+
+def _soa_of(sent: Sentence):
+    """Build (once per sentence) the struct-of-arrays view:
+
+    flags     — per-token bitmask (above)
+    kid_idx   — children as int index lists
+    head_idx  — head as int index
+    subj_cands— [(negdet, token), ...] for each F_SUBJ token, index order
+                (get_subject_neg is a pure function of the subject token,
+                so it is computed once per subject, not once per verb)
+    reach     — per-token int bitmask: bit j set iff subject j is
+                reachable from this token by subject_search's move rules.
+
+    ``reach`` inverts the per-verb subject DFS (reference:
+    traversal.py:161-205): subject_search from v finds exactly
+    {s : path v->s over (down into non-VERB child | up to parent unless
+    (parent VERB/AUX and from-node dep conj/advcl))}. Reachability is
+    path existence, so computing it from each SUBJECT over the REVERSED
+    moves — up allowed iff the from-node is not VERB-pos (reverse of the
+    child prune), down into child c allowed iff not (from-node VERB/AUX
+    and c conj/advcl) (reverse of the ascend prune) — marks every v with
+    the subjects its forward search would find. One DFS per subject
+    (few) replaces one DFS per verb (many); a verb with no subjects
+    (~70% of visits on web text) costs one list index. Equivalence is
+    exact because _dedup_sorted_subjects sorts by subject token index
+    and subject keys are unique per subject, so only the SET matters;
+    pinned by tests/test_fast_kernel_parity.py and the differential.
+
+    obj_cands — per-token (poa_neg, poa, obj_negdet, token) for each
+                F_OBJCAND token (all four fields are pure functions of
+                the candidate token), else None.
+    """
+    soa = sent._soa
+    if soa is None:
+        tokens = sent.tokens
+        n = len(tokens)
+        flags = []
+        fappend = flags.append
+        cache = _FLAG_CACHE
+        for t in tokens:
+            d = t.dep
+            by_dep = cache.get(d)
+            if by_dep is None:
+                by_dep = cache[d] = {}
+            p = t.pos
+            f = by_dep.get(p)
+            if f is None:
+                f = by_dep[p] = _compute_flags(d, p)
+            fappend(f)
+        kid_idx = sent._kid_idx
+        head_idx = [t.head_i for t in tokens]
+
+        subj_cands = []
+        reach = [0] * n
+        j = 0
+        for si in range(n):
+            if flags[si] & F_SUBJ:
+                cand = tokens[si]
+                subj_cands.append((get_subject_neg(cand), cand))
+                bit = 1 << j
+                j += 1
+                stack = [si]
+                while stack:
+                    x = stack.pop()
+                    if reach[x] & bit:
+                        continue
+                    reach[x] |= bit
+                    if not flags[x] & F_VERBPOS:
+                        h = head_idx[x]
+                        if not reach[h] & bit:
+                            stack.append(h)
+                    x_is_va = flags[x] & _F_VERB_OR_AUX
+                    for c in kid_idx[x]:
+                        if reach[c] & bit:
+                            continue
+                        if x_is_va and flags[c] & F_CONJADVCL:
+                            continue
+                        stack.append(c)
+
+        obj_cands: List[Optional[ObjectCand]] = [None] * n
+        for ci in range(n):
+            if flags[ci] & F_OBJCAND:
+                candidate = tokens[ci]
+                hi = head_idx[ci]
+                if flags[hi] & F_POADEP:
+                    poa = tokens[hi]
+                    poa_neg = get_poa_neg(poa)
+                else:
+                    poa = None
+                    poa_neg = None
+                obj_cands[ci] = (poa_neg, poa, get_object_neg(candidate), candidate)
+
+        soa = (flags, kid_idx, head_idx, subj_cands, reach, obj_cands)
+        sent._soa = soa
+    return soa
+
 
 def subject_search(token: Token, verb_phrase: bool = False) -> List[SubjectCand]:
     """Worklist DFS over children AND parents (reference: traversal.py:161-205).
@@ -40,86 +185,71 @@ def subject_search(token: Token, verb_phrase: bool = False) -> List[SubjectCand]
     conj/advcl candidate into a VERB/AUX parent (195-198).
     """
     found: List[SubjectCand] = []
-    visited = set()
-    considering = [token]
     sent = token._sent
-    children_of = sent._children
+    flags, kid_idx, head_idx, _, _, _ = _soa_of(sent)
     tokens = sent.tokens
+    child_block = _F_VERB_OR_AUX if verb_phrase else F_VERBPOS
+
+    visited = set()
+    add = visited.add
+    considering = [token.i]
+    push = considering.append
+    pop = considering.pop
 
     while considering:
-        candidate = considering.pop()
-        ci = candidate.i
+        ci = pop()
         if ci in visited:
             continue
-        visited.add(ci)
+        add(ci)
+        fc = flags[ci]
 
-        if candidate.dep in ("nsubj", "nsubjpass"):
+        if fc & F_SUBJ:
+            candidate = tokens[ci]
             found.append((get_subject_neg(candidate), candidate))
 
-        for child in children_of[ci]:
-            if child.i in visited:
+        for ki in kid_idx[ci]:
+            if ki in visited or flags[ki] & child_block:
                 continue
-            if child.pos == "VERB":
-                continue
-            if verb_phrase and child.pos == "AUX":
-                continue
-            considering.append(child)
+            push(ki)
 
-        parent = tokens[candidate.head_i]
-        if parent.i not in visited:
-            if (parent.pos == "VERB" or parent.pos == "AUX") and candidate.dep in ("conj", "advcl"):
+        hi = head_idx[ci]
+        if hi not in visited:
+            if flags[hi] & _F_VERB_OR_AUX and fc & F_CONJADVCL:
                 continue
-            considering.append(parent)
+            push(hi)
 
     return found
-
-
-_OBJ_DEP_TAGS = frozenset({"dobj", "pobj", "acomp"})
-_POA_DEPS = frozenset({"prep", "agent", "det", "nmod"})
-_VERB_DEP_TAGS = frozenset(
-    {"ccomp", "relcl", "xcomp", "acl", "advcl", "pcomp", "csubj", "csubjpass", "conj"}
-)
 
 
 def object_search(token: Token) -> List[ObjectCand]:
     """Worklist DFS over children only (reference: traversal.py:131-158).
     Prunes VERB/AUX-pos children (153-155). The object test is
-    classifiers.is_object inlined — this is the kernel's hottest loop."""
+    classifiers.is_object precomputed into F_OBJCAND — this is the
+    kernel's hottest loop."""
     found: List[ObjectCand] = []
-    visited = set()
-    considering = [token]
     sent = token._sent
-    children_of = sent._children
-    tokens = sent.tokens
+    flags, kid_idx, _, _, _, obj_cands = _soa_of(sent)
+
+    visited = set()
+    add = visited.add
+    considering = [token.i]
+    push = considering.append
+    pop = considering.pop
 
     while considering:
-        candidate = considering.pop()
-        ci = candidate.i
+        ci = pop()
         if ci in visited:
             continue
-        visited.add(ci)
+        add(ci)
 
-        dep = candidate.dep
-        pos = candidate.pos
-        if (
-            dep in _OBJ_DEP_TAGS
-            or (pos == "NOUN" and (dep == "amod" or dep == "attr"))
-            or (pos == "PROPN" and dep == "attr")
-            or (pos == "ADV" and dep == "advmod")
-            or (pos == "PRON" and dep == "dative")
-        ):
-            obj_negdet = get_object_neg(candidate)
-            head = tokens[candidate.head_i]
-            poa = head if head.dep in _POA_DEPS else None
-            poa_neg = get_poa_neg(poa) if poa is not None else None
-            found.append((poa_neg, poa, obj_negdet, candidate))
+        cand = obj_cands[ci]
+        if cand is not None:
+            found.append(cand)
 
-        for child in children_of[ci]:
-            if child.i in visited:
+        for ki in kid_idx[ci]:
+            if ki in visited or flags[ki] & _F_VERB_OR_AUX:
                 continue
-            if child.pos == "VERB" or child.pos == "AUX":
-                continue
-            considering.append(child)
+            push(ki)
 
     return found
 
@@ -134,6 +264,10 @@ def _dedup_sorted_subjects(subjects: List[SubjectCand]) -> List[SubjectCand]:
             out.append(cand)
     out.sort(key=lambda c: c[1].i)
     return out
+
+
+def _obj_sort_key(c: ObjectCand):
+    return c[3].i
 
 
 def _dedup_sorted_objects(objects: List[ObjectCand]) -> List[ObjectCand]:
@@ -151,39 +285,128 @@ def _dedup_sorted_objects(objects: List[ObjectCand]) -> List[ObjectCand]:
 # rule tag strings precomputed once (not per emitted triple)
 _RULES = tuple((f, " <%s>" % f.__name__) for f in RULE_FUNCS)
 
+# Dep-gated rule sequences. Each rule's FIRST check is a verb.dep gate
+# (reference: rules.py — rule3 `not in (relcl, acl)`, rule8 `!= conj`,
+# ...); pre-filtering by verb.dep skips calls that would return False on
+# line one, preserving first-match-wins order over the surviving subset.
+# rule10 has NO dep gate for Token verbs and is ALWAYS excluded for
+# VerbPhrases (its hasattr(verb, 'conjuncts') is False for every
+# VerbPhrase — reference: rules.py:209-210). Gate sets transcribed from
+# each rule's dep test; pinned exhaustively by
+# tests/test_fast_kernel_parity.py over the fuzz corpus.
+_RULE_DEP_GATES = (
+    {"pcomp"},                                              # rule1
+    {"ccomp", "conj", "relcl", "advcl", "pcomp", "ROOT"},   # rule2
+    {"relcl", "acl"},                                       # rule3
+    {"xcomp", "advcl", "conj"},                             # rule4
+    {"ccomp", "advcl", "pcomp", "ROOT"},                    # rule5
+    {"xcomp", "advcl"},                                     # rule6
+    {"relcl"},                                              # rule7
+    {"conj"},                                               # rule8
+    {"relcl"},                                              # rule9
+    None,                                                   # rule10: any dep
+    {"ccomp"},                                              # rule11
+    {"conj"},                                               # rule12
+)
 
-def visit_verb(
+_GATED_RULES: dict = {}
+
+
+def _rules_for(dep: str, is_vp: bool):
+    key = (dep, is_vp)
+    seq = _GATED_RULES.get(key)
+    if seq is None:
+        seq = tuple(
+            (f, tag)
+            for (f, tag), gate in zip(_RULES, _RULE_DEP_GATES)
+            if (gate is None and not is_vp) or (gate is not None and dep in gate)
+        )
+        _GATED_RULES[key] = seq
+    return seq
+
+
+def _object_cands_dfs(vi: int, flags, kid_idx, obj_cands) -> List[ObjectCand]:
+    """object_search body on a pre-unpacked SoA (no per-call cache hop)."""
+    found: List[ObjectCand] = []
+    visited = set()
+    add = visited.add
+    considering = [vi]
+    push = considering.append
+    pop = considering.pop
+    while considering:
+        ci = pop()
+        if ci in visited:
+            continue
+        add(ci)
+        cand = obj_cands[ci]
+        if cand is not None:
+            found.append(cand)
+        for ki in kid_idx[ci]:
+            if ki in visited or flags[ki] & _F_VERB_OR_AUX:
+                continue
+            push(ki)
+    return found
+
+
+def _emit_for_verb(
     verb: TokenLike,
-    parent_subjects: List[SubjectCand],
     parent_objects: List[ObjectCand],
-    out: Optional[List[TripleExtraction]] = None,
-) -> List[TripleExtraction]:
-    """reference: traversal.py:30-84 — cross product subjects x objects,
-    rules 1-12 first-match-wins, then recurse into children.
-
-    Appends to (and returns) ``out`` in the reference's emission order.
-    Accumulator-passing instead of nested generators: `yield from` chains
-    pay per-item frame delegation down the whole recursion stack (profiled
-    at ~14x call amplification on web-text trees)."""
-    if out is None:
-        out = []
+    out: List[TripleExtraction],
+    soa=None,
+) -> None:
+    """The subjects x objects x rules emission for ONE verb
+    (reference: traversal.py:30-80), with two output-equivalent
+    short-circuits: a verb with no subject candidates (or no object
+    candidates and no inherited ones) emits nothing, so the object
+    search / negation extraction / dedup-sorts are skipped for it —
+    ~70% of verb visits on web-text corpora."""
     is_vp = isinstance(verb, VerbPhrase)
     if is_vp:
-        subjects = subject_search(verb.subject_search_root, verb_phrase=True)
+        # VerbPhrase searches use different prunes (AUX children blocked)
+        # — rare; keep the direct forward DFS.
+        subjects = _dedup_sorted_subjects(
+            subject_search(verb.subject_search_root, verb_phrase=True)
+        )
+        if not subjects:
+            return
         objects = object_search(verb.object_search_root) + parent_objects
+        if not objects:
+            return
+        objects = _dedup_sorted_objects(objects)
     else:
-        subjects = subject_search(verb)
-        objects = object_search(verb) + parent_objects
-
-    subjects = _dedup_sorted_subjects(subjects)
-    objects = _dedup_sorted_objects(objects)
+        if soa is None:
+            soa = _soa_of(verb._sent)
+        flags, kid_idx, _, subj_cands, reach, obj_cands = soa
+        vi = verb.i
+        mask = reach[vi]
+        if not mask:
+            return
+        # subj_cands is in token-index order and subject keys are unique
+        # per subject, so this IS _dedup_sorted_subjects' output.
+        subjects = (
+            [c for j, c in enumerate(subj_cands) if mask >> j & 1]
+            if mask != (1 << len(subj_cands)) - 1
+            else subj_cands
+        )
+        objects = _object_cands_dfs(vi, flags, kid_idx, obj_cands)
+        if parent_objects:
+            objects = _dedup_sorted_objects(objects + parent_objects)
+        else:
+            if not objects:
+                return
+            # DFS visits each node once and object keys are unique per
+            # candidate token, so dedup is a no-op: sort only. The sort
+            # key matches _dedup_sorted_objects' (obj.i is unique, the
+            # poa tiebreak can never engage).
+            objects.sort(key=_obj_sort_key)
+    rules = _rules_for(verb.dep, is_vp)
 
     neg_adverb, neg_adverb_part = get_verb_neg(verb)
     append = out.append
 
     for subject_negdet, subject in subjects:
         for poa_neg, poa, obj_negdet, obj in objects:
-            for rule, tag in _RULES:
+            for rule, tag in rules:
                 if rule(verb, subject, obj, poa):
                     append(
                         TripleExtraction(
@@ -202,7 +425,68 @@ def visit_verb(
                     )
                     break
 
-    visit_token(verb, subjects, out)
+
+def _walk(entry: TokenLike, entry_is_verb: bool, out: List[TripleExtraction]) -> None:
+    """Iterative pre-order engine replacing the visit_verb/visit_token
+    mutual recursion (reference: traversal.py:30-93). An int stack of
+    token indices, children pushed in reverse so the leftmost child pops
+    first, reproduces the recursion's emission order exactly (child verbs
+    restart with empty inherited context, traversal.py:87-93, so no
+    per-frame state needs to travel). Non-verb leaves are never pushed —
+    the recursion's visit of them is a no-op (classifiers.is_verb is the
+    precomputed F_ISVERB bit, parity pinned by the differential)."""
+    if entry_is_verb:
+        _emit_for_verb(entry, [], out)
+    if isinstance(entry, VerbPhrase):
+        sent = entry.first._sent
+        seed = entry.children  # first.children + second.children, in order
+    else:
+        sent = entry._sent
+        seed = sent._children[entry.i]
+    if not seed:
+        return
+    soa = _soa_of(sent)
+    flags, kid_idx, _, _, reach, _ = soa
+    tokens = sent.tokens
+
+    stack: List[int] = []
+    push = stack.append
+    pop = stack.pop
+    for k in range(len(seed) - 1, -1, -1):
+        child = seed[k]
+        ci = child.i
+        if flags[ci] & F_ISVERB or kid_idx[ci]:
+            push(ci)
+    while stack:
+        ci = pop()
+        # reach[ci] == 0 => _emit_for_verb would return on its first
+        # check (no subject reachable); skip the call entirely.
+        if flags[ci] & F_ISVERB and reach[ci]:
+            _emit_for_verb(tokens[ci], [], out, soa)
+        kids = kid_idx[ci]
+        for k in range(len(kids) - 1, -1, -1):
+            ki = kids[k]
+            if flags[ki] & F_ISVERB or kid_idx[ki]:
+                push(ki)
+
+
+def visit_verb(
+    verb: TokenLike,
+    parent_subjects: List[SubjectCand],
+    parent_objects: List[ObjectCand],
+    out: Optional[List[TripleExtraction]] = None,
+) -> List[TripleExtraction]:
+    """reference: traversal.py:30-84 — cross product subjects x objects,
+    rules 1-12 first-match-wins, then recurse into children.
+
+    Kept as the public per-verb API (tests and the reference's own shape);
+    ``graph_tokens`` drives the iterative ``_walk`` engine instead.
+    ``parent_subjects`` is accepted for signature parity but — exactly as
+    in the reference — never read (child verbs reset context)."""
+    if out is None:
+        out = []
+    _emit_for_verb(verb, parent_objects, out)
+    _walk(verb, False, out)  # children only: emission for `verb` done above
     return out
 
 
@@ -215,36 +499,37 @@ def visit_token(
     inherited context."""
     if out is None:
         out = []
-    # classifiers.is_verb inlined (kept in sync with util.py:73-80 parity;
-    # pinned by the differential) — this runs once per token in the tree.
-    for child in token.children:
-        dep = child.dep
-        if dep == "ROOT" or (
-            dep in _VERB_DEP_TAGS and not (dep == "conj" and child.pos == "PROPN")
-        ):
-            visit_verb(child, [], [], out)
-        else:
-            visit_token(child, [], out)
+    _walk(token, False, out)
     return out
 
 
 def graph_tokens(sent: Sentence) -> List[TripleExtraction]:
     """reference: traversal.py:96-128 — ROOT-rooted recursion, then gated
-    verb-phrase visits."""
+    verb-phrase visits.
+
+    Sentence-level precheck: a triple needs a subject candidate, and
+    subject candidates are exactly the nsubj/nsubjpass tokens
+    (traversal.py:168-170 in the reference). A sentence containing none
+    can emit nothing from ANY verb or verb phrase, so the entire walk is
+    skipped — O(n) test instead of per-verb DFS over the whole tree."""
     root_verb = None
+    has_subject = False
     for token in sent:
-        if is_root(token):
+        dep = token.dep
+        if root_verb is None and dep == "ROOT":
             root_verb = token
-            break
-    if root_verb is None:
+        if dep == "nsubj" or dep == "nsubjpass":
+            has_subject = True
+    if root_verb is None or not has_subject:
         return []
 
     extractions: List[TripleExtraction] = []
-    visit_verb(root_verb, [], [], extractions)
+    _walk(root_verb, True, extractions)
 
     for vp in find_verb_phrases(sent):
         if not should_consider_verb_phrase(vp):
             continue
-        visit_verb(vp, [], [], extractions)
+        _emit_for_verb(vp, [], extractions)
+        _walk(vp, False, extractions)
 
     return extractions

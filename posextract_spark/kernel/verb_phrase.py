@@ -36,13 +36,44 @@ _PATTERNS = [
 ]
 
 
+# (anchor POS, child dep, child POS) -> pattern index; the 7 rows are
+# distinct triples, so one dict lookup classifies an edge.
+_PATTERN_INDEX = {
+    (anchor_pos, child_dep, child_pos): k
+    for k, (_, anchor_pos, child_dep, child_pos) in enumerate(_PATTERNS)
+}
+_VP_CHILD_DEPS = frozenset({"advcl", "conj", "ccomp", "xcomp"})
+
+
 def find_verb_phrases(sent: Sentence) -> List[VerbPhrase]:
+    """Single pass over tokens-as-dependents (O(n) instead of 7 full
+    anchor scans): each (head, child) edge is classified by one dict
+    lookup. Output order is the reference's registration order exactly —
+    pattern-major, then (anchor index, child index) — reproduced by
+    per-pattern buckets sorted on (anchor.i, child.i); the original
+    nested loop yields anchors in token order and children in index
+    order, which is the same key."""
+    buckets: List[List] = [[] for _ in _PATTERNS]
+    tokens = sent.tokens
+    any_hit = False
+    for child in tokens:
+        dep = child.dep
+        if dep not in _VP_CHILD_DEPS:
+            continue
+        head = tokens[child.head_i]
+        if head is child:
+            continue
+        k = _PATTERN_INDEX.get((head.pos, dep, child.pos))
+        if k is not None:
+            buckets[k].append((head, child))
+            any_hit = True
+    if not any_hit:
+        return []
     phrases: List[VerbPhrase] = []
-    for cls, anchor_pos, child_dep, child_pos in _PATTERNS:
-        for tok in sent:
-            if tok.pos != anchor_pos:
-                continue
-            for child in tok.children:
-                if child.dep == child_dep and child.pos == child_pos:
-                    phrases.append(cls(tok, child))
+    for k, bucket in enumerate(buckets):
+        if not bucket:
+            continue
+        bucket.sort(key=lambda pair: (pair[0].i, pair[1].i))
+        cls = _PATTERNS[k][0]
+        phrases.extend(cls(head, child) for head, child in bucket)
     return phrases

@@ -61,11 +61,16 @@ class SVOChunkParser(ParseProvider):
         words = [w for w in text.split(" ") if w]
         n = len(words)
         get_pos = _POS_MAP.get
-        pos = [get_pos(w, "NOUN") for w in words]
+        # one pass: pos classification + verb index collection
+        pos: List[str] = [""] * n
+        verb_idxs: List[int] = []
+        for i, w in enumerate(words):
+            p = get_pos(w, "NOUN")
+            pos[i] = p
+            if p == "VERB":
+                verb_idxs.append(i)
         head = [None] * n  # type: List[Optional[int]]
         dep = [None] * n  # type: List[Optional[str]]
-
-        verb_idxs = [i for i in range(n) if pos[i] == "VERB"]
 
         if verb_idxs:
             root = verb_idxs[0]
@@ -101,16 +106,24 @@ class SVOChunkParser(ParseProvider):
                 head[obj], dep[obj] = v, "dobj"
             prev_obj = obj
 
-        # DET/ADJ attach to the next NOUN.
+        # DET/ADJ attach to the next NOUN. next-noun index precomputed in
+        # one reverse pass (replaces the per-token forward scan — O(n)
+        # instead of O(n^2) on noun-free tails); attachment identical.
+        next_noun: List[Optional[int]] = [None] * n
+        last_noun: Optional[int] = None
+        for i in range(n - 1, -1, -1):
+            next_noun[i] = last_noun
+            if pos[i] == "NOUN":
+                last_noun = i
         for i in range(n):
             if head[i] is not None:
                 continue
-            if pos[i] in ("DET", "ADJ"):
-                for k in range(i + 1, n):
-                    if pos[k] == "NOUN":
-                        head[i] = k
-                        dep[i] = "det" if pos[i] == "DET" else "amod"
-                        break
+            p = pos[i]
+            if p == "DET" or p == "ADJ":
+                k = next_noun[i]
+                if k is not None:
+                    head[i] = k
+                    dep[i] = "det" if p == "DET" else "amod"
 
         # Everything left dangles inertly: off the root when the root is a
         # verb, else off itself (self-loop => no tree edge, no kernel
@@ -121,9 +134,7 @@ class SVOChunkParser(ParseProvider):
             if head[i] is None:
                 head[i], dep[i] = (root, "dep") if root_is_verb else (i, "dep")
 
-        return Sentence(
-            [Token(i, words[i], words[i], pos[i], dep[i], head[i]) for i in range(n)]
-        )
+        return Sentence.from_arrays(words, words, pos, dep, head)
 
     def parse_batch(self, texts: List[str]) -> List[Sentence]:
         return [self.parse_one(t) for t in texts]
