@@ -92,6 +92,11 @@ class Token:
         return self.text
 
 
+# shared children/kid_idx value for childless tokens (immutable on purpose:
+# iteration, len, indexing and reversed() all behave like an empty list)
+_EMPTY = ()
+
+
 class Sentence:
     """One parsed sentence: a token array wired into a tree.
 
@@ -133,16 +138,29 @@ class Sentence:
         sent = cls.__new__(cls)
         n = len(words)
         tokens: List[Token] = [None] * n  # type: ignore[list-item]
-        children: List[List[Token]] = [[] for _ in range(n)]
-        kid_idx: List[List[int]] = [[] for _ in range(n)]
+        # Childless tokens (the majority) share ONE immutable empty tuple
+        # instead of each allocating two empty lists — profiled at a third
+        # of parse-side construction. Nothing mutates children after
+        # construction (the build appends are on per-head private lists).
+        children: List = [None] * n
+        kid_idx: List = [None] * n
         for i in range(n):
             hi = head[i]
             tok = Token(i, words[i], lemmas[i], pos[i], dep[i], hi)
             tok._sent = sent
             tokens[i] = tok
             if hi != i:
-                children[hi].append(tok)
-                kid_idx[hi].append(i)
+                c = children[hi]
+                if c is None:
+                    children[hi] = [tok]
+                    kid_idx[hi] = [i]
+                else:
+                    c.append(tok)
+                    kid_idx[hi].append(i)
+        for i in range(n):
+            if children[i] is None:
+                children[i] = _EMPTY
+                kid_idx[i] = _EMPTY
         sent.tokens = tokens
         sent._children = children
         sent._kid_idx = kid_idx

@@ -1,7 +1,13 @@
 """The driver runs all 44 contract queries in ONE session; r2 leaked three
 independent persist()s of the triples frame (VERDICT r2 item 6). Pin the
 fix: the four KG queries share one persisted frame, and release_caches()
-leaves zero persisted RDDs behind."""
+leaves it unpersisted.
+
+Assertions use DataFrame.storageLevel (the cache manager's own state for
+that exact plan) rather than global getPersistentRDDs counts — the shared
+pytest session's ContextCleaner asynchronously unpersists frames dropped
+by earlier tests, so absolute counts are racy.
+"""
 
 import sys
 
@@ -10,16 +16,15 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.001"
 
 
-def _n_cached_rdds(spark) -> int:
-    jsc = spark.sparkContext._jsc.sc()
-    return jsc.getPersistentRDDs().size()
+def _is_cached(df) -> bool:
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk
 
 
 def test_kg_queries_share_one_persisted_frame(spark):
     import __spark_entry__ as entry
 
     entry.release_caches()
-    base = _n_cached_rdds(spark)
 
     edges = entry.q_kg_edges(spark, SF)
     nodes = entry.q_kg_nodes(spark, SF)
@@ -30,25 +35,30 @@ def test_kg_queries_share_one_persisted_frame(spark):
     assert linked.count() > 0
     assert scored.count() > 0
 
-    # exactly ONE new persisted RDD across all four queries
-    assert _n_cached_rdds(spark) == base + 1
+    # exactly ONE shared cache entry across all four queries, and it is
+    # genuinely persisted
     assert len(entry._TRIPLES_CACHE) == 1
+    (frame,) = entry._TRIPLES_CACHE.values()
+    assert _is_cached(frame)
 
     entry.release_caches()
-    assert _n_cached_rdds(spark) == base
     assert not entry._TRIPLES_CACHE
+    assert not _is_cached(frame)
 
 
 def test_cache_evicts_on_sf_dir_change(spark):
     import __spark_entry__ as entry
 
     entry.release_caches()
-    base = _n_cached_rdds(spark)
-    entry._shared_triples(spark, SF).count()
-    entry._shared_triples(spark, "/root/testdata/sf0.01").count()
-    # old key evicted eagerly -> never more than one live cache
-    # (persist is lazy: count() materializes so getPersistentRDDs sees it)
+    first = entry._shared_triples(spark, SF)
+    first.count()
+    assert _is_cached(first)
+    second = entry._shared_triples(spark, "/root/testdata/sf0.01")
+    # old key evicted eagerly and unpersisted -> never more than one live
     assert len(entry._TRIPLES_CACHE) == 1
-    assert _n_cached_rdds(spark) == base + 1
+    assert not _is_cached(first)
+    second.count()
+    assert _is_cached(second)
     entry.release_caches()
-    assert _n_cached_rdds(spark) == base
+    assert not _is_cached(second)
+    assert not entry._TRIPLES_CACHE
