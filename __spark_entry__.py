@@ -171,6 +171,15 @@ def q_mask_pii(spark, sf_dir):
     return mask_pii(docs).select("doc_id", "n_email", "n_url", "n_ip", "masked_text")
 
 
+def q_corpus_quality_filter(spark, sf_dir):
+    """Composite C4/Gopher-style keep/drop decision: every signal
+    (length, mean word length, dup fraction, word runs, language) is a
+    native Column over one word array — single scan, zero shuffle."""
+    from posextract_spark.operators.textops import corpus_quality_filter
+
+    return corpus_quality_filter(_docs(spark, sf_dir))
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style boilerplate signals: duplicate-word fraction, modal
     bigram fraction, longest same-word run — scan-side native Columns."""
@@ -546,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "clean_text": q_clean_text,
         "repetition_stats": q_repetition_stats,
+        "corpus_quality_filter": q_corpus_quality_filter,
         "mask_pii": q_mask_pii,
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
@@ -615,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from posextract_spark.operators.textops import (
         CLEAN_TEXT_SQL,
+        CORPUS_QUALITY_FILTER_SQL,
         MASK_PII_SQL,
         chunk_documents_sql,
         REPETITION_STATS_SQL,
@@ -656,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": FINGERPRINT_SQL,
         "clean_text": CLEAN_TEXT_SQL,
         "repetition_stats": REPETITION_STATS_SQL,
+        "corpus_quality_filter": CORPUS_QUALITY_FILTER_SQL,
         "mask_pii": MASK_PII_SQL,
         "chunk_documents": chunk_documents_sql(chunk_size=64, overlap=16),
         "exact_dedup": EXACT_DEDUP_SQL,

@@ -41,6 +41,8 @@ def extract_triples_one(
         options = TripleExtractorOptions()
 
     extractions = graph_tokens(sent)
+    if not extractions:
+        return []
     extractions = dedup_triples(extractions)
     extractions = expand_transitively(extractions)
 

@@ -211,19 +211,10 @@ FROM dirty
 # --- repetition stats (Gopher-style boilerplate signals) ---------------------
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Boilerplate/repetition signals per document (the Gopher-rule family
-    used by web-scale training-data filters):
-
-    - dup_word_frac_e4: 1 - distinct(words)/words — high for pages that
-      repeat navigation tokens;
-    - top_bigram_frac_e4: occurrences of the most frequent word bigram /
-      total bigrams — high for templated/boilerplate text;
-    - max_word_run: longest run of the SAME word repeated consecutively.
-
-    All scan-side native Columns (aggregate/transform over the word array,
-    zero shuffle, zero Python) with exact integer fixed-point outputs.
-    """
+def _repetition_cols(text_col: str):
+    """(dup_word_frac_e4, top_bigram_frac_e4, max_word_run) as Columns —
+    shared by repetition_stats and the composite corpus_quality_filter so
+    the composite stays a single scan-side projection (no join)."""
     words = word_array(F.col(text_col))
     n = F.size(words)
 
@@ -276,11 +267,28 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             ).alias("best"),
         ),
     )
+    return dup_frac, top_bigram_frac, run_acc["best"].cast("int")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Boilerplate/repetition signals per document (the Gopher-rule family
+    used by web-scale training-data filters):
+
+    - dup_word_frac_e4: 1 - distinct(words)/words — high for pages that
+      repeat navigation tokens;
+    - top_bigram_frac_e4: occurrences of the most frequent word bigram /
+      total bigrams — high for templated/boilerplate text;
+    - max_word_run: longest run of the SAME word repeated consecutively.
+
+    All scan-side native Columns (aggregate/transform over the word array,
+    zero shuffle, zero Python) with exact integer fixed-point outputs.
+    """
+    dup_frac, top_bigram_frac, max_run = _repetition_cols(text_col)
     return df.select(
         F.col(id_col),
         dup_frac.alias("dup_word_frac_e4"),
         top_bigram_frac.alias("top_bigram_frac_e4"),
-        run_acc["best"].cast("int").alias("max_word_run"),
+        max_run.alias("max_word_run"),
     )
 
 
@@ -430,4 +438,75 @@ SELECT doc_id,
   CAST(least(len(words) - starts[k] + 1, {chunk_size}) AS INT) AS n_words_chunk,
   array_to_string(words[starts[k]:starts[k] + {chunk_size} - 1], ' ') AS chunk_text
 FROM c CROSS JOIN UNNEST(generate_series(1, len(starts))) AS t(k)
+"""
+
+
+# --- composite corpus quality filter -----------------------------------------
+
+# Default thresholds chosen to be discriminative on the synthetic corpus
+# (sf0.01 signal distributions: n_words 10-99, mean_word_len_e4 37k-53k,
+# dup_word_frac_e4 median ~5.4k / max ~7.2k, max_word_run <= 4, ~91% en).
+QF_MIN_WORDS = 25
+QF_MAX_WORDS = 5000
+QF_MIN_MEAN_E4 = 30000
+QF_MAX_MEAN_E4 = 50000
+QF_MAX_DUP_E4 = 6000
+QF_MAX_RUN = 3
+QF_LANG = "en"
+
+
+def corpus_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The end-to-end keep/drop decision a C4/Gopher-style training-data
+    pipeline applies per document, composed from the scan-side signal
+    operators (quality_score, repetition_stats, language_id) in ONE pass:
+    no join, no shuffle, no Python — every signal is a native Column over
+    the same word array, so Catalyst collapses the whole filter into the
+    parquet scan projection.
+
+    Output: doc_id, each violated-rule flag as an INT (auditable reject
+    reasons, the shape quality-filter reports need), and keep = 1 iff no
+    flag fired. The reference has no corpus filtering at all (its eval
+    corpus was hand-curated, reference: eval/generate-datasets/
+    select_sentences.py); this is part of the LLM-pipeline operator set
+    the engine adds on top.
+    """
+    dup_frac, _, max_run = _repetition_cols(text_col)
+    scored = language_id(
+        quality_score(df, text_col)
+        .withColumn("dup_word_frac_e4", dup_frac)
+        .withColumn("max_word_run", max_run),
+        text_col,
+    )
+    too_short = (F.col("n_words") < QF_MIN_WORDS).cast("int")
+    too_long = (F.col("n_words") > QF_MAX_WORDS).cast("int")
+    bad_word_len = (
+        (F.col("mean_word_len_e4") < QF_MIN_MEAN_E4)
+        | (F.col("mean_word_len_e4") > QF_MAX_MEAN_E4)
+    ).cast("int")
+    too_repetitive = (F.col("dup_word_frac_e4") > QF_MAX_DUP_E4).cast("int")
+    long_run = (F.col("max_word_run") > QF_MAX_RUN).cast("int")
+    wrong_lang = (F.col("pred_lang") != QF_LANG).cast("int")
+    flags = [too_short, too_long, bad_word_len, too_repetitive, long_run, wrong_lang]
+    names = ["too_short", "too_long", "bad_word_len", "too_repetitive", "long_run", "wrong_lang"]
+    out = scored.select(
+        "doc_id", *[f.alias(n) for f, n in zip(flags, names)]
+    )
+    keep = (sum(F.col(n) for n in names) == 0).cast("int")
+    return out.withColumn("keep", keep)
+
+
+CORPUS_QUALITY_FILTER_SQL = f"""
+WITH q AS ({QUALITY_SCORE_SQL}), r AS ({REPETITION_STATS_SQL}), l AS ({LANGUAGE_ID_SQL}),
+f AS (
+  SELECT q.doc_id,
+    CAST(n_words < {QF_MIN_WORDS} AS INT) AS too_short,
+    CAST(n_words > {QF_MAX_WORDS} AS INT) AS too_long,
+    CAST(mean_word_len_e4 < {QF_MIN_MEAN_E4} OR mean_word_len_e4 > {QF_MAX_MEAN_E4} AS INT) AS bad_word_len,
+    CAST(dup_word_frac_e4 > {QF_MAX_DUP_E4} AS INT) AS too_repetitive,
+    CAST(max_word_run > {QF_MAX_RUN} AS INT) AS long_run,
+    CAST(pred_lang <> '{QF_LANG}' AS INT) AS wrong_lang
+  FROM q JOIN r ON q.doc_id = r.doc_id JOIN l ON q.doc_id = l.doc_id
+)
+SELECT *, CAST(too_short + too_long + bad_word_len + too_repetitive + long_run + wrong_lang = 0 AS INT) AS keep
+FROM f
 """

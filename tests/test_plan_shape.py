@@ -105,3 +105,16 @@ def test_ivf_inverted_lists_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan
     # pruned scan reads only that list's rows
     assert probe.count() == lists.filter(F.col("centroid_id") == 3).count()
+
+
+def test_corpus_quality_filter_single_scan_no_shuffle(spark):
+    from posextract_spark.operators.textops import corpus_quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(corpus_quality_filter(docs))
+    # the composite keep/drop decision is ONE scan-side projection:
+    # no join, no Exchange, no Python crossing
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert plan.count("FileScan") == 1
