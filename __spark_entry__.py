@@ -48,7 +48,9 @@ def q_svo_triples(spark, sf_dir):
 # r2 leaked three independent persist()s across the driver's 44-query
 # session (VERDICT r2 item 6); now the expensive extraction materializes
 # once, older cache keys are evicted eagerly, and release_caches() frees
-# the last one (bench.py and the pytest contract suite call it).
+# the last one (tools/check_contract.py calls it after its sweep;
+# tests/test_entry_caches.py pins the behavior; bench.py never touches
+# this module — it drives the operators directly).
 _TRIPLES_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -75,7 +77,7 @@ def release_caches() -> None:
 
 def q_svo_triples_by_verb(spark, sf_dir):
     return (
-        q_svo_triples(spark, sf_dir)
+        _shared_triples(spark, sf_dir)
         .groupBy("verb")
         .agg(F.count(F.lit(1)).alias("n_triples"), F.countDistinct("doc_id").alias("n_docs"))
     )
@@ -89,6 +91,9 @@ IGNORE VERB="merge";
 
 
 def q_svo_triples_posrule(spark, sf_dir):
+    # re-extracts rather than reusing _shared_triples: the posrule Column
+    # filters on the raw *_token_text columns, which the shared frame's
+    # 4-column projection drops.
     from posextract_spark.operators.triples import extract_triples
     from posextract_spark.posrule import parse_posrule_text, to_column
 

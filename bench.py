@@ -36,6 +36,29 @@ def main() -> None:
     replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "40"))
     n_parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "64"))
 
+    # Pre-flight load guard AT PROCESS START — before the session build and
+    # the 32-core warmup inflate the 1-minute average with our own load.
+    # The r2 driver bench was noise-contaminated (28.7s recorded vs 16.7s
+    # reproduced on a quiet box; this VM shows documented +-60%
+    # noisy-neighbor variance). If loadavg says another heavy job is
+    # running, wait briefly for it to drain and say so on stderr — the
+    # stdout contract stays ONE JSON line.
+    load_limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_LIMIT", str(max(4.0, cpus * 0.5))))
+    load1_at_start = None
+    load_waited = 0.0
+    try:
+        for _ in range(6):
+            load1 = os.getloadavg()[0]
+            if load1 <= load_limit:
+                break
+            print(f"bench: load1={load1:.1f} > {load_limit:.1f}, waiting 10s for quiet box",
+                  file=sys.stderr)
+            time.sleep(10)
+            load_waited += 10.0
+        load1_at_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+
     from posextract_spark.session import build_session
     from posextract_spark.operators.triples import extract_triples
     from posextract_spark.operators.pairs import extract_adj_noun_pairs
@@ -71,25 +94,8 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    # Pre-flight load guard: the r2 driver bench was noise-contaminated
-    # (28.7s recorded vs 16.7s reproduced on a quiet box; this VM shows
-    # documented +-60% noisy-neighbor variance). If the 1-min load average
-    # says another heavy job is running, wait briefly for it to drain and
-    # say so on stderr — the stdout contract stays ONE JSON line.
-    load_limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_LIMIT", str(max(4.0, cpus * 0.5))))
-    load_waited = 0.0
-    try:
-        for _ in range(6):
-            load1 = os.getloadavg()[0]
-            if load1 <= load_limit:
-                break
-            print(f"bench: load1={load1:.1f} > {load_limit:.1f}, waiting 10s for quiet box",
-                  file=sys.stderr)
-            time.sleep(10)
-            load_waited += 10.0
-        extras["load1_at_start"] = round(os.getloadavg()[0], 2)
-    except OSError:
-        pass
+    if load1_at_start is not None:
+        extras["load1_at_start"] = load1_at_start
     if load_waited:
         extras["load_wait_sec"] = load_waited
 

@@ -226,32 +226,8 @@ def object_search(token: Token) -> List[ObjectCand]:
     Prunes VERB/AUX-pos children (153-155). The object test is
     classifiers.is_object precomputed into F_OBJCAND — this is the
     kernel's hottest loop."""
-    found: List[ObjectCand] = []
-    sent = token._sent
-    flags, kid_idx, _, _, _, obj_cands = _soa_of(sent)
-
-    visited = set()
-    add = visited.add
-    considering = [token.i]
-    push = considering.append
-    pop = considering.pop
-
-    while considering:
-        ci = pop()
-        if ci in visited:
-            continue
-        add(ci)
-
-        cand = obj_cands[ci]
-        if cand is not None:
-            found.append(cand)
-
-        for ki in kid_idx[ci]:
-            if ki in visited or flags[ki] & _F_VERB_OR_AUX:
-                continue
-            push(ki)
-
-    return found
+    flags, kid_idx, _, _, _, obj_cands = _soa_of(token._sent)
+    return _object_cands_dfs(token.i, flags, kid_idx, obj_cands)
 
 
 def _dedup_sorted_subjects(subjects: List[SubjectCand]) -> List[SubjectCand]:

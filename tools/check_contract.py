@@ -94,6 +94,7 @@ def main(sf_dir: str, only: list[str]) -> int:
             print("  spark sample:", s.sort_values(list(s.columns)).head(3).to_dict("records"))
             print("  oracle sample:", o.sort_values(list(o.columns)).head(3).to_dict("records"))
 
+    entry_mod.release_caches()  # free the shared persisted triples frame
     spark.stop()
     return failures
 
