@@ -63,7 +63,12 @@ def main() -> None:
     from posextract_spark.operators.triples import extract_triples
     from posextract_spark.operators.pairs import extract_adj_noun_pairs
     from posextract_spark.operators.dedup import minhash_signatures, simhash
-    from posextract_spark.operators.textops import fingerprint, language_id, quality_score
+    from posextract_spark.operators.textops import (
+        corpus_quality_filter,
+        fingerprint,
+        language_id,
+        quality_score,
+    )
     from posextract_spark.operators.similarity import cosine_topk
 
     spark = build_session(app_name="posextract-bench", master=f"local[{cpus}]",
@@ -148,6 +153,10 @@ def main() -> None:
     timed(
         "text_quality_scan",
         lambda: fingerprint(language_id(quality_score(docs))).count(),
+    )
+    timed(
+        "corpus_quality_filter",
+        lambda: corpus_quality_filter(docs).agg(F.sum("keep")).collect(),
     )
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     timed("cosine_topk", lambda: cosine_topk(emb, qvec, k=10).collect())
