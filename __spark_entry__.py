@@ -502,6 +502,16 @@ def q_tag_sentence(spark, sf_dir):
     )
 
 
+def q_stratified_take(spark, sf_dir):
+    """P8's per-tag draw (reference select_sentences.py:69 samples 10 per
+    tag randomly — irreproducible): deterministic first-10-per-tag by id
+    via a row_number window, identical at any cluster size."""
+    from posextract_spark.operators.evalops import stratified_take, tag_sentence
+
+    tagged = tag_sentence(_docs(spark, sf_dir)).select("doc_id", "tag")
+    return stratified_take(tagged, tag_col="tag", id_col="doc_id", n_per_tag=10)
+
+
 def q_sample_n(spark, sf_dir):
     """P8 parity: seeded hash-order sample — identical draw at any
     parallelism (reference df.sample is not reproducible)."""
@@ -590,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_data": q_validate_data,
         "syntax_check": q_syntax_check,
         "tag_sentence": q_tag_sentence,
+        "stratified_take": q_stratified_take,
         "sample_n": q_sample_n,
         "sample_fraction": q_sample_fraction,
         "events_by_type_day": q_events_by_type_day,
@@ -756,6 +767,13 @@ def oracle_sql() -> dict[str, str]:
         "validate_data": VALIDATE_DATA_SQL,
         "syntax_check": SYNTAX_CHECK_SQL,
         "tag_sentence": TAG_SENTENCE_SQL,
+        "stratified_take": (
+            "WITH tagged AS (" + TAG_SENTENCE_SQL + ") "
+            "SELECT doc_id, tag FROM ("
+            "  SELECT doc_id, tag, row_number() OVER (PARTITION BY tag ORDER BY doc_id) AS rn"
+            "  FROM tagged WHERE tag <> '') "  # SQL mirror maps Spark's NULL tag to ''
+            "WHERE rn <= 10"
+        ),
         "sample_n": sample_n_sql(n=50, seed=7),
         "sample_fraction": sample_fraction_sql(fraction=0.1, seed=7),
         "events_by_type_day": (
