@@ -33,6 +33,12 @@ OUTPUT_STRING_FIELDS = tuple(FLAT_FIELDS) + (
     "object_token_text",
 )
 
+# C-level tuple extraction of the 17 output fields per triple (replaces a
+# per-triple genexpr of dict lookups in the UDF hot loop)
+import operator as _operator
+
+_FIELDS_GETTER = _operator.itemgetter(*OUTPUT_STRING_FIELDS)
+
 TOKEN_STRUCT = StructType(
     [
         StructField("i", IntegerType(), False),
@@ -110,13 +116,12 @@ def extract_triples(
             rows = []
             pos = 0
             id_values = [pdf[c] for c in id_cols]
+            get_fields = _FIELDS_GETTER
             for r, segs in enumerate(segments_per_doc):
                 ids = tuple(col.iloc[r] for col in id_values)
                 for sent_id in range(len(segs)):
                     for flat in extract_triples_one(parsed[pos + sent_id], options=options):
-                        rows.append(
-                            ids + (sent_id,) + tuple(flat[k] for k in OUTPUT_STRING_FIELDS)
-                        )
+                        rows.append(ids + (sent_id,) + get_fields(flat))
                 pos += len(segs)
             yield pd.DataFrame(rows, columns=columns)
 
