@@ -161,11 +161,21 @@ def main() -> None:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     timed("cosine_topk", lambda: cosine_topk(emb, qvec, k=10).collect())
 
-    total = round(sum(timings.values()), 3)
+    # The headline total covers the SEVEN queries benchmarked since round 1
+    # so "value" stays comparable across rounds; queries added later (e.g.
+    # corpus_quality_filter in r3) are timed and reported but summed
+    # separately under extra_queries_sec.
+    _R1_SET = (
+        "triples_extract", "kg_edges", "adj_noun_pairs", "minhash_signatures",
+        "simhash", "text_quality_scan", "cosine_topk",
+    )
+    total = round(sum(timings[q] for q in _R1_SET), 3)
+    extra_total = round(sum(v for q, v in timings.items() if q not in _R1_SET), 3)
     out = {
         "metric": "kg_pipeline_headline_sec",
         "value": total,
         "unit": "sec",
+        "extra_queries_sec": extra_total,
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,
