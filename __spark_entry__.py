@@ -176,6 +176,37 @@ def q_mask_pii(spark, sf_dir):
     return mask_pii(docs).select("doc_id", "n_email", "n_url", "n_ip", "masked_text")
 
 
+def q_url_normalize(spark, sf_dir):
+    """Crawl-side URL canonicalization over deterministically synthesized
+    messy URLs (uppercase schemes/hosts, default ports, www, tracking
+    params, fragments, duplicate slashes) — the page-identity dedup key,
+    computed scan-side."""
+    from posextract_spark.operators.urls import url_normalize
+
+    m = F.col("doc_id") % 5
+    src = F.col("source")
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTP://WWW."), src, F.lit(".Example.COM:80//a/b/?utm_source=x&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("https://"), src, F.lit(".example.com:443/Path/")))
+        .when(m == 2, F.concat(F.lit("https://"), src, F.lit(".EXAMPLE.com/p?z=1&utm_campaign=c&y=2&fbclid=q")))
+        .when(m == 3, F.concat(F.lit("http://"), src, F.lit(".example.com:8080/p//q?q=1#x")))
+        .otherwise(F.concat(F.lit("https://WWW."), src, F.lit(".example.com")))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return url_normalize(docs).select("doc_id", "url", "host", "port", "url_norm")
+
+
+_URLS_IN_SQL = (
+    "SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80//a/b/?utm_source=x&b=2&a=1#frag' "
+    "WHEN 1 THEN 'https://' || source || '.example.com:443/Path/' "
+    "WHEN 2 THEN 'https://' || source || '.EXAMPLE.com/p?z=1&utm_campaign=c&y=2&fbclid=q' "
+    "WHEN 3 THEN 'http://' || source || '.example.com:8080/p//q?q=1#x' "
+    "ELSE 'https://WWW.' || source || '.example.com' END AS url "
+    "FROM documents"
+)
+
+
 def q_corpus_quality_filter(spark, sf_dir):
     """Composite C4/Gopher-style keep/drop decision: every signal
     (length, mean word length, dup fraction, word runs, language) is a
@@ -570,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "clean_text": q_clean_text,
         "repetition_stats": q_repetition_stats,
+        "url_normalize": q_url_normalize,
         "corpus_quality_filter": q_corpus_quality_filter,
         "mask_pii": q_mask_pii,
         "chunk_documents": q_chunk_documents,
@@ -650,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         QUALITY_SCORE_SQL,
         TOKEN_COUNT_SQL,
     )
+    from posextract_spark.operators.urls import URL_NORMALIZE_EXPR_SQL
     from posextract_spark.operators.evalops import (
         SYNTAX_CHECK_SQL,
         TAG_SENTENCE_SQL,
@@ -683,6 +716,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": FINGERPRINT_SQL,
         "clean_text": CLEAN_TEXT_SQL,
         "repetition_stats": REPETITION_STATS_SQL,
+        "url_normalize": (
+            "WITH urls_in AS (" + _URLS_IN_SQL + ") " + URL_NORMALIZE_EXPR_SQL
+        ),
         "corpus_quality_filter": CORPUS_QUALITY_FILTER_SQL,
         "mask_pii": MASK_PII_SQL,
         "chunk_documents": chunk_documents_sql(chunk_size=64, overlap=16),

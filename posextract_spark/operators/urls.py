@@ -1,0 +1,113 @@
+"""URL canonicalization — the crawl-side dedup primitive.
+
+A Common-Crawl-scale pipeline keys page identity on a NORMALIZED url (the
+reference ingests Wikipedia pages by url, eval/generate-datasets/
+generate_wikipedia_dataset.py:19; at 10^12 documents the same page arrives
+under dozens of surface forms). ``url_normalize`` applies the standard
+canonicalization, entirely as native Columns (RE2-compatible regexes so
+the Java-regex Spark side and the DuckDB mirror agree on spans — same
+discipline as mask_pii):
+
+1. scheme lowercased;
+2. host lowercased, a leading ``www.`` stripped;
+3. default ports dropped (``:80`` for http, ``:443`` for https); other
+   ports kept;
+4. fragment dropped;
+5. tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``),
+   remaining params sorted bytewise by ``k=v`` (order-insensitive key);
+6. path: duplicate slashes collapsed, trailing slash stripped, empty path
+   rendered as ``/`` (path CASE is preserved — paths are case-sensitive);
+7. empty query after filtering renders without ``?``.
+
+Scan-side, zero shuffle, zero Python: the dedup key for a 100-TB crawl is
+computed inside the parquet scan projection. Pair with
+``exact_dedup_groups`` (operators/dedup.py) on ``url_norm`` for
+first-seen-wins page dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+_TRACKING_RE = "^(utm_[^=]*|gclid|fbclid)(=|$)"
+
+
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds host, port (post-default-strip, '' when none), and url_norm."""
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":[0-9]+$", ""), r"^www\.", ""
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))
+    )
+    port_norm = F.when(keep_port, port).otherwise(F.lit(""))
+
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    qs = F.concat_ws("&", F.array_sort(params))
+
+    url_norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return (
+        df.withColumn("host", host)
+        .withColumn("port", port_norm)
+        .withColumn("url_norm", url_norm)
+    )
+
+
+# DuckDB mirror over a relation exposing (doc_id, url). Same regexes, same
+# rule order; list_sort/array_sort agree bytewise on ASCII params.
+URL_NORMALIZE_EXPR_SQL = r"""
+SELECT doc_id, url,
+  host,
+  CASE WHEN keep_port THEN port ELSE '' END AS port,
+  scheme || '://' || host
+    || (CASE WHEN keep_port THEN ':' || port ELSE '' END)
+    || path
+    || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_norm
+FROM (
+  SELECT doc_id, url, scheme, host, port,
+    port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')) AS keep_port,
+    CASE WHEN path3 = '' THEN '/' ELSE path3 END AS path,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS qs
+  FROM (
+    SELECT doc_id, url, scheme, port,
+      regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
+      regexp_replace(regexp_replace(path1, '/{2,}', '/'), '/$', '') AS path3,
+      regexp_extract(url, '\?([^#]*)', 1) AS query
+    FROM (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        regexp_extract(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':([0-9]+)$', 1) AS port,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path1
+      FROM urls_in
+    )
+  )
+)
+"""
