@@ -196,6 +196,20 @@ def q_url_normalize(spark, sf_dir):
     return url_normalize(docs).select("doc_id", "url", "host", "port", "url_norm")
 
 
+def q_url_dedup_groups(spark, sf_dir):
+    """Page dedup on the canonical URL: group by url_norm, first-seen
+    (min doc_id) wins — the synthesized corpus collapses 500 pages into
+    ~100 canonical URLs. Single hash shuffle on the normalized key; at
+    crawl scale this is the pre-extraction dedup pass."""
+    from posextract_spark.operators.urls import url_normalize
+
+    urls = q_url_normalize(spark, sf_dir).select("doc_id", "url_norm")
+    return urls.groupBy("url_norm").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
 _URLS_IN_SQL = (
     "SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
     "WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80//a/b/?utm_source=x&b=2&a=1#frag' "
@@ -602,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "repetition_stats": q_repetition_stats,
         "url_normalize": q_url_normalize,
+        "url_dedup_groups": q_url_dedup_groups,
         "corpus_quality_filter": q_corpus_quality_filter,
         "mask_pii": q_mask_pii,
         "chunk_documents": q_chunk_documents,
@@ -718,6 +733,12 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": REPETITION_STATS_SQL,
         "url_normalize": (
             "WITH urls_in AS (" + _URLS_IN_SQL + ") " + URL_NORMALIZE_EXPR_SQL
+        ),
+        "url_dedup_groups": (
+            "WITH urls_in AS (" + _URLS_IN_SQL + "), norm AS ("
+            + URL_NORMALIZE_EXPR_SQL + ") "
+            "SELECT url_norm, CAST(min(doc_id) AS BIGINT) AS canonical_doc_id, "
+            "count(*) AS n_dups FROM norm GROUP BY url_norm"
         ),
         "corpus_quality_filter": CORPUS_QUALITY_FILTER_SQL,
         "mask_pii": MASK_PII_SQL,
