@@ -148,11 +148,31 @@ def main() -> None:
         "adj_noun_pairs",
         lambda: extract_adj_noun_pairs(docs, id_cols=["doc_id"], provider="svo").count(),
     )
-    timed("minhash_signatures", lambda: minhash_signatures(docs).count())
-    timed("simhash", lambda: simhash(docs).count())
+    # Every line below forces evaluation of the operator's OUTPUT columns
+    # via an aggregate over them. r1-r3 ended these three in .count() over
+    # pure projections, which Catalyst prunes to a bare scan — the executed
+    # plans contained none of the operator expressions and the recorded
+    # 0.6-1.1s timings measured nothing (VERDICT r3 item 2). This breaks
+    # cross-round comparability of the headline once; BENCH/BASELINE.md
+    # documents the discontinuity. (avg, not sum, for 60-bit hash columns:
+    # summing them overflows BIGINT under ANSI mode at bench row counts.)
+    timed(
+        "minhash_signatures",
+        lambda: minhash_signatures(docs).agg(F.sum("minhash")).collect(),
+    )
+    timed("simhash", lambda: simhash(docs).agg(F.sum("simhash")).collect())
     timed(
         "text_quality_scan",
-        lambda: fingerprint(language_id(quality_score(docs))).count(),
+        lambda: fingerprint(language_id(quality_score(docs)))
+        .agg(
+            F.sum("n_words"),
+            F.avg("mean_word_len_e4"),
+            F.avg("stopword_ratio_e4"),
+            F.count(F.when(F.col("pred_lang") == "en", 1)),
+            F.avg("text_hash"),
+            F.avg("min_word_hash"),
+        )
+        .collect(),
     )
     timed(
         "corpus_quality_filter",

@@ -206,10 +206,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """16-bit SimHash over the word multiset: bit j is set iff
     sum over word instances of (+1 if bit j of hash(word) else -1) > 0.
 
-    Fully scan-side: hash the word array once per row, then per bit
-    popcount via size(filter(...)) — sum_j = 2*set_j - n. No explode, no
-    shuffle."""
-    hashes = F.transform(word_array(F.col(text_col)), lambda w: portable_hash64(w))
+    Fully scan-side, no shuffle. The per-word hash array is materialized
+    ONCE behind a Generate boundary (functions/boundary.py) and each bit's
+    popcount filter scans the materialized BIGINT array — the r3
+    formulation pasted an independent split+md5-per-word copy into every
+    bit term (32 md5 occurrences in the plan; its bench line was a pruned
+    .count() so the cost never surfaced, VERDICT r3 item 2)."""
+    from posextract_spark.functions.boundary import materialize
+
+    g = materialize(
+        df.select(F.col(id_col), F.col(text_col)),
+        __wh=F.transform(word_array(F.col(text_col)), lambda w: portable_hash64(w)),
+    )
+    hashes = F.col("__wh")
     n = F.size(hashes)
     fp = None
     for j in range(bits):
@@ -219,9 +228,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         term = F.when((set_j * 2 - n) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     # wordless docs emit nothing (parity with the word-explode formulation)
-    return df.filter(F.size(word_array(F.col(text_col))) > 0).select(
-        F.col(id_col), fp.cast("bigint").alias("simhash")
-    )
+    return g.filter(n > 0).select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
 def ngram_jaccard_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -118,3 +118,65 @@ def test_corpus_quality_filter_single_scan_no_shuffle(spark):
     assert "Join" not in plan
     assert "InPandas" not in plan and "EvalPython" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_textops_split_once(spark):
+    """Expression-count guards (VERDICT r3 items 1/3): the existing
+    no-Exchange/no-join guards passed while corpus_quality_filter shipped
+    with split(text) pasted 32x into one interpreted Project (28.6s vs
+    2.8s forced at 200k docs). Each word-array consumer must materialize
+    the split ONCE behind a Generate boundary (functions/boundary.py);
+    r3 counts were 32/21/24/6."""
+    from posextract_spark.operators.textops import (
+        corpus_quality_filter,
+        language_id,
+        quality_score,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (corpus_quality_filter, repetition_stats, language_id, quality_score):
+        plan = _plan(op(docs))
+        assert plan.count("split(") <= 2, f"{op.__name__}: split duplicated\n{plan}"
+        assert "Generate" in plan, f"{op.__name__}: materialization boundary missing"
+
+
+def test_simhash_hashes_once(spark):
+    """simhash's r3 plan evaluated split+md5-per-word 32x (once per bit
+    term plus the length guard); the Generate boundary pins it to once."""
+    from posextract_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(simhash(docs))
+    assert plan.count("md5") == 1
+    assert plan.count("split(") == 1
+    assert "Exchange" not in plan
+
+
+def test_bench_aggregates_not_pruned(spark):
+    """The bench's forced-evaluation aggregates must RETAIN the operator
+    expressions. r1-r3 benched simhash/text_quality_scan/minhash_signatures
+    via .count() over pure projections — Catalyst pruned the unreferenced
+    columns and the executed plans contained no split/md5 at all, so the
+    recorded timings measured a bare scan (VERDICT r3 item 2). This pins
+    the bench.py aggregate shapes as non-prunable (and documents that
+    .count() over these operators IS prunable, which is why bench.py must
+    never regress to it)."""
+    from posextract_spark.operators.dedup import minhash_signatures, simhash
+    from posextract_spark.operators.textops import fingerprint, language_id, quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    pruned = _plan(fingerprint(docs).select("doc_id"))
+    assert "md5" not in pruned  # the trap is real: projections prune the work
+
+    assert "md5" in _plan(simhash(docs).agg(F.sum("simhash")))
+    assert "md5" in _plan(minhash_signatures(docs).agg(F.sum("minhash")))
+    scan = fingerprint(language_id(quality_score(docs))).agg(
+        F.sum("n_words"),
+        F.count(F.when(F.col("pred_lang") == "en", 1)),
+        F.avg("text_hash"),
+        F.avg("min_word_hash"),
+    )
+    plan = _plan(scan)
+    assert "split(" in plan and "md5" in plan
