@@ -55,7 +55,10 @@ _TRIPLES_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _shared_triples(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a garbage-collected session's CPython id
+    # can be reused by a NEW SparkSession, and the cache would then hand out
+    # a stale DataFrame bound to the stopped session (ADVICE r3)
+    key = (spark.sparkContext.applicationId, sf_dir)
     for k in [k for k in _TRIPLES_CACHE if k != key]:
         try:
             _TRIPLES_CACHE.pop(k).unpersist()

@@ -56,7 +56,12 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     path = F.regexp_replace(path, "/$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
 
-    query = F.regexp_extract(url, _QUERY_RE, 1)
+    # strip the fragment BEFORE extracting the query: '\?' alone would match
+    # a '?' that first appears inside the fragment (https://h/p#sec?a=1) and
+    # leak fragment content into the params (ADVICE r3; both engines agreed,
+    # so only a golden can catch it)
+    defrag = F.regexp_replace(url, "#.*$", "")
+    query = F.regexp_extract(defrag, _QUERY_RE, 1)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
@@ -99,7 +104,7 @@ FROM (
     SELECT doc_id, url, scheme, port,
       regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
       regexp_replace(regexp_replace(path1, '/{2,}', '/'), '/$', '') AS path3,
-      regexp_extract(url, '\?([^#]*)', 1) AS query
+      regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1) AS query
     FROM (
       SELECT doc_id, url,
         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,

@@ -30,6 +30,12 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pinned UTC: date_format(ts, ...) renders in the session timezone,
+        # and the DuckDB oracle's strftime is timezone-naive — on a non-UTC
+        # host the day strings would diverge for events near midnight
+        # (ADVICE r3). Also the only defensible default for a multi-region
+        # 1000-executor cluster.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -18,6 +18,9 @@ CASES = [
     ("https://WWW.example.com", "example.com", "", "https://example.com/"),
     ("https://example.com/", "example.com", "", "https://example.com/"),
     ("http://example.com/?utm_source=only", "example.com", "", "http://example.com/"),
+    # '?' first appearing INSIDE the fragment must not become query params
+    # (r3 shipped 'https://example.com/p?a=1' here — fragment leak)
+    ("https://example.com/p#sec?a=1", "example.com", "", "https://example.com/p"),
 ]
 
 
