@@ -231,12 +231,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return g.filter(n > 0).select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
-def ngram_jaccard_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def ngram_jaccard_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_bucket: int | None = None,
+) -> DataFrame:
     """Exact shared-shingle statistics per document: how many other docs
     share at least one 5-gram shingle, and the max shared-shingle count.
     (The exact-Jaccard small-scale baseline; minhash_band_pairs is the
-    scale path.)"""
+    scale path.)
+
+    ``max_shingle_bucket`` bounds the quadratic hot-shingle blowup (a
+    boilerplate shingle shared by 10^6 docs makes the self-join a
+    cartesian): pair generation sees only the first ``max_shingle_bucket``
+    docs per shingle in deterministic hash-of-id order — a uniform sample
+    of the bucket, same pattern as similarity.neardup_bucket_stats's
+    ``max_bucket_width``. Capped buckets make the reported counts a
+    deterministic LOWER BOUND for the docs sampled out; None (default,
+    used by the oracle-checked contract query) is exact."""
+    from pyspark.sql import Window
+
     sh = df.select(F.col(id_col), F.explode(_shingles(text_col)).alias("shingle"))
+    if max_shingle_bucket is not None:
+        w = Window.partitionBy("shingle").orderBy(
+            portable_hash64(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        sh = (
+            sh.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_shingle_bucket)
+            .drop("_rk")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     overl = (
         a.join(

@@ -63,6 +63,7 @@ def main(sf_dir: str, only: list[str]) -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    spark_secs: dict[str, float] = {}
 
     for name, fn in qs.items():
         if only and name not in only:
@@ -70,6 +71,7 @@ def main(sf_dir: str, only: list[str]) -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         t1 = time.time()
+        spark_secs[name] = t1 - t0
         if name not in oracles:
             print(f"{name}: rows={len(sdf)} (rows-only, {t1-t0:.1f}s)")
             continue
@@ -96,6 +98,19 @@ def main(sf_dir: str, only: list[str]) -> int:
 
     entry_mod.release_caches()  # free the shared persisted triples frame
     spark.stop()
+
+    # Per-query wall-time table, slowest first (Spark side only — the
+    # DuckDB oracle is not the engine under test). The r3 50s-per-run
+    # corpus_quality_filter plan defect was invisible in the smoke's
+    # pass/fail output and only surfaced in the driver's bench
+    # (VERDICT r3 item 5); >5s at smoke scale now flags loudly.
+    print("\nper-query Spark wall-times (slowest first):")
+    for name, dt in sorted(spark_secs.items(), key=lambda kv: -kv[1]):
+        flag = "  << SLOW (>5s) — check the plan" if dt > 5.0 else ""
+        print(f"  {dt:6.1f}s  {name}{flag}")
+    slow = [n for n, dt in spark_secs.items() if dt > 5.0]
+    if slow:
+        print(f"SLOW QUERIES: {len(slow)} over 5s: {', '.join(slow)}")
     return failures
 
 
