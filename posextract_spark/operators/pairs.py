@@ -53,16 +53,20 @@ def extract_adj_noun_pairs(
 
     @F.pandas_udf(ArrayType(ADJ_NOUN_STRUCT))
     def pairs_udf(texts: pd.Series) -> pd.Series:
-        from posextract_spark.kernel.pairs import adj_noun_pairs_one
+        # array-native path: the extractors never touch the object tree,
+        # so providers that can skip Token/Sentence construction (svo) do;
+        # parity with the object kernel (the reference transcription) is
+        # pinned by tests/test_pairs_array_parity.py + the pairs differential
+        from posextract_spark.kernel.pairs import adj_noun_pairs_arrays
         from posextract_spark.parse.provider import get_provider
 
         p = get_provider(provider, **pk)
         out = []
-        for sent in p.parse_batch([t if t else "" for t in texts]):
+        for arrays in p.parse_arrays_batch([t if t else "" for t in texts]):
             out.append(
                 [
                     (d["verb_neg"], d["neg_det"], d["adjective"], d["noun"])
-                    for d in adj_noun_pairs_one(sent, lemmatize=lemmatize, letter_case=letter_case)
+                    for d in adj_noun_pairs_arrays(arrays, lemmatize=lemmatize, letter_case=letter_case)
                 ]
             )
         return pd.Series(out)
@@ -91,16 +95,16 @@ def extract_subj_verb_pairs(
 
     @F.pandas_udf(ArrayType(SUBJ_VERB_STRUCT))
     def pairs_udf(texts: pd.Series) -> pd.Series:
-        from posextract_spark.kernel.pairs import subj_verb_pairs_one
+        from posextract_spark.kernel.pairs import subj_verb_pairs_arrays
         from posextract_spark.parse.provider import get_provider
 
         p = get_provider(provider, **pk)
         out = []
-        for sent in p.parse_batch([t if t else "" for t in texts]):
+        for arrays in p.parse_arrays_batch([t if t else "" for t in texts]):
             out.append(
                 [
                     (d["subject"], d["verb_neg"], d["verb"])
-                    for d in subj_verb_pairs_one(sent, lemmatize=lemmatize, letter_case=letter_case)
+                    for d in subj_verb_pairs_arrays(arrays, lemmatize=lemmatize, letter_case=letter_case)
                 ]
             )
         return pd.Series(out)

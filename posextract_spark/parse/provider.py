@@ -17,6 +17,29 @@ class ParseProvider:
     def parse_batch(self, texts: List[str]) -> List[Sentence]:
         raise NotImplementedError
 
+    def parse_arrays_batch(self, texts: List[str]) -> List[tuple]:
+        """Struct-of-arrays encoding (words, lemmas, pos, dep, head,
+        kid_idx) per sentence — all the pair extractors need
+        (kernel/pairs.py array fast paths). Default derives the view from
+        the object parse so every provider supports the array path;
+        providers that can skip Token/Sentence construction entirely
+        override it (parse.svo: ~70% of its parse time was Token
+        allocation the pair extractors never used)."""
+        out = []
+        for sent in self.parse_batch(texts):
+            toks = sent.tokens
+            out.append(
+                (
+                    [t.text for t in toks],
+                    [t.lemma_ for t in toks],
+                    [t.pos for t in toks],
+                    [t.dep for t in toks],
+                    [t.head_i for t in toks],
+                    sent._kid_idx,
+                )
+            )
+        return out
+
     def parse_tokens_batch(self, texts: List[str]) -> List[List[dict]]:
         """Token-array encoding for materializing parses as a column."""
         out = []

@@ -54,10 +54,15 @@ def classify(word: str) -> str:
     return _POS_MAP.get(word, "NOUN")
 
 
+_EMPTY: tuple = ()
+
+
 class SVOChunkParser(ParseProvider):
     name = "svo"
 
-    def parse_one(self, text: str) -> Sentence:
+    def _parse_core(self, text: str):
+        """(words, pos, dep, head) parallel arrays — the whole parse, no
+        objects. ``head`` is None only for the empty sentence."""
         words = [w for w in text.split(" ") if w]
         n = len(words)
         get_pos = _POS_MAP.get
@@ -82,7 +87,7 @@ class SVOChunkParser(ParseProvider):
             root = 0
             head[0], dep[0] = 0, "ROOT"
         else:
-            return Sentence([])
+            return words, pos, dep, None
 
         prev_obj: Optional[int] = None
         for j, v in enumerate(verb_idxs):
@@ -134,7 +139,43 @@ class SVOChunkParser(ParseProvider):
             if head[i] is None:
                 head[i], dep[i] = (root, "dep") if root_is_verb else (i, "dep")
 
+        return words, pos, dep, head
+
+    def parse_one(self, text: str) -> Sentence:
+        words, pos, dep, head = self._parse_core(text)
+        if head is None:
+            return Sentence([])
         return Sentence.from_arrays(words, words, pos, dep, head)
 
     def parse_batch(self, texts: List[str]) -> List[Sentence]:
         return [self.parse_one(t) for t in texts]
+
+    def parse_arrays_batch(self, texts: List[str]) -> List[tuple]:
+        """Direct struct-of-arrays parse: same (words, lemmas, pos, dep,
+        head, kid_idx) view as the base-class conversion, WITHOUT building
+        Token/Sentence objects — the per-token allocations were ~70% of
+        parse_batch and the pair extractors read six fields from them.
+        Childless tokens share one empty tuple (same trick as
+        Sentence.from_arrays); self-loops (inert danglers) emit no child
+        edge, matching the object model."""
+        out = []
+        for text in texts:
+            words, pos, dep, head = self._parse_core(text)
+            if head is None:
+                out.append((words, words, pos, dep, [], []))
+                continue
+            n = len(words)
+            kid_idx: List = [None] * n
+            for i in range(n):
+                hi = head[i]
+                if hi != i:
+                    k = kid_idx[hi]
+                    if k is None:
+                        kid_idx[hi] = [i]
+                    else:
+                        k.append(i)
+            for i in range(n):
+                if kid_idx[i] is None:
+                    kid_idx[i] = _EMPTY
+            out.append((words, words, pos, dep, head, kid_idx))
+        return out
