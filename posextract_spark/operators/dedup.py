@@ -25,9 +25,14 @@ MINHASH_SEEDS = 8
 SHINGLE_N = 5
 
 
-def _shingles(text_col: str):
-    """Distinct word 5-gram shingles as strings."""
-    words = word_array(F.col(text_col))
+def _shingles(words):
+    """Distinct word 5-gram shingles as strings, over a MATERIALIZED
+    word-array column (functions/boundary.py). ``words`` must be a cheap
+    attribute reference, NOT the split expression itself: a non-attribute
+    subtree inside a higher-order-function lambda is re-evaluated PER
+    ELEMENT (the slice here runs once per shingle), so passing the raw
+    split made shingling O(words^2) per document — measured 9.4s vs 4.0s
+    at 200k docs for the shingle projection alone."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(SHINGLE_N), F.lit(-1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_N)))
@@ -100,11 +105,22 @@ def _with_base_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     a plain projection 'barrier' does NOT hold — we measured the md5
     transform duplicated 8x (85s vs ~8s at bench scale). A Generate is a
     real materialization point: its child projection computes ``_hs`` once
-    and the exploded rows reference the materialized array."""
-    pruned = df.filter(F.size(word_array(F.col(text_col))) >= SHINGLE_N)
+    and the exploded rows reference the materialized array.
+
+    The word array gets the same treatment BELOW the shingling (r4): the
+    slice inside the shingle transform's lambda re-evaluates any
+    non-attribute subtree per element, so shingling over the raw split
+    expression was O(words^2) per document."""
+    from posextract_spark.functions.boundary import materialize
+
+    g = materialize(
+        df.select(F.col(id_col), F.col(text_col)),
+        __words=word_array(F.col(text_col)),
+    )
+    pruned = g.filter(F.size(F.col("__words")) >= SHINGLE_N)
     return pruned.select(
         F.col(id_col),
-        F.transform(_shingles(text_col), lambda s: portable_hash64(s)).alias("_hs"),
+        F.transform(_shingles(F.col("__words")), lambda s: portable_hash64(s)).alias("_hs"),
     )
 
 
@@ -252,7 +268,13 @@ def ngram_jaccard_stats(
     used by the oracle-checked contract query) is exact."""
     from pyspark.sql import Window
 
-    sh = df.select(F.col(id_col), F.explode(_shingles(text_col)).alias("shingle"))
+    from posextract_spark.functions.boundary import materialize
+
+    g = materialize(
+        df.select(F.col(id_col), F.col(text_col)),
+        __words=word_array(F.col(text_col)),
+    )
+    sh = g.select(F.col(id_col), F.explode(_shingles(F.col("__words"))).alias("shingle"))
     if max_shingle_bucket is not None:
         w = Window.partitionBy("shingle").orderBy(
             portable_hash64(F.col(id_col).cast("string")), F.col(id_col)

@@ -416,13 +416,21 @@ def chunk_documents(
     One row per chunk: (id, chunk_id, n_words_chunk, chunk_text). Chunk k
     covers words [k*stride, k*stride + chunk_size) with
     stride = chunk_size - overlap; the final chunk may be short; empty
-    documents produce no chunks. Scan-side sequence/transform + posexplode —
-    no shuffle, no Python; per-row work is linear in document length.
+    documents produce no chunks. Scan-side sequence/transform + explode —
+    no shuffle, no Python; per-row work is linear in document length
+    (the word array is materialized once behind a Generate boundary: the
+    slice inside the chunk transform's lambda re-evaluates non-attribute
+    subtrees PER CHUNK, so slicing the raw split expression was
+    O(words * chunks) per document).
     """
     if not 0 <= overlap < chunk_size:
         raise ValueError("chunk_documents: need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    words = word_array(F.col(text_col))
+    g = materialize(
+        df.select(F.col(id_col), F.col(text_col)),
+        __ck_words=word_array(F.col(text_col)),
+    )
+    words = F.col("__ck_words")
     n = F.size(words)
     # start offsets 0, stride, 2*stride ... < n (empty docs -> empty array;
     # note sequence(a, b) DESCENDS when a > b, so guard n == 0 explicitly)
@@ -437,7 +445,7 @@ def chunk_documents(
             F.concat_ws(" ", F.slice(words, s + 1, chunk_size)).alias("chunk_text"),
         ),
     )
-    exploded = df.select(F.col(id_col), F.explode(chunks).alias("c"))
+    exploded = g.select(F.col(id_col), F.explode(chunks).alias("c"))
     return exploded.select(id_col, "c.chunk_id", "c.n_words_chunk", "c.chunk_text")
 
 

@@ -32,6 +32,10 @@ def test_minhash_hashes_once(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(minhash_signatures(docs))
     assert plan.count("md5") == 1  # the Generate-boundary guarantee
+    # split exactly once: the slice inside the shingle transform's lambda
+    # re-evaluates non-attribute subtrees PER SHINGLE, so shingling over
+    # the raw split expression was O(words^2) per doc (r4 fix)
+    assert plan.count("split(") == 1
     assert "Exchange" not in plan  # still shuffle-free
 
 
