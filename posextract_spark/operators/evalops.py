@@ -63,9 +63,15 @@ def syntax_check(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def tag_sentence(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """P7 (select_sentences.py:31-45)."""
+    """P7 (select_sentences.py:31-45). The word array is split once behind
+    a Generate boundary: the _svo_pos CASEs reference w0/w1 repeatedly and
+    every reference pasted its own split(text) copy (11x in the r4 plan
+    audit)."""
+    from posextract_spark.functions.boundary import materialize
+
     c = F.col(text_col)
-    words = word_array(c)
+    df = materialize(df, __ts_words=word_array(c))
+    words = F.col("__ts_words")
     w0 = F.element_at(words, 1)
     w1 = F.element_at(words, 2)
     p0, p1 = _svo_pos(w0), _svo_pos(w1)
@@ -80,7 +86,7 @@ def tag_sentence(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(comp, F.lit("comp_sent"))
         .when(leftward, F.lit("leftward_sent"))
     )
-    return df.withColumn("tag", tag)
+    return df.withColumn("tag", tag).drop("__ts_words")
 
 
 def stratified_take(df: DataFrame, tag_col: str, id_col: str, n_per_tag: int = 10) -> DataFrame:

@@ -38,48 +38,71 @@ _TRACKING_RE = "^(utm_[^=]*|gclid|fbclid)(=|$)"
 
 
 def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Adds host, port (post-default-strip, '' when none), and url_norm."""
+    """Adds host, port (post-default-strip, '' when none), and url_norm.
+
+    Plan shape: two Generate boundaries (functions/boundary.py). Stage 1
+    materializes each regex extraction from the raw URL exactly once;
+    stage 2 materializes the derived parts (host, port, normalized path,
+    filtered+sorted query string) once each; the final projection only
+    compares and concatenates attributes. The naive expression composition
+    pasted 27 regexp_extract + 10 regexp_replace copies per row (every
+    reference to scheme/hostport/port/path re-ran its chain) — per-row
+    waste that multiplies by 10^12 at crawl scale on the single most
+    common crawl-side operator."""
+    from posextract_spark.functions.boundary import materialize
+
     url = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
-    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
-    host = F.regexp_replace(
-        F.regexp_replace(hostport, ":[0-9]+$", ""), r"^www\.", ""
+    g1 = materialize(
+        df,
+        __u_scheme=F.lower(F.regexp_extract(url, _SCHEME_RE, 1)),
+        __u_hostport=F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1)),
+        __u_rawpath=F.regexp_extract(url, _PATH_RE, 1),
+        # strip the fragment BEFORE extracting the query: '\?' alone would
+        # match a '?' that first appears inside the fragment
+        # (https://h/p#sec?a=1) and leak fragment content into the params
+        # (ADVICE r3; both engines agreed, so only a golden can catch it)
+        __u_query=F.regexp_extract(F.regexp_replace(url, "#.*$", ""), _QUERY_RE, 1),
     )
+    scheme = F.col("__u_scheme")
+    hostport = F.col("__u_hostport")
+
+    path = F.regexp_replace(F.col("__u_rawpath"), "/{2,}", "/")
+    path = F.regexp_replace(path, "/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.filter(
+        F.split(F.col("__u_query"), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    g2 = materialize(
+        g1,
+        __u_host=F.regexp_replace(
+            F.regexp_replace(hostport, ":[0-9]+$", ""), r"^www\.", ""
+        ),
+        __u_port=F.regexp_extract(hostport, ":([0-9]+)$", 1),
+        __u_path=path,
+        __u_qs=F.concat_ws("&", F.array_sort(params)),
+    )
+    port = F.col("__u_port")
+    qs = F.col("__u_qs")
     keep_port = (port != "") & ~(
         ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))
     )
-    port_norm = F.when(keep_port, port).otherwise(F.lit(""))
-
-    path = F.regexp_extract(url, _PATH_RE, 1)
-    path = F.regexp_replace(path, "/{2,}", "/")
-    path = F.regexp_replace(path, "/$", "")
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-
-    # strip the fragment BEFORE extracting the query: '\?' alone would match
-    # a '?' that first appears inside the fragment (https://h/p#sec?a=1) and
-    # leak fragment content into the params (ADVICE r3; both engines agreed,
-    # so only a golden can catch it)
-    defrag = F.regexp_replace(url, "#.*$", "")
-    query = F.regexp_extract(defrag, _QUERY_RE, 1)
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
-    )
-    qs = F.concat_ws("&", F.array_sort(params))
-
     url_norm = F.concat(
         scheme,
         F.lit("://"),
-        host,
+        F.col("__u_host"),
         F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        path,
+        F.col("__u_path"),
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
     return (
-        df.withColumn("host", host)
-        .withColumn("port", port_norm)
+        g2.withColumn("host", F.col("__u_host"))
+        .withColumn("port", F.when(keep_port, port).otherwise(F.lit("")))
         .withColumn("url_norm", url_norm)
+        .drop(
+            "__u_scheme", "__u_hostport", "__u_rawpath", "__u_query",
+            "__u_host", "__u_port", "__u_path", "__u_qs",
+        )
     )
 
 

@@ -157,6 +157,28 @@ def test_simhash_hashes_once(spark):
     assert "Exchange" not in plan
 
 
+def test_tag_sentence_and_urls_compute_once(spark):
+    """Same expression-paste family in the non-textops operators (r4 plan
+    audit): tag_sentence's _svo_pos CASEs pasted 11 split(text) copies;
+    url_normalize pasted 27 regexp_extract + 10 regexp_replace chains
+    (every scheme/hostport/port/path reference re-ran its chain) — on the
+    crawl-side dedup-key operator that multiplies by 10^12 at scale."""
+    from posextract_spark.operators.evalops import tag_sentence
+    from posextract_spark.operators.urls import url_normalize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(tag_sentence(docs))
+    assert plan.count("split(") == 1
+
+    u = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://www.Ex.com:443/a//b/?b=2&a=1#f"), F.col("source")).alias("url"),
+    )
+    plan = _plan(url_normalize(u))
+    assert plan.count("regexp_extract") <= 5
+    assert plan.count("regexp_replace") <= 7
+
+
 def test_bench_aggregates_not_pruned(spark):
     """The bench's forced-evaluation aggregates must RETAIN the operator
     expressions. r1-r3 benched simhash/text_quality_scan/minhash_signatures
