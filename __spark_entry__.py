@@ -574,6 +574,19 @@ def q_sample_fraction(spark, sf_dir):
     return sample_fraction(_docs(spark, sf_dir), fraction=0.1, seed=7).select("doc_id")
 
 
+def q_salted_doc_counts(spark, sf_dir):
+    """Two-phase salted aggregation over a hot grouping key — the
+    skew-safe groupBy primitive the north rule mandates for head-entity
+    skew (operators/canonicalize.py:salted_counts). The salt bounds
+    per-partition width on a hot key; the RESULT is identical to a direct
+    GROUP BY, which is exactly what the oracle checks (the salting is an
+    execution property, pinned separately by its parity unit test)."""
+    from posextract_spark.operators.canonicalize import salted_counts
+
+    docs = _docs(spark, sf_dir).select(F.col("source"))
+    return salted_counts(docs, "source", n_salts=16, count_alias="n_docs")
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -653,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_take": q_stratified_take,
         "sample_n": q_sample_n,
         "sample_fraction": q_sample_fraction,
+        "salted_doc_counts": q_salted_doc_counts,
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -836,6 +850,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_n": sample_n_sql(n=50, seed=7),
         "sample_fraction": sample_fraction_sql(fraction=0.1, seed=7),
+        "salted_doc_counts": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY source"
+        ),
         "events_by_type_day": (
             # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT,
             # which pandas renders as float64 ('5695.0' vs Spark's '5695') —

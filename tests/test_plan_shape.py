@@ -157,6 +157,19 @@ def test_simhash_hashes_once(spark):
     assert "Exchange" not in plan
 
 
+def test_salted_counts_two_phase(spark):
+    """The skew primitive must actually be two-phase: first shuffle on
+    (key, salt) — bounding per-partition width on a hot key — then on key
+    alone to merge partials. One Exchange would mean the salt collapsed
+    and the hot key lands on one partition again."""
+    from posextract_spark.operators.canonicalize import salted_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("source")
+    plan = _plan(salted_counts(docs, "source"))
+    assert plan.count("Exchange") == 2
+    assert "_salt" in plan
+
+
 def test_tag_sentence_and_urls_compute_once(spark):
     """Same expression-paste family in the non-textops operators (r4 plan
     audit): tag_sentence's _svo_pos CASEs pasted 11 split(text) copies;
