@@ -38,6 +38,13 @@ def materialize(df: DataFrame, **cols: Column) -> DataFrame:
     may duplicate freely.
     """
     tmp = "__mat"
+    clash = ({tmp} | set(cols)) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"materialize: output name(s) {sorted(clash)} already exist on the "
+            "input DataFrame — pick unused names (duplicate columns would "
+            "make every downstream reference ambiguous)"
+        )
     packed = F.explode(F.array(F.struct(*[c.alias(n) for n, c in cols.items()])))
     g = df.select("*", packed.alias(tmp))
     return g.select("*", *[F.col(f"{tmp}.{n}").alias(n) for n in cols]).drop(tmp)
