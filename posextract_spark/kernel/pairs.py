@@ -117,7 +117,8 @@ def subj_verb_pairs_one(
 # row-for-row equality on every provider, and the DuckDB oracle pins the
 # Spark path end-to-end.
 
-_NEG_DETS = ("no", "not", "never")
+from posextract_spark.kernel.negation import _NEG_DETS  # single source of truth
+
 _SUBJ_DEPS = ("nsubj", "nsubjpass")
 
 

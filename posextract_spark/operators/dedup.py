@@ -263,9 +263,12 @@ def ngram_jaccard_stats(
     cartesian): pair generation sees only the first ``max_shingle_bucket``
     docs per shingle in deterministic hash-of-id order — a uniform sample
     of the bucket, same pattern as similarity.neardup_bucket_stats's
-    ``max_bucket_width``. Capped buckets make the reported counts a
-    deterministic LOWER BOUND for the docs sampled out; None (default,
-    used by the oracle-checked contract query) is exact."""
+    ``max_bucket_width``. Under a cap, surviving docs report a
+    deterministic LOWER BOUND of their true counts, and a doc sampled out
+    of ALL its buckets emits NO ROW at all — callers joining the stats
+    back to the corpus must treat missing rows as "not measured", never
+    as "no candidates". None (default, used by the oracle-checked
+    contract query) is exact."""
     from pyspark.sql import Window
 
     from posextract_spark.functions.boundary import materialize

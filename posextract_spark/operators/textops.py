@@ -35,6 +35,21 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _mean_word_len_e4(words, text_col: str) -> F.Column:
+    """floor(chars-without-spaces / n_words * 1e4) as BIGINT — the shared
+    mean-word-length signal (quality_score AND the corpus_quality_filter
+    composite must agree on its definition, so it lives in one place).
+    10000.0 (double): int*int overflows IntegerType and throws under ANSI
+    mode once a document exceeds ~214k chars."""
+    n_words = F.size(words)
+    n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    return (
+        F.when(n_words > 0, F.floor(n_chars_nospace * F.lit(10000.0) / n_words))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/stopword/mean-word-length quality metrics.
 
@@ -45,7 +60,6 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     g = materialize(df, __qs_words=word_array(F.col(text_col)))
     words = F.col("__qs_words")
     n_words = F.size(words)
-    n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
     stop_hits = F.size(
         F.filter(
             words,
@@ -54,12 +68,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return (
         g.withColumn("n_words", n_words)
-        .withColumn(
-            "mean_word_len_e4",
-            # 10000.0 (double): int*int overflows IntegerType and throws
-            # under ANSI mode once a document exceeds ~214k chars
-            F.when(n_words > 0, F.floor(n_chars_nospace * F.lit(10000.0) / n_words)).otherwise(F.lit(0)).cast("bigint"),
-        )
+        .withColumn("mean_word_len_e4", _mean_word_len_e4(words, text_col))
         .withColumn(
             "stopword_ratio_e4",
             F.when(n_words > 0, F.floor(stop_hits * F.lit(10000.0) / n_words)).otherwise(F.lit(0)).cast("bigint"),
@@ -506,12 +515,7 @@ def corpus_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     g = materialize(df, __qf_words=word_array(F.col(text_col)))
     words = F.col("__qf_words")
     n_words = F.size(words)
-    n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
-    mean_e4 = (
-        F.when(n_words > 0, F.floor(n_chars_nospace * F.lit(10000.0) / n_words))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-    )
+    mean_e4 = _mean_word_len_e4(words, text_col)
     dup_frac, _, max_run = _repetition_cols(words)
     sig = materialize(
         g,

@@ -60,6 +60,19 @@ def main(sf_dir: str, only: list[str]) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     spark = build_session(app_name="contract-check")
+
+    # Full-width executor + python-worker warmup BEFORE any timing: the
+    # first query otherwise pays ~7s of JVM/worker spawn and is falsely
+    # flagged SLOW regardless of its plan (same lesson as bench.py — a
+    # narrow warmup warms exactly one worker, hence the repartition).
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(4096).repartition(64).select(_warm("id")).count()
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
