@@ -126,7 +126,7 @@ FROM (
   FROM (
     SELECT doc_id, url, scheme, port,
       regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
-      regexp_replace(regexp_replace(path1, '/{2,}', '/'), '/$', '') AS path3,
+      regexp_replace(regexp_replace(path1, '/{2,}', '/', 'g'), '/$', '') AS path3,
       regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1) AS query
     FROM (
       SELECT doc_id, url,
