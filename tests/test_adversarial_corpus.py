@@ -1,0 +1,124 @@
+"""Contract-oracle parity on an ADVERSARIAL documents table.
+
+The driver gate runs every oracle pair over the synthetic bag-of-words
+corpus — lowercase, punctuation-free, single-spaced, 10-99 words. That
+leaves the text operators' edge behavior (empty/whitespace-only docs,
+leading punctuation, capitalization, '?'-questions, commas, repeated
+words, multi-space runs, 1-word docs) checked by NOTHING: both engines
+could diverge there and every golden stays green (exactly how the
+DuckDB 'g'-flag slash-collapse bug survived three rounds in the URL
+mirror — tests/test_urls_fuzz.py).
+
+This test writes a small hostile documents.parquet (crafted edges +
+seeded-random punctuation/case/length mixes), registers it as the
+DuckDB `documents` view, and replays the REAL `__spark_entry__`
+query/oracle pairs for every text-only query through the same
+sorted-column value comparison the driver uses.
+"""
+
+import random
+
+import duckdb
+import pytest
+
+import __spark_entry__ as em
+from tools.check_contract import value_hash
+
+# every contract query whose oracle reads only the `documents` view
+TEXT_QUERIES = [
+    "token_count",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "clean_text",
+    "repetition_stats",
+    "corpus_quality_filter",
+    "mask_pii",
+    "chunk_documents",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_band_pairs",
+    "simhash",
+    "ngram_jaccard_stats",
+    "validate_data",
+    "syntax_check",
+    "tag_sentence",
+    "salted_doc_counts",
+]
+
+_CRAFTED = [
+    "",
+    " ",
+    "   ",
+    "word",
+    "The",
+    "hon.",
+    "Hon.",
+    "Which way is the exit?",
+    "What   now?",  # multi-space: split(' ') makes empty tokens both sides
+    "a,b c, d ,e",
+    "scan scan scan scan scan scan",
+    "The the THE tHe the",
+    "A big, fast merge. Which table is slow?",
+    "trailing space ",
+    " leading space",
+    "one? two! three. four; five:",
+    "....",
+    "? ",
+    "12 34 56 78 90 numbers only here now yes",
+    "MiXeD CaSe WoRdS eVeRyWhErE iN tHiS dOc",
+]
+
+_WORDS_POOL = (
+    "the a an scan merge join sort filter group order hash batch stream "
+    "query fast slow small big table index row column Which What Why "
+    "Where When The THE der die das und le la les el los not no never "
+    "data. rows, cols? x y z"
+).split(" ")
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf(tmp_path_factory):
+    rng = random.Random(1234)
+    texts = list(_CRAFTED)
+    for _ in range(180):
+        n = rng.randrange(1, 40)
+        texts.append(" ".join(rng.choice(_WORDS_POOL) for _ in range(n)))
+    import pandas as pd
+
+    # single parquet FILE (like the driver's testdata), readable by both
+    # engines at the same path the query/oracle pairs expect
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": [rng.choice(["en", "de", "xx"]) for _ in texts],
+            "source": [f"src{i % 7}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path_factory.mktemp("advsf"))
+    pdf.to_parquet(f"{sf}/documents.parquet", index=False)
+    return sf
+
+
+def test_text_queries_match_oracles_on_adversarial_corpus(spark, adversarial_sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{adversarial_sf}/documents.parquet'"
+    )
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    failures = []
+    for name in TEXT_QUERIES:
+        sdf = qs[name](spark, adversarial_sf).toPandas()
+        odf = con.execute(oracles[name]).df()
+        ok = (
+            len(sdf) == len(odf)
+            and sorted(sdf.columns) == sorted(odf.columns)
+            and value_hash(sdf) == value_hash(odf)
+        )
+        if not ok:
+            failures.append((name, len(sdf), len(odf)))
+    em.release_caches()
+    assert not failures, f"adversarial-corpus divergences: {failures}"
