@@ -143,18 +143,12 @@ def minhash_signatures(
     )
 
 
-def minhash_band_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_seeds: int = MINHASH_SEEDS,
-    band_size: int = 2,
+def _band_keys(
+    df: DataFrame, text_col: str, id_col: str, n_seeds: int, band_size: int
 ) -> DataFrame:
-    """LSH banding: band key = hash of the band's ordered minhashes; output
-    candidate near-duplicate pairs (a < b) with the number of bands that
-    collided."""
-    # Band keys: base-hash once [below the Generate], then per-(row, band)
-    # compute the band's member minhashes and hash them into one key.
+    """(id, band, band_key): base-hash once [below the Generate], then
+    per-(row, band) compute the band's member minhashes and hash them
+    into one key."""
     _check_n_seeds(n_seeds)
     hs_df = _with_base_hashes(df, text_col, id_col)
     n_bands = n_seeds // band_size
@@ -164,11 +158,26 @@ def minhash_band_pairs(
         _affine_min(F.col("_hs"), F.col("band") * band_size + r).cast("string")
         for r in range(band_size)
     ]
-    keys = exploded.select(
+    return exploded.select(
         F.col(id_col),
         F.col("band"),
         portable_hash64(F.concat_ws(",", *member_mins)).alias("band_key"),
     )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_seeds: int = MINHASH_SEEDS,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: output candidate near-duplicate pairs (a < b) with the
+    number of bands that collided. The within-bucket self-join is
+    quadratic in bucket width BY DEFINITION of this query (it LISTS the
+    pairs); the survivors path below never calls it — it builds star
+    edges instead, so hot buckets cost O(k), not O(k^2)."""
+    keys = _band_keys(df, text_col, id_col, n_seeds, band_size)
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (
         a.join(
@@ -191,20 +200,37 @@ def minhash_dedup_survivors(
     band_size: int = 2,
 ) -> DataFrame:
     """End-to-end near-duplicate deduplication — what a 100 TB training-data
-    pipeline actually runs: LSH candidate pairs (bucketed equijoin, never
-    all-pairs) -> connected components over the pair graph (O(log n)
-    large-star/small-star rounds) -> per-cluster survivor = smallest doc id.
+    pipeline actually runs: LSH band buckets -> STAR EDGES per bucket ->
+    connected components (O(log n) large-star/small-star rounds) ->
+    per-cluster survivor = smallest doc id.
+
+    Star edges, not the pair join (r4): CC only needs CONNECTIVITY, and
+    within one band bucket every member is pairwise-connected either way,
+    so edges (member -> bucket-min) have exactly the same transitive
+    closure as the all-pairs listing while a hot bucket (10^6 copies of a
+    boilerplate page — the common case that motivates dedup at all) costs
+    O(k) edges instead of O(k^2). One window-min per bucket, no self-join
+    anywhere in the survivors path; the oracle is closure-based and
+    therefore algorithm-independent (tests/test_dedup_caps.py pins
+    star == pair-join cluster equality and the linear hot-bucket cost).
 
     Output: (doc_id, cluster_id, is_survivor 0/1). Downstream keeps
     ``is_survivor = 1`` rows; cluster_id gives full dedup lineage. Documents
     with no near-dup candidates are their own singleton cluster (left join +
     coalesce, no shuffle beyond the CC rounds)."""
+    from pyspark.sql import Window
+
     from posextract_spark.operators.canonicalize import connected_components_star
 
-    pairs = minhash_band_pairs(df, text_col, id_col, n_seeds, band_size)
-    comps = connected_components_star(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    keys = _band_keys(df, text_col, id_col, n_seeds, band_size)
+    w = Window.partitionBy("band", "band_key")
+    edges = (
+        keys.withColumn("_min", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_min"))
+        .select(F.col(id_col).alias("src"), F.col("_min").alias("dst"))
+        .distinct()
     )
+    comps = connected_components_star(edges)
     return (
         df.select(F.col(id_col))
         .join(comps.withColumnRenamed("node", id_col), id_col, "left")

@@ -34,6 +34,60 @@ def test_cap_bounds_adversarial_identical_corpus(spark):
     assert all(r.max_shared == 6 for r in out)
 
 
+def test_survivors_star_edges_equal_pair_join_closure(spark):
+    """The r4 survivors path feeds CC star edges (member -> bucket-min)
+    instead of the all-pairs listing. Within a bucket both edge sets have
+    the same transitive closure, so the CLUSTERS must be identical — this
+    re-derives survivors from the pair join and compares frames exactly."""
+    from posextract_spark.operators.canonicalize import connected_components_star
+    from posextract_spark.operators.dedup import minhash_band_pairs, minhash_dedup_survivors
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    star = {(r.doc_id, r.cluster_id, r.is_survivor) for r in minhash_dedup_survivors(docs).collect()}
+
+    pairs = minhash_band_pairs(docs)
+    comps = connected_components_star(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    via_pairs = {
+        (r.doc_id, r.cluster_id, r.is_survivor)
+        for r in docs.select("doc_id")
+        .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_survivor", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+        .collect()
+    }
+    assert star == via_pairs
+
+
+def test_survivors_linear_on_hot_bucket(spark):
+    """2000 identical docs land in ONE bucket per band: the old pair join
+    built ~2000^2/2 * 4 bands = 8M join rows; star edges build exactly
+    n-1 distinct edges and the whole dedup completes fast with one
+    survivor."""
+    from posextract_spark.operators.dedup import _band_keys, minhash_dedup_survivors
+    from pyspark.sql import Window
+
+    docs = _identical_corpus(spark, 2000)
+    keys = _band_keys(docs, "text", "doc_id", 8, 2)
+    w = Window.partitionBy("band", "band_key")
+    edges = (
+        keys.withColumn("_min", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("_min"))
+        .select(F.col("doc_id").alias("src"), F.col("_min").alias("dst"))
+        .distinct()
+    )
+    assert edges.count() == 1999  # O(k), not O(k^2)
+
+    out = minhash_dedup_survivors(docs).collect()
+    assert len(out) == 2000
+    assert sum(r.is_survivor for r in out) == 1
+    assert {r.cluster_id for r in out} == {0}
+
+
 def test_cap_wider_than_buckets_is_exact(spark):
     """A cap wider than every real bucket must be a no-op — this is why
     the oracle-checked contract query (cap=None) and a production run
