@@ -138,7 +138,15 @@ nxt AS (
   SELECT doc_id, word, idx, pos,
     min(CASE WHEN pos='NOUN' THEN idx END) OVER (
       PARTITION BY doc_id ORDER BY idx
-      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_noun_idx
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_noun_idx,
+    -- verbless-doc edge: the parser makes the FIRST (non-empty) token the
+    -- ROOT when a doc has no verbs, so an ADJ in that position never
+    -- attaches to the next noun and emits NO pair (svo.py:20-25; caught
+    -- by the adversarial-corpus replay — the synthetic corpus never
+    -- starts a verbless doc with an ADJ)
+    min(idx) OVER (PARTITION BY doc_id) AS first_idx,
+    max(CASE WHEN pos='VERB' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id) AS has_verb
   FROM ctoks
 )
 SELECT a.doc_id,
@@ -146,7 +154,7 @@ SELECT a.doc_id,
        a.word AS adjective, n.word AS noun
 FROM nxt a
 JOIN ctoks n ON n.doc_id = a.doc_id AND n.idx = a.next_noun_idx
-WHERE a.pos = 'ADJ'
+WHERE a.pos = 'ADJ' AND (a.has_verb = 1 OR a.idx <> a.first_idx)
 """
 
 # subj-verb: per VERB token in order; own subject = last NOUN in the gap

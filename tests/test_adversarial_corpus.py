@@ -24,8 +24,24 @@ import pytest
 import __spark_entry__ as em
 from tools.check_contract import value_hash
 
-# every contract query whose oracle reads only the `documents` view
+# every contract query whose oracle reads only the `documents` view —
+# including the FULL extraction family (svo parse -> kernel -> pairs/KG),
+# so the parser+kernel pipeline itself is parity-checked on hostile text
 TEXT_QUERIES = [
+    "svo_triples",
+    "svo_triples_by_verb",
+    "svo_triples_posrule",
+    "adj_noun_pairs",
+    "subj_verb_pairs",
+    "kg_edges",
+    "kg_nodes",
+    "entity_link",
+    "entity_link_scored",
+    "url_normalize",
+    "url_dedup_groups",
+    "stratified_take",
+    "sample_n",
+    "sample_fraction",
     "token_count",
     "quality_score",
     "language_id",
