@@ -83,6 +83,21 @@ _CRAFTED = [
     "? ",
     "12 34 56 78 90 numbers only here now yes",
     "MiXeD CaSe WoRdS eVeRyWhErE iN tHiS dOc",
+    # extraction-adversarial shapes (svo parser edges):
+    "merge",                      # lone verb: root, no subject, no object
+    "scan merge join sort",       # all verbs, conj chain, no nouns
+    "table scan",                 # subject, verb, no object
+    "scan table",                 # verb first: no subject, object only
+    "rows scan table merge index",  # obj of v1 is subj-candidate of v2
+    "data merge rows",            # posrule: subject d.* + IGNOREd verb
+    "data scan rows",             # posrule: subject d.* kept
+    "the big fast small slow x",  # ADJ pileup before one noun
+    "fast",                       # lone ADJ, verbless -> ROOT, no pair
+    "the data",                   # DET + alias surface, verbless
+    "row line column customer scan data",  # alias surfaces + verb
+    "a scan a merge a",           # DETs interleaved with verbs, no nouns
+    "x scan y merge z join w",    # dense SVO chains
+    "scan scan table",            # doubled verb then noun
 ]
 
 _WORDS_POOL = (
