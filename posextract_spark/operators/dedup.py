@@ -4,9 +4,11 @@ Scale notes (the 100 TB design point):
 - exact dedup is a single hash-keyed shuffle with map-side partial
   aggregation; the representative-choice (min doc_id) keeps it one pass.
 - minhash: signatures AND band keys are per-row array expressions (zero
-  shuffle, zero Python); the only shuffle in the whole near-dup path is the
-  band-bucket self-join, which AQE skew-split handles when a band bucket
-  is hot (boilerplate-heavy shards).
+  shuffle, zero Python). The SURVIVORS path shuffles once on
+  (band, band_key) for the per-bucket window-min star edges — a hot
+  bucket lands on one task but costs O(k log k) sort, not O(k^2) pairs.
+  The pair-LISTING query (minhash_band_pairs) still self-joins by
+  definition; AQE skew-split applies there (joins, not windows).
 - n-gram Jaccard candidate generation joins on shared shingles — quadratic
   on hot shingles; it is provided as the exact small-scale baseline, with
   minhash-LSH as the scale path.
@@ -165,6 +167,22 @@ def _band_keys(
     )
 
 
+def _star_edges(keys: DataFrame, id_col: str) -> DataFrame:
+    """(src, dst) star edges per band bucket: member -> bucket-min, one
+    window-min per bucket, deduped across bands. Same transitive closure
+    as the all-pairs listing at O(k) per bucket; shared by
+    minhash_dedup_survivors and its linearity test."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    return (
+        keys.withColumn("_min", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_min"))
+        .select(F.col(id_col).alias("src"), F.col("_min").alias("dst"))
+        .distinct()
+    )
+
+
 def minhash_band_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -223,14 +241,7 @@ def minhash_dedup_survivors(
     from posextract_spark.operators.canonicalize import connected_components_star
 
     keys = _band_keys(df, text_col, id_col, n_seeds, band_size)
-    w = Window.partitionBy("band", "band_key")
-    edges = (
-        keys.withColumn("_min", F.min(id_col).over(w))
-        .filter(F.col(id_col) != F.col("_min"))
-        .select(F.col(id_col).alias("src"), F.col("_min").alias("dst"))
-        .distinct()
-    )
-    comps = connected_components_star(edges)
+    comps = connected_components_star(_star_edges(keys, id_col))
     return (
         df.select(F.col(id_col))
         .join(comps.withColumnRenamed("node", id_col), id_col, "left")

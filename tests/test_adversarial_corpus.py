@@ -22,7 +22,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as em
-from tools.check_contract import value_hash
+from tools.check_contract import dtypes_match, value_hash
 
 # every contract query whose oracle reads only the `documents` view —
 # including the FULL extraction family (svo parse -> kernel -> pairs/KG),
@@ -54,6 +54,7 @@ TEXT_QUERIES = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_band_pairs",
+    "minhash_dedup_survivors",
     "simhash",
     "ngram_jaccard_stats",
     "validate_data",
@@ -144,10 +145,15 @@ def test_text_queries_match_oracles_on_adversarial_corpus(spark, adversarial_sf)
     for name in TEXT_QUERIES:
         sdf = qs[name](spark, adversarial_sf).toPandas()
         odf = con.execute(oracles[name]).df()
+        cols_ok = sorted(sdf.columns) == sorted(odf.columns)
         ok = (
             len(sdf) == len(odf)
-            and sorted(sdf.columns) == sorted(odf.columns)
+            and cols_ok
             and value_hash(sdf) == value_hash(odf)
+            # the driver gate's strict per-column pandas-dtype check too:
+            # stringified values can collide while dtypes diverge (the r3
+            # HUGEINT->float64 lesson)
+            and (cols_ok and dtypes_match(sdf, odf)[0])
         )
         if not ok:
             failures.append((name, len(sdf), len(odf)))

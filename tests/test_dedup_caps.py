@@ -68,18 +68,15 @@ def test_survivors_linear_on_hot_bucket(spark):
     built ~2000^2/2 * 4 bands = 8M join rows; star edges build exactly
     n-1 distinct edges and the whole dedup completes fast with one
     survivor."""
-    from posextract_spark.operators.dedup import _band_keys, minhash_dedup_survivors
-    from pyspark.sql import Window
+    from posextract_spark.operators.dedup import (
+        _band_keys,
+        _star_edges,
+        minhash_dedup_survivors,
+    )
 
     docs = _identical_corpus(spark, 2000)
-    keys = _band_keys(docs, "text", "doc_id", 8, 2)
-    w = Window.partitionBy("band", "band_key")
-    edges = (
-        keys.withColumn("_min", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") != F.col("_min"))
-        .select(F.col("doc_id").alias("src"), F.col("_min").alias("dst"))
-        .distinct()
-    )
+    # the PRODUCTION edge construction (shared helper), not a re-implementation
+    edges = _star_edges(_band_keys(docs, "text", "doc_id", 8, 2), "doc_id")
     assert edges.count() == 1999  # O(k), not O(k^2)
 
     out = minhash_dedup_survivors(docs).collect()

@@ -26,6 +26,7 @@ def test_pyfiles_zip_matches_working_tree():
     with zipfile.ZipFile(zpath) as zf:
         names = set(zf.namelist())
         stale, missing = [], []
+        tree = set()
         # every tracked source file must be in the zip with identical bytes
         for dirpath, _, filenames in os.walk(os.path.join(REPO, "posextract_spark")):
             if "__pycache__" in dirpath:
@@ -35,9 +36,16 @@ def test_pyfiles_zip_matches_working_tree():
                     continue
                 full = os.path.join(dirpath, fn)
                 arc = os.path.relpath(full, REPO)
+                tree.add(arc)
                 if arc not in names:
                     missing.append(arc)
                 elif zf.read(arc) != open(full, "rb").read():
                     stale.append(arc)
+        # ...and the reverse: a module deleted/renamed in the tree but still
+        # packaged would stay importable on executors only — the same skew
+        ghosts = sorted(
+            n for n in names if n.endswith(".py") and n.startswith("posextract_spark/") and n not in tree
+        )
     assert not missing, f"not in zip (run tools/make_pyfiles.py): {missing}"
     assert not stale, f"zip content stale (run tools/make_pyfiles.py): {stale}"
+    assert not ghosts, f"zip ships modules absent from the tree: {ghosts}"
