@@ -134,6 +134,80 @@ def adversarial_sf(tmp_path_factory):
     return sf
 
 
+# similarity-family queries whose oracles read only the `embeddings` view
+EMB_QUERIES = [
+    "cosine_topk",
+    "lsh_bucket",
+    "ivf_assign",
+    "ivf_topk",
+    "ivf_assign_kmeans",
+    "ivf_topk_kmeans",
+    "embedding_neardup",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_sf(tmp_path_factory):
+    """Hostile embeddings: zero vectors, exact duplicates, sign flips,
+    axis-aligned one-hots, magnitude spread (1e-3..1e3), near-duplicates
+    differing in one coordinate — the float shapes the smooth synthetic
+    table never produces (engine parity needs identical summation order
+    AND agreeing zero-norm guards)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(99)
+    dim = 64
+    vecs = [rng.standard_normal(dim)]  # vec_id 0: sane query vector
+    vecs.append(np.zeros(dim))
+    vecs.append(vecs[0].copy())          # exact duplicate of the query
+    vecs.append(-vecs[0])                # antipode
+    for i in range(6):
+        v = np.zeros(dim)
+        v[i] = 1.0
+        vecs.append(v)                   # one-hots
+    for scale in (1e-3, 1e3, 37.0):
+        vecs.append(rng.standard_normal(dim) * scale)
+    near = vecs[0].copy()
+    near[7] += 1e-4
+    vecs.append(near)                    # near-duplicate of the query
+    while len(vecs) < 120:
+        vecs.append(rng.standard_normal(dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": [i % 5 for i in range(len(vecs))],
+        }
+    )
+    sf = str(tmp_path_factory.mktemp("advemb"))
+    pdf.to_parquet(f"{sf}/embeddings.parquet", index=False)
+    return sf
+
+
+def test_similarity_queries_match_oracles_on_adversarial_embeddings(spark, adversarial_emb_sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{adversarial_emb_sf}/embeddings.parquet'"
+    )
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    failures = []
+    for name in EMB_QUERIES:
+        sdf = qs[name](spark, adversarial_emb_sf).toPandas()
+        odf = con.execute(oracles[name]).df()
+        cols_ok = sorted(sdf.columns) == sorted(odf.columns)
+        ok = (
+            len(sdf) == len(odf)
+            and cols_ok
+            and value_hash(sdf) == value_hash(odf)
+            and (cols_ok and dtypes_match(sdf, odf)[0])
+        )
+        if not ok:
+            failures.append((name, len(sdf), len(odf)))
+    assert not failures, f"adversarial-embeddings divergences: {failures}"
+
+
 def test_text_queries_match_oracles_on_adversarial_corpus(spark, adversarial_sf):
     con = duckdb.connect()
     con.execute(
