@@ -104,14 +104,25 @@ def main() -> None:
     if load_waited:
         extras["load_wait_sec"] = load_waited
 
+    # The interpreted-HOF scan queries degrade FAR more under neighbor
+    # contention than the pandas-UDF extraction (measured the same night:
+    # triples 4.1 -> 4.8s while corpus_quality_filter went 1.7 -> 19-36s
+    # and one text_quality_scan sample hit 124s — allocation/bandwidth-
+    # heavy interpreted projections amplify CPU steal). Give those
+    # volatile queries extra min-of-N samples so one clean window
+    # suffices; per-run samples still expose the contamination.
+    _VOLATILE = {"minhash_signatures", "simhash", "text_quality_scan",
+                 "corpus_quality_filter"}
+
     def timed(name: str, fn):
         # min-of-N: this VM shows occasional 5-25x noisy-neighbor spikes on
         # individual queries (BENCH/BASELINE.md); a single sample can land
         # entirely inside one. The min is the honest capability number.
         # Every per-run sample is printed (stderr) and recorded (JSON
         # "runs") so a spike-contaminated session is self-diagnosing.
+        n_runs = max(runs_per_query, 5) if name in _VOLATILE else runs_per_query
         best, result, samples = None, None, []
-        for _ in range(runs_per_query):
+        for _ in range(n_runs):
             t0 = time.time()
             result = fn()
             dt = time.time() - t0
