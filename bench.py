@@ -47,7 +47,9 @@ def main() -> None:
     load1_at_start = None
     load_waited = 0.0
     try:
-        for _ in range(6):
+        # up to 2 min: observed neighbor bursts on this VM routinely outlast
+        # the previous 60s ceiling (BENCH/BASELINE.md r4 noise notes)
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAITS", "12"))):
             load1 = os.getloadavg()[0]
             if load1 <= load_limit:
                 break
