@@ -580,11 +580,15 @@ def q_salted_doc_counts(spark, sf_dir):
     skew (operators/canonicalize.py:salted_counts). The salt bounds
     per-partition width on a hot key; the RESULT is identical to a direct
     GROUP BY, which is exactly what the oracle checks (the salting is an
-    execution property, pinned separately by its parity unit test)."""
+    execution property, pinned separately by its parity unit test).
+    The salt derives from doc_id (r5, ADVICE r4): deterministic in the
+    data, so a cluster-side stage retry re-derives identical (key, salt)
+    partials — the nondeterministic monotonically_increasing_id fallback
+    could double-/drop-count under recompute (SPARK-23207-class)."""
     from posextract_spark.operators.canonicalize import salted_counts
 
-    docs = _docs(spark, sf_dir).select(F.col("source"))
-    return salted_counts(docs, "source", n_salts=16, count_alias="n_docs")
+    docs = _docs(spark, sf_dir).select(F.col("source"), F.col("doc_id"))
+    return salted_counts(docs, "source", n_salts=16, count_alias="n_docs", id_col="doc_id")
 
 
 def q_events_by_type_day(spark, sf_dir):

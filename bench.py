@@ -214,6 +214,13 @@ def main() -> None:
         "cpus": cpus,
         "replicate": replicate,
         "runs_per_query": runs_per_query,
+        # the _VOLATILE queries get min-of-max(runs_per_query, 5) samples
+        # (ADVICE r4: the JSON must not misstate the per-query N — the
+        # authoritative per-query count is len(runs[name]); the extra
+        # min-of-N draws bias volatile minima lower vs the rest, noted in
+        # BENCH/BASELINE.md where cross-query comparisons are made)
+        "runs_per_query_actual": {q: len(s) for q, s in all_runs.items()},
+        "volatile_queries": sorted(_VOLATILE),
         "runs": all_runs,
         **extras,
     }

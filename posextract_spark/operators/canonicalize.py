@@ -163,12 +163,34 @@ def connected_components_star(
 
 
 def salted_counts(
-    df: DataFrame, key_col: str, n_salts: int = 16, count_alias: str = "n"
+    df: DataFrame,
+    key_col: str,
+    n_salts: int = 16,
+    count_alias: str = "n",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Two-phase salted count for skewed keys: partial count on
-    (key, hash(full-row-ish salt) % n_salts), then final merge. Identical
-    result to a direct groupBy-count; bounded partition width on hot keys."""
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    (key, salt), then final merge. Bounded partition width on hot keys.
+
+    Pass ``id_col`` (a stable, unique column) whenever one exists: the
+    salt is then ``pmod(xxhash64(id_col), n_salts)`` — deterministic in
+    the DATA, so a fetch-failure-driven recompute of the partial-count
+    map stage re-derives identical (key, salt) assignments and the result
+    is exactly equal to a direct groupBy-count even across task attempts.
+
+    Without ``id_col`` the salt falls back to
+    ``xxhash64(monotonically_increasing_id())`` — NONDETERMINISTIC across
+    stage retries (the row->partition->offset mapping can change between
+    attempts). On a single attempt the result still equals a direct
+    groupBy, but at the 1000-executor design point a map-stage retry can
+    mix partials from different salt assignments (SPARK-23207-class
+    hazard: double- or drop-counted rows). Prefer ``id_col``; the
+    fallback exists only for frames with no stable key."""
+    if id_col is not None:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    salted = df.withColumn("_salt", salt)
     partial = salted.groupBy(key_col, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(key_col).agg(F.sum("_partial").cast("bigint").alias(count_alias))
 

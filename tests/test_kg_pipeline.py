@@ -107,6 +107,17 @@ def test_salted_counts_matches_direct(spark):
     assert direct == salted
 
 
+def test_salted_counts_deterministic_id_salt_matches_direct(spark):
+    # the retry-safe path (r5, ADVICE r4): salt = pmod(xxhash64(id), n)
+    rows = [("a", i) for i in range(50)] + [("b", i) for i in range(50, 53)]
+    df = spark.createDataFrame(rows, "k string, rid bigint")
+    direct = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {
+        r.k: r.n for r in salted_counts(df, "k", n_salts=4, id_col="rid").collect()
+    }
+    assert direct == salted
+
+
 def test_template_triple_table_pins_kernel():
     """The closed-form template->triples table used by the kg_pages oracle
     (oracles.TEMPLATE_TRIPLE_RULES) must agree with the real kernel on every

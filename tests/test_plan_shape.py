@@ -164,10 +164,17 @@ def test_salted_counts_two_phase(spark):
     and the hot key lands on one partition again."""
     from posextract_spark.operators.canonicalize import salted_counts
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("source")
-    plan = _plan(salted_counts(docs, "source"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "source", "doc_id"
+    )
+    plan = _plan(salted_counts(docs, "source", id_col="doc_id"))
     assert plan.count("Exchange") == 2
     assert "_salt" in plan
+    # deterministic salt (r5, ADVICE r4): derived from the data via
+    # xxhash64(doc_id), never from monotonically_increasing_id, so a
+    # stage retry re-derives identical (key, salt) partials
+    assert "xxhash64(doc_id" in plan
+    assert "monotonically_increasing_id" not in plan
 
 
 def test_tag_sentence_and_urls_compute_once(spark):
