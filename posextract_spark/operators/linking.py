@@ -32,14 +32,23 @@ def mentions_from_triples(triples: DataFrame, id_cols=("url", "sent_id")) -> Dat
     return subj.unionAll(obj)
 
 
-def char_bigrams(col):
+def char_bigrams(col, *, pre_normalized: bool = False):
     """Distinct character 2-grams of the normalized surface — the linking
     similarity's feature set. Native Columns (codegen), no Python.
 
     Guarded for length <= 1: Spark's sequence(1, 0) yields a DESCENDING
     [1, 0] (default step -1 when start > stop), which would fabricate a
-    bigram where DuckDB's generate_series(1, 0) is empty."""
-    s = normalize_surface(col)
+    bigram where DuckDB's generate_series(1, 0) is empty.
+
+    ``pre_normalized=True`` skips the lower(trim()) and requires ``col``
+    to be an ATTRIBUTE holding an already-normalized surface (r5 paste
+    audit): the transform's lambda references ``s`` per element, and a
+    non-attribute subtree inside a HOF lambda is re-evaluated PER ELEMENT
+    — lower(trim()) per bigram made this O(len^2) per surface. The hot
+    (mention) path in resolve_surfaces_scored uses this flavor; the
+    default flavor remains for call sites feeding raw columns, which pay
+    the per-element cost and should only do so on small frames."""
+    s = col if pre_normalized else normalize_surface(col)
     idx = F.sequence(F.lit(1), F.length(s) - 1)
     grams = F.array_distinct(F.transform(idx, lambda i: F.substr(s, i, F.lit(2))))
     return F.when(F.length(s) >= 2, grams).otherwise(
@@ -47,14 +56,32 @@ def char_bigrams(col):
     )
 
 
-def bigram_jaccard_e6(a, b):
-    """floor(Jaccard(a, b) * 1e6) over distinct bigram arrays — integer set
-    sizes, so the fixed-point value is engine-exact."""
-    inter = F.size(F.filter(a, lambda x: F.array_contains(b, x)))
+def _bigram_intersection(a, b):
+    """size of the bigram intersection — the O(|a|*|b|) scan. Compute it
+    ONCE (behind a materialize boundary when used in several places)."""
+    return F.size(F.filter(a, lambda x: F.array_contains(b, x)))
+
+
+def _jaccard_e6_from_inter(a, b, inter):
+    """floor(Jaccard * 1e6) given a PRE-COMPUTED intersection size
+    (ideally a materialized attribute — ``inter`` is referenced twice
+    and ``union`` components three times, all O(1) on attributes)."""
     union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, F.floor(inter / union * F.lit(1000000.0)).cast("bigint")).otherwise(
         F.lit(0).cast("bigint")
     )
+
+
+def bigram_jaccard_e6(a, b):
+    """floor(Jaccard(a, b) * 1e6) over distinct bigram arrays — integer set
+    sizes, so the fixed-point value is engine-exact.
+
+    NOTE (r5 paste audit): this convenience composition pastes the
+    intersection scan THREE times into the expression tree (inter, union,
+    and the union>0 guard). Fine for one-off scoring of small frames; hot
+    paths must materialize ``_bigram_intersection`` once and use
+    ``_jaccard_e6_from_inter`` — as resolve_surfaces_scored does."""
+    return _jaccard_e6_from_inter(a, b, _bigram_intersection(a, b))
 
 
 def resolve_surfaces_scored(
@@ -79,25 +106,52 @@ def resolve_surfaces_scored(
     surface; below-threshold surfaces fall back to themselves (linked=false),
     exact alias hits score 1e6 by construction.
     """
+    from posextract_spark.functions.boundary import materialize
+
+    # .distinct() is an Aggregate — a hard boundary, so surface_norm below
+    # is a genuine attribute and char_bigrams(pre_normalized=True) never
+    # re-evaluates lower(trim()) inside the transform lambda (r5 paste
+    # audit: the previous formulation re-normalized PER BIGRAM ELEMENT,
+    # O(len^2) per surface, 4 lower(trim) copies in the plan)
     s = surfaces.select(
         normalize_surface(F.col(surface_col)).alias("surface_norm")
     ).distinct()
     s = s.withColumn("_pfx", F.substring("surface_norm", 1, prefix_len)).withColumn(
-        "_bg", char_bigrams(F.col("surface_norm"))
+        "_bg", char_bigrams(F.col("surface_norm"), pre_normalized=True)
     )
-    a = alias_df.select(
-        F.substring("surface_norm", 1, prefix_len).alias("_pfx"),
-        F.col("surface_norm").alias("_asurf"),
-        char_bigrams(F.col("surface_norm")).alias("_abg"),
-        F.col("canonical").alias("_cand"),
+    # alias side: materialize the normalized surface behind a Generate so
+    # the bigram lambda also references an attribute (CollapseProject would
+    # inline a plain projection alias back into the lambda); broadcast-small
+    # either way, but the plan guard pins lower(trim) == 2 total
+    a = materialize(
+        alias_df.select(
+            F.col("surface_norm").alias("_asurf"), F.col("canonical").alias("_cand")
+        ),
+        _anorm=normalize_surface(F.col("_asurf")),
+    )
+    a = a.select(
+        F.substring("_asurf", 1, prefix_len).alias("_pfx"),
+        "_asurf",
+        char_bigrams(F.col("_anorm"), pre_normalized=True).alias("_abg"),
+        "_cand",
+    )
+    # the O(|a|*|b|) intersection scan is computed ONCE behind a Generate:
+    # the naive bigram_jaccard_e6 composition pastes it three times (inter,
+    # union, union>0 guard) into an interpreted projection on the joined
+    # (surface x candidate) traffic — the hot loop of this operator
+    joined = materialize(
+        s.join(F.broadcast(a), "_pfx", "left"),
+        _inter=_bigram_intersection(F.col("_bg"), F.col("_abg")),
     )
     # exact dictionary hits short-circuit to 1e6: for >=2-char surfaces the
     # bigram Jaccard already evaluates to 1e6, but a 1-char surface has NO
     # bigrams (empty sets -> score 0) and would miss its verbatim alias
-    scored = s.join(F.broadcast(a), "_pfx", "left").withColumn(
+    scored = joined.withColumn(
         "_score",
         F.when(F.col("surface_norm") == F.col("_asurf"), F.lit(1000000).cast("bigint"))
-        .otherwise(bigram_jaccard_e6(F.col("_bg"), F.col("_abg"))),
+        .otherwise(
+            _jaccard_e6_from_inter(F.col("_bg"), F.col("_abg"), F.col("_inter"))
+        ),
     )
     best = scored.groupBy("surface_norm").agg(
         F.max(F.struct(F.col("_score").alias("s"), F.col("_cand").alias("c"))).alias("_b")

@@ -226,3 +226,63 @@ def test_bench_aggregates_not_pruned(spark):
     )
     plan = _plan(scan)
     assert "split(" in plan and "md5" in plan
+
+
+def test_linking_scorer_computes_once(spark):
+    """r5 paste audit (VERDICT r4 item 5) on the fuzzy linking scorer:
+    the r4 formulation pasted the O(|a|*|b|) bigram-intersection scan
+    THREE times (inter, union, union>0 guard — interpreted projection on
+    the joined surface x candidate traffic) and re-ran lower(trim()) PER
+    BIGRAM ELEMENT inside the transform lambdas (4 copies in the plan).
+    Now: intersection materialized once behind a Generate, normalization
+    exactly twice (mention select + alias materialize), attribute-only
+    lambdas. Fails on the r4 code."""
+    from posextract_spark.operators.linking import resolve_surfaces_scored
+
+    surf = spark.createDataFrame([("Acme Corp",), ("zorin",)], "surface_norm string")
+    alias = spark.createDataFrame(
+        [("acme corp", "ACME"), ("zorin", "ZORIN")], "surface_norm string, canonical string"
+    )
+    plan = _plan(resolve_surfaces_scored(surf, alias))
+    assert plan.count("array_contains") == 1  # intersection scan materialized once
+    assert plan.count("lower(trim") == 2  # mention-side once + alias-side once
+    assert "Window" not in plan  # best-candidate is a map-side-combinable max
+
+
+def test_sentence_split_computes_once(spark):
+    """split_sentences chains filter/transform over ONE segment split —
+    the whole chain must appear as a single nested expression (one
+    split on the sentence delimiter per row), not a pasted copy per
+    stage. The per-segment word split inside the filter lambda is
+    intentional (it counts words of the LAMBDA VAR, not an outer
+    subtree)."""
+    from posextract_spark.operators.sentences import split_sentences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(split_sentences(docs))
+    # exactly one split on the \.|\n sentence delimiter
+    assert plan.count(r"\.|\n") == 1
+    assert "Exchange" not in plan  # embarrassingly parallel
+
+
+def test_pages_pipeline_python_crossings(spark, tmp_path):
+    """The end-to-end pages->triples composite must cross into Python
+    exactly twice: one Arrow-batched pandas UDF for html->text and one
+    MapInPandas for the fused segment+parse+extract stage — and never
+    shuffle before extraction. Pages are materialized to parquet first so
+    the guard sees the PIPELINE's plan, not the synthetic generator's own
+    MapInPandas/repartition."""
+    from posextract_spark.pipeline import pages_to_triples
+    from posextract_spark.sources.pages import generate_pages
+
+    path = str(tmp_path / "pages")
+    generate_pages(spark, 20, seed=42, n_partitions=2).write.parquet(path)
+    pages = spark.read.parquet(path)
+    plan = _plan(pages_to_triples(pages, provider="template"))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    # the lang filter must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
