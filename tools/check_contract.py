@@ -51,6 +51,46 @@ def dtypes_match(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
     return (not mism, "; ".join(mism))
 
 
+def _streaming_batch_equivalence(spark) -> tuple[bool, str]:
+    """Run the foreachBatch streaming pipeline (availableNow) and the plain
+    batch pipeline over the SAME generated pages corpus; compare the triple
+    sets with the gate's order-insensitive value hash. Exactly-once is what
+    this regression-gates: a sink that appended instead of overwriting its
+    batch_id partition, or a replayed micro-batch, shows up as extra rows."""
+    import shutil
+    import tempfile
+
+    from posextract_spark.pipeline import pages_to_triples
+    from posextract_spark.sources.pages import generate_pages
+    from posextract_spark.streaming import stream_pages_to_triples
+
+    root = tempfile.mkdtemp(prefix="gate_stream_")
+    try:
+        src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
+        # two writes -> multiple files, so availableNow runs >1 micro-batch
+        generate_pages(spark, 30, seed=11, n_partitions=2).write.mode("append").parquet(src)
+        generate_pages(spark, 30, seed=12, n_partitions=2).write.mode("append").parquet(src)
+
+        q = stream_pages_to_triples(spark, src, ckpt, out, provider="template")
+        q.awaitTermination(300)
+
+        streamed = spark.read.parquet(out).drop("batch_id").toPandas()
+        batch = pages_to_triples(
+            spark.read.parquet(src), provider="template"
+        ).toPandas()
+        ok_rows = len(streamed) == len(batch)
+        ok_cols = sorted(streamed.columns) == sorted(batch.columns)
+        ok_hash = (
+            value_hash(streamed) == value_hash(batch) if ok_rows and ok_cols else False
+        )
+        return (
+            ok_rows and ok_cols and ok_hash,
+            f"rows={len(streamed)}/{len(batch)} cols_ok={ok_cols} hash_ok={ok_hash}",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main(sf_dir: str, only: list[str]) -> int:
     import __spark_entry__ as entry_mod
     from posextract_spark.session import build_session
@@ -109,6 +149,26 @@ def main(sf_dir: str, only: list[str]) -> int:
             print("  spark sample:", s.sort_values(list(s.columns)).head(3).to_dict("records"))
             print("  oracle sample:", o.sort_values(list(o.columns)).head(3).to_dict("records"))
 
+    # Streaming batch-equivalence (VERDICT r4 item 6): the streaming
+    # surface was pytest-only; the strict gate now also proves that the
+    # foreachBatch pipeline (exactly-once batch_id-overwrite sink) emits
+    # EXACTLY the rows the batch pipeline computes on the same input —
+    # row count + order-insensitive value hash, same comparator as the
+    # oracle rows. Selectable as 'streaming_batch_equivalence'.
+    if not only or "streaming_batch_equivalence" in only:
+        t0 = time.time()
+        try:
+            ok, detail = _streaming_batch_equivalence(spark)
+        except Exception as e:  # a crashed stream must FAIL the gate, not skip it
+            ok, detail = False, f"raised {type(e).__name__}: {e}"
+        spark_secs["streaming_batch_equivalence"] = time.time() - t0
+        if not ok:
+            failures += 1
+        print(
+            f"streaming_batch_equivalence: {'OK' if ok else 'FAIL'} {detail} "
+            f"({spark_secs['streaming_batch_equivalence']:.1f}s)"
+        )
+
     entry_mod.release_caches()  # free the shared persisted triples frame
     spark.stop()
 
@@ -117,11 +177,15 @@ def main(sf_dir: str, only: list[str]) -> int:
     # corpus_quality_filter plan defect was invisible in the smoke's
     # pass/fail output and only surfaced in the driver's bench
     # (VERDICT r3 item 5); >5s at smoke scale now flags loudly.
+    # streaming_batch_equivalence is exempt from the SLOW flag: it runs
+    # the pipeline TWICE (stream + batch) plus stream startup, so ~9s is
+    # its floor, not a plan defect
+    _slow_exempt = {"streaming_batch_equivalence"}
     print("\nper-query Spark wall-times (slowest first):")
     for name, dt in sorted(spark_secs.items(), key=lambda kv: -kv[1]):
-        flag = "  << SLOW (>5s) — check the plan" if dt > 5.0 else ""
+        flag = "  << SLOW (>5s) — check the plan" if dt > 5.0 and name not in _slow_exempt else ""
         print(f"  {dt:6.1f}s  {name}{flag}")
-    slow = [n for n, dt in spark_secs.items() if dt > 5.0]
+    slow = [n for n, dt in spark_secs.items() if dt > 5.0 and n not in _slow_exempt]
     if slow:
         print(f"SLOW QUERIES: {len(slow)} over 5s: {', '.join(slow)}")
     return failures
