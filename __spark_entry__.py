@@ -591,6 +591,38 @@ def q_salted_doc_counts(spark, sf_dir):
     return salted_counts(docs, "source", n_salts=16, count_alias="n_docs", id_col="doc_id")
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/mldata.py):
+    split = md5-hash(doc_id) mod 100 bucketed 90/5/5. Pure scan-side
+    projection — stable under repartitioning/appends/retries, unlike
+    rand()-based splits."""
+    from posextract_spark.operators.mldata import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Budgeted training-sequence packing assignment: hash-bucketed docs,
+    per-bucket running token offset, seq_bin = floor(offset / budget).
+    The per-bucket window is the honest sequential core of packing;
+    n_buckets bounds it (operators/mldata.py)."""
+    from posextract_spark.operators.mldata import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=32)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train-vs-eval n-gram contamination: per-train-doc count of distinct
+    eval-set 5-gram shingles it contains (broadcast eval shingle set; the
+    train side never shuffles before the final per-doc count). Eval set =
+    the deterministic doc_id % 29 == 0 subset, mirrored in the oracle."""
+    from posextract_spark.operators.mldata import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    return decontaminate(docs, ev)
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -671,6 +703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_n": q_sample_n,
         "sample_fraction": q_sample_fraction,
         "salted_doc_counts": q_salted_doc_counts,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -726,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         sample_fraction_sql,
         sample_n_sql,
     )
+    from posextract_spark.operators import mldata as _mldata
     from posextract_spark.operators.triples import SVO_TRIPLES_CTE
     from posextract_spark.posrule import parse_posrule_text, to_sql
     from posextract_spark import oracles as _oracles
@@ -858,6 +894,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
             "FROM documents GROUP BY source"
         ),
+        "hash_split": _mldata.HASH_SPLIT_SQL,
+        "pack_sequences": _mldata.PACK_SEQUENCES_SQL,
+        "decontaminate": _mldata.DECONTAMINATE_SQL,
         "events_by_type_day": (
             # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT,
             # which pandas renders as float64 ('5695.0' vs Spark's '5695') —

@@ -1,0 +1,187 @@
+"""Training-data export operators: deterministic splits, sequence packing,
+eval-set decontamination.
+
+These close the loop from corpus curation (textops/dedup/similarity) to
+what a training run actually consumes. All three are deterministic in the
+DATA (portable md5 hash of stable ids — no rand(), no
+monotonically_increasing_id), so cluster-side stage retries reproduce the
+same assignment and every operator is value-hash-checkable in DuckDB.
+
+Scale notes (the 100 TB design point):
+- hash_split is a pure scan-side projection: zero shuffle, zero state;
+  the split assignment of a document never depends on any other document,
+  so it is stable under re-partitioning, appends, and backfills (the
+  property rand()-based splits famously lack).
+- pack_sequences needs a sequential decision (running token offset), which
+  cannot be shuffle-free; it bounds the sequential scope to a hash BUCKET:
+  one shuffle on (bucket), one in-partition sort + running sum per bucket.
+  Size n_buckets so one bucket ~= one comfortable task (e.g. 2-8k buckets
+  per TB of text); packing quality is unaffected by bucket count since
+  budget-quantization happens per bucket by construction.
+- decontaminate broadcasts the EVAL shingle set (eval suites are tiny
+  next to training corpora) so the train side never shuffles: scan ->
+  shingle explode -> broadcast semi-ish join -> per-doc count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from posextract_spark.functions.hashing import portable_hash64, word_array
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5-hash of the
+    id mod 100; [0, train_pct) -> train, [train_pct, train_pct+val_pct)
+    -> val, rest -> test. Integer percents keep the contract exact in any
+    engine (no float thresholds)."""
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(f"invalid split percents: train={train_pct} val={val_pct}")
+    h = F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(100))
+    split = (
+        F.when(h < train_pct, F.lit("train"))
+        .when(h < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, split)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign each document a (bucket, seq_bin, bin_offset) for fixed-
+    token-budget training-sequence packing.
+
+    Semantics (deterministic, engine-exact): documents are hash-assigned
+    to ``n_buckets`` buckets, ordered by id within the bucket, and binned
+    by their STARTING token offset in the bucket's running concatenation:
+    ``seq_bin = floor(exclusive_cumsum(n_tokens) / budget)``. A document
+    whose tokens straddle a budget boundary stays in its starting bin and
+    carries over — the export step that writes actual training sequences
+    consumes bins in order and handles the straddle; this operator's job
+    is the scalable deterministic ASSIGNMENT, not byte layout.
+
+    The per-bucket window is the honest sequential core of packing; the
+    bucket hash bounds it (one sort + running sum per bucket, no global
+    order). n_tokens is the whitespace token count (textops token_count
+    semantics)."""
+    from pyspark.sql import Window
+
+    n_tokens = F.size(word_array(F.col(text_col))).cast("bigint")
+    with_meta = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return with_meta.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("bin_offset"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("bigint").alias("seq_bin"),
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-train-document eval-contamination count: how many DISTINCT
+    eval-set 5-gram shingles the document contains. Emits only
+    contaminated documents (callers anti-join or filter on the result;
+    absence of a row means clean). The eval shingle set is broadcast —
+    the train side stays partitioned as scanned."""
+    from posextract_spark.functions.boundary import materialize
+    from posextract_spark.operators.dedup import SHINGLE_N, _shingles
+
+    def shingle_rows(frame: DataFrame) -> DataFrame:
+        g = materialize(
+            frame.select(F.col(id_col), F.col(text_col)),
+            __dw=word_array(F.col(text_col)),
+        )
+        return g.filter(F.size(F.col("__dw")) >= SHINGLE_N).select(
+            F.col(id_col), F.explode(_shingles(F.col("__dw"))).alias("shingle")
+        )
+
+    ev = shingle_rows(eval_df).select("shingle").distinct()
+    tr = shingle_rows(train_df)
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+# --- DuckDB mirrors --------------------------------------------------------
+
+HASH_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN h < 90 THEN 'train'
+            WHEN h < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100 AS h
+  FROM documents
+)
+"""
+
+PACK_SEQUENCES_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 32 AS bucket
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS bin_offset
+  FROM meta
+)
+SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bin_offset AS BIGINT) AS bin_offset,
+       CAST(floor(bin_offset / 512.0) AS BIGINT) AS seq_bin
+FROM packed
+"""
+
+DECONTAMINATE_SQL = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    list_distinct(CASE WHEN len(ws) >= 5 THEN
+      list_transform(generate_series(1, len(ws) - 4),
+                     i -> array_to_string(ws[i:i+4], ' '))
+      ELSE [] END)) AS shingle
+  FROM words
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0)
+SELECT s.doc_id, count(*) AS n_contaminated
+FROM sh s JOIN ev USING (shingle)
+GROUP BY s.doc_id
+"""

@@ -61,6 +61,9 @@ TEXT_QUERIES = [
     "syntax_check",
     "tag_sentence",
     "salted_doc_counts",
+    "hash_split",
+    "pack_sequences",
+    "decontaminate",
 ]
 
 _CRAFTED = [
