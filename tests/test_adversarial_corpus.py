@@ -236,3 +236,169 @@ def test_text_queries_match_oracles_on_adversarial_corpus(spark, adversarial_sf)
             failures.append((name, len(sdf), len(odf)))
     em.release_caches()
     assert not failures, f"adversarial-corpus divergences: {failures}"
+
+
+# --- adversarial events + TPC-H join family (r5) ---------------------------
+# events_by_type_day and revenue_by_nation were the only SQL-oracle queries
+# with NO hostile-input replay (the synthetic events/orders are uniformly
+# benign). The hazards here are engine-boundary ones: float->cent rounding
+# at exactly-representable halves (x.125 * 100 = x12.5 EXACTLY — a genuine
+# HALF_UP vs banker's probe, unlike 1.005 whose float product is not a
+# half), day bucketing at midnight/end-of-year microseconds, unicode and
+# empty event types, and join edges (nation with no customers, customer
+# with no orders, customer with a dangling nationkey).
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_sf(tmp_path_factory):
+    import pandas as pd
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00.000000",  # exact midnight
+            "2024-01-01 23:59:59.999999",  # last microsecond of the day
+            "2024-12-31 23:59:59.999999",  # end of year
+            "2024-02-29 12:00:00",         # leap day
+            "2024-06-15 00:00:00.000001",  # first microsecond
+            "2024-06-15 11:11:11.111111",
+            "2024-06-15 11:11:11.111111",  # exact duplicate ts
+            "2024-07-04 06:30:00",
+            "2024-07-04 18:30:00",
+            "2024-08-17 09:00:00",
+        ]
+        * 3,
+        format="mixed",
+    )
+    n = len(ts)
+    # values whose *100 product is an EXACT .5 (0.125 -> 12.5, 2.005 is
+    # NOT: its product is 200.49999...), plus negatives, zero, huge, tiny
+    vals = [0.125, -0.125, 0.005, 1.005, 2.675, -2.675, 0.0, -0.0,
+            1e12, -1e12, 1e-9, 37.375, -37.375, 99.995, 0.015][: n] + [
+        float(i) + 0.125 for i in range(max(0, n - 15))
+    ]
+    types = (["", " ", "purchase", "ünïcode-tÿpe", "PURCHASE", "a" * 200] * n)[:n]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            # [us] precision: pandas-2 default ns parquet is unreadable by
+            # Spark (PARQUET_TYPE_ILLEGAL TIMESTAMP(NANOS)); the driver's
+            # testdata is [us] too
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": [i % 7 - 3 for i in range(n)],  # negative ids too
+            "event_type": types,
+            "value": vals[:n],
+            "props": ['{"k": 1}'] * n,
+        }
+    )
+    sf = str(tmp_path_factory.mktemp("advev"))
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+    return sf
+
+
+def test_events_query_matches_oracle_on_adversarial_events(spark, adversarial_events_sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{adversarial_events_sf}/events.parquet'"
+    )
+    sdf = em.queries()["events_by_type_day"](spark, adversarial_events_sf).toPandas()
+    odf = con.execute(em.oracle_sql()["events_by_type_day"]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert dtypes_match(sdf, odf)[0], dtypes_match(sdf, odf)[1]
+    assert value_hash(sdf) == value_hash(odf)
+
+
+@pytest.fixture(scope="module")
+def adversarial_tpch_sf(tmp_path_factory):
+    import pandas as pd
+
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": [0, 1, 2, 3, 4],
+            "n_name": ["", "FRANCE", "FRANCE", "ünïcode-länd", "EMPTY NATION"],
+            "n_regionkey": [0, 0, 1, 1, 2],
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [10, 11, 12, 13, 14],
+            # 99 dangles (no such nation); nation 4 has no customers
+            "c_nationkey": [0, 1, 2, 3, 99],
+            "c_name": ["a", "b", "c", "d", "e"],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [100, 101, 102, 103, 104, 105],
+            # 13 has no orders; 999 dangles (no such customer)
+            "o_custkey": [10, 10, 11, 12, 14, 999],
+            # exact-half products: 0.125*100 = 12.5, -0.125*100 = -12.5
+            "o_totalprice": [0.125, -0.125, 2.675, 1e12, 0.005, 7.0],
+        }
+    )
+    sf = str(tmp_path_factory.mktemp("advtpch"))
+    nation.to_parquet(f"{sf}/nation.parquet", index=False)
+    customer.to_parquet(f"{sf}/customer.parquet", index=False)
+    orders.to_parquet(f"{sf}/orders.parquet", index=False)
+    return sf
+
+
+def test_revenue_query_matches_oracle_on_adversarial_tpch(spark, adversarial_tpch_sf):
+    con = duckdb.connect()
+    for t in ("nation", "customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{adversarial_tpch_sf}/{t}.parquet'"
+        )
+    sdf = em.queries()["revenue_by_nation"](spark, adversarial_tpch_sf).toPandas()
+    odf = con.execute(em.oracle_sql()["revenue_by_nation"]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert dtypes_match(sdf, odf)[0], dtypes_match(sdf, odf)[1]
+    assert value_hash(sdf) == value_hash(odf)
+
+
+@pytest.fixture(scope="module")
+def adversarial_nation_sf(tmp_path_factory):
+    """Hostile nation table for the CC queries, WITHIN the closed-form
+    oracle's domain (each n_nationkey unique — a duplicated key with two
+    regions would merge components and invalidate the per-region closed
+    form, an oracle-domain limit, not an engine probe): negative and
+    non-contiguous keys, a singleton region, a region whose min nation is
+    negative, and keys straddling the +1000 region-anchor offset."""
+    import pandas as pd
+
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": [-5, -1, 0, 3, 999, 1001, 7, 42],
+            "n_name": ["a", "b", "c", "d", "e", "f", "g", "h"],
+            # region -3: {-5}; region 0: {-1, 0, 3}; region 7: {999, 1001};
+            # region 12: {7, 42}
+            "n_regionkey": [-3, 0, 0, 0, 7, 7, 12, 12],
+        }
+    )
+    sf = str(tmp_path_factory.mktemp("advnat"))
+    nation.to_parquet(f"{sf}/nation.parquet", index=False)
+    return sf
+
+
+def test_cc_queries_match_oracle_on_adversarial_nation(spark, adversarial_nation_sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{adversarial_nation_sf}/nation.parquet'"
+    )
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    failures = []
+    for name in ("connected_components", "connected_components_star"):
+        sdf = qs[name](spark, adversarial_nation_sf).toPandas()
+        odf = con.execute(oracles[name]).df()
+        cols_ok = sorted(sdf.columns) == sorted(odf.columns)
+        ok = (
+            len(sdf) == len(odf)
+            and cols_ok
+            and value_hash(sdf) == value_hash(odf)
+            and (cols_ok and dtypes_match(sdf, odf)[0])
+        )
+        if not ok:
+            failures.append((name, len(sdf), len(odf)))
+    assert not failures, f"adversarial-nation CC divergences: {failures}"
