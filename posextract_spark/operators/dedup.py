@@ -216,7 +216,14 @@ def minhash_band_pairs(
     listing and ``n_bands`` is a lower bound for pairs whose other bands
     were capped — use the survivors path, which never needs the listing,
     when you want full closure. None (default, used by the oracle-checked
-    contract query) is exact."""
+    contract query) is exact.
+
+    Cost note (r5 review): the width computation consumes the band-key
+    frame a second time, so enabling the cap re-plans the scan+hash
+    lineage once more (2 FileScans). Deliberate trade: one extra linear
+    scan buys out of the O(k^2) hot-bucket join the cap exists to
+    prevent; callers that persist their input (or this frame) amortize
+    it, as minhash_dedup_survivors does for its own two-consumer shape."""
     keys = _band_keys(df, text_col, id_col, n_seeds, band_size)
     if max_bucket_width is not None:
         widths = keys.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_n"))
@@ -270,13 +277,23 @@ def minhash_dedup_survivors(
     Output: (doc_id, cluster_id, is_survivor 0/1). Downstream keeps
     ``is_survivor = 1`` rows; cluster_id gives full dedup lineage. Documents
     with no near-dup candidates are their own singleton cluster (left join +
-    coalesce, no shuffle beyond the CC rounds)."""
-    from pyspark.sql import Window
+    coalesce, no shuffle beyond the CC rounds).
 
+    ``keys`` is persisted across the star-edge construction (r5 review):
+    the groupBy bucket-min + join-back consumes the band-key frame TWICE,
+    and without the persist each consumer re-plans the whole
+    scan -> shingle -> md5 -> minhash lineage (2 FileScans, 2x the hash
+    work — verified in the executed plan). connected_components_star is
+    eager (localCheckpoint + convergence checksums per round), so the
+    persist is released before returning; the output frame depends only
+    on checkpointed CC state."""
     from posextract_spark.operators.canonicalize import connected_components_star
 
-    keys = _band_keys(df, text_col, id_col, n_seeds, band_size)
-    comps = connected_components_star(_star_edges(keys, id_col))
+    keys = _band_keys(df, text_col, id_col, n_seeds, band_size).persist()
+    try:
+        comps = connected_components_star(_star_edges(keys, id_col))
+    finally:
+        keys.unpersist()
     return (
         df.select(F.col(id_col))
         .join(comps.withColumnRenamed("node", id_col), id_col, "left")
@@ -361,7 +378,12 @@ def ngram_jaccard_stats(
     sampled out of ALL its buckets emits NO ROW at all — callers joining
     the stats back to the corpus must treat missing rows as "not
     measured", never as "no candidates". None (default, used by the
-    oracle-checked contract query) is exact."""
+    oracle-checked contract query) is exact.
+
+    Cost note (r5 review): computing bucket widths consumes the shingle
+    frame a second time (2 FileScans + 2 shingle Generates when capped).
+    Deliberate: one extra linear pass buys out of the quadratic
+    hot-shingle join; persist the input to amortize."""
     from posextract_spark.functions.boundary import materialize
 
     g = materialize(

@@ -105,6 +105,10 @@ def resolve_surfaces_scored(
     Output: (surface_norm, canonical, score_e6, linked) — one row per input
     surface; below-threshold surfaces fall back to themselves (linked=false),
     exact alias hits score 1e6 by construction.
+
+    Contract: ``alias_df.surface_norm`` must be pre-normalized
+    (lower-cased, trimmed) — prefix blocking and the exact-hit equality
+    compare it verbatim. Mention surfaces are normalized here.
     """
     from posextract_spark.functions.boundary import materialize
 
@@ -119,21 +123,19 @@ def resolve_surfaces_scored(
     s = s.withColumn("_pfx", F.substring("surface_norm", 1, prefix_len)).withColumn(
         "_bg", char_bigrams(F.col("surface_norm"), pre_normalized=True)
     )
-    # alias side: materialize the normalized surface behind a Generate so
-    # the bigram lambda also references an attribute (CollapseProject would
-    # inline a plain projection alias back into the lambda); broadcast-small
-    # either way, but the plan guard pins lower(trim) == 2 total
-    a = materialize(
-        alias_df.select(
-            F.col("surface_norm").alias("_asurf"), F.col("canonical").alias("_cand")
-        ),
-        _anorm=normalize_surface(F.col("_asurf")),
-    )
-    a = a.select(
-        F.substring("_asurf", 1, prefix_len).alias("_pfx"),
-        "_asurf",
-        char_bigrams(F.col("_anorm"), pre_normalized=True).alias("_abg"),
-        "_cand",
+    # alias side: ``alias_df.surface_norm`` is PRE-NORMALIZED BY CONTRACT
+    # (the column name is the contract; sources build it with .lower() —
+    # sources/pages.py:alias_table). Prefix blocking and the exact-hit
+    # shortcut already compared it raw, so re-normalizing it for the
+    # bigram features only (the r4 shape) could never rescue an
+    # unnormalized dictionary anyway — it would fail blocking/equality
+    # first. Taking the contract at face value drops that dead work; the
+    # plan guard pins lower(trim) == 1 (mention side only).
+    a = alias_df.select(
+        F.substring("surface_norm", 1, prefix_len).alias("_pfx"),
+        F.col("surface_norm").alias("_asurf"),
+        char_bigrams(F.col("surface_norm"), pre_normalized=True).alias("_abg"),
+        F.col("canonical").alias("_cand"),
     )
     # the O(|a|*|b|) intersection scan is computed ONCE behind a Generate:
     # the naive bigram_jaccard_e6 composition pastes it three times (inter,

@@ -161,17 +161,26 @@ def neardup_bucket_stats(
     )
     sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
     if max_bucket_width is not None:
-        from pyspark.sql import Window
-
-        # rank by hash-of-id: deterministic uniform sample; the window's
-        # bucket partitioning is the same key the pair join shuffles on.
-        w = Window.partitionBy("bucket").orderBy(
-            portable_hash64(F.col(id_col).cast("string")), F.col(id_col)
-        )
+        # Deterministic hash-threshold subsample (r5, aligned with the
+        # dedup caps): a row in a bucket of width n > cap survives iff
+        # pmod(hash64(id), n) < cap — expected surviving width exactly
+        # ``cap``, buckets at/under the cap untouched. The r4 row_number
+        # Window forced the ENTIRE hot bucket onto one task and sorted it
+        # (the same single-task hazard VERDICT r4 item 1 removed from the
+        # dedup survivors path); the width join reuses ``sizes``, which
+        # this operator computes anyway, so the cap adds no extra
+        # aggregation pass. Deterministic in the data -> stage retries
+        # reproduce the sample.
         b = (
-            b.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_bucket_width)
-            .drop("_rk")
+            b.join(sizes, "bucket")
+            .filter(
+                (F.col("n_vecs") <= max_bucket_width)
+                | (
+                    F.pmod(portable_hash64(F.col(id_col).cast("string")), F.col("n_vecs"))
+                    < max_bucket_width
+                )
+            )
+            .drop("n_vecs")
         )
     left = b.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col("_e").alias("ea")

@@ -245,7 +245,10 @@ def test_linking_scorer_computes_once(spark):
     )
     plan = _plan(resolve_surfaces_scored(surf, alias))
     assert plan.count("array_contains") == 1  # intersection scan materialized once
-    assert plan.count("lower(trim") == 2  # mention-side once + alias-side once
+    # mention side only: alias_df.surface_norm is pre-normalized BY
+    # CONTRACT (blocking/exact-hit always compared it raw, so r4's
+    # bigram-only re-normalize was dead work that could rescue nothing)
+    assert plan.count("lower(trim") == 1
     assert "Window" not in plan  # best-candidate is a map-side-combinable max
 
 

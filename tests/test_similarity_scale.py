@@ -37,13 +37,27 @@ def skewed(spark):
 
 
 def test_skewed_bucket_width_bounded(skewed):
+    """r5: the cap is a deterministic hash threshold (expected width =
+    cap, no per-bucket row_number Window that would serialize the hot
+    bucket onto one task); mirror the md5 threshold in Python and assert
+    the exact surviving-pair count."""
+    import hashlib
+
     cap = 20
-    rows = neardup_bucket_stats(
-        skewed, n_planes=4, max_bucket_width=cap
-    ).collect()
+    survivors = [
+        i
+        for i in range(300)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 300 < cap
+    ]
+    assert len(survivors) == 25  # binomial(300, 20/300) draw for this id set
+
+    q = neardup_bucket_stats(skewed, n_planes=4, max_bucket_width=cap)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no single-task hot-bucket sort
+    rows = q.collect()
     hot = max(rows, key=lambda r: r.n_vecs)
     assert hot.n_vecs == 300  # true width still reported
-    assert hot.n_pairs == cap * (cap - 1) // 2  # pair work bounded by cap
+    assert hot.n_pairs == len(survivors) * (len(survivors) - 1) // 2
     assert hot.max_sim_e6 == 1000000  # identical vectors -> cosine 1
 
 
