@@ -62,7 +62,13 @@ def encode_simg(pixels: np.ndarray) -> bytes:
 def decode_simg(payload: bytes) -> np.ndarray:
     if payload[:4] != b"SIMG":
         _require_real_codec(payload[:4].hex())
+    if len(payload) < 8:
+        raise ValueError(f"truncated SIMG header: {len(payload)} bytes")
     w, h = struct.unpack("<HH", payload[4:8])
+    if len(payload) < 8 + w * h:
+        # explicit, catchable error instead of numpy's reshape crash —
+        # the operators' on_error='skip' quarantine depends on it
+        raise ValueError(f"truncated SIMG body: want {w * h} px, have {len(payload) - 8} bytes")
     return np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
 
 
@@ -77,7 +83,13 @@ def encode_saud(sample_rate: int, samples: np.ndarray) -> bytes:
 def decode_saud(payload: bytes):
     if payload[:4] != b"SAUD":
         _require_real_codec(payload[:4].hex(), lib="soundfile")
+    if len(payload) < 12:
+        raise ValueError(f"truncated SAUD header: {len(payload)} bytes")
     rate, n = struct.unpack("<II", payload[4:12])
+    if len(payload) < 12 + 2 * n:
+        # without this check frombuffer silently yields FEWER samples than
+        # the header claims — silent corruption, worse than a crash
+        raise ValueError(f"truncated SAUD body: want {n} samples, have {(len(payload) - 12) // 2}")
     return rate, np.frombuffer(payload[12 : 12 + 2 * n], dtype="<i2")
 
 
@@ -89,7 +101,11 @@ def encode_svid(frames: np.ndarray) -> bytes:
 def decode_svid(payload: bytes) -> np.ndarray:
     if payload[:4] != b"SVID":
         _require_real_codec(payload[:4].hex())
+    if len(payload) < 10:
+        raise ValueError(f"truncated SVID header: {len(payload)} bytes")
     w, h, n = struct.unpack("<HHH", payload[4:10])
+    if len(payload) < 10 + w * h * n:
+        raise ValueError(f"truncated SVID body: want {w * h * n} px, have {len(payload) - 10} bytes")
     return np.frombuffer(payload[10 : 10 + w * h * n], dtype=np.uint8).reshape(n, h, w)
 
 
@@ -109,10 +125,24 @@ def image_feature_schema(n_bins: int = 4) -> str:
 IMAGE_FEATURE_SCHEMA = image_feature_schema(4)
 
 
-def image_features(df: DataFrame, n_bins: int = 4) -> DataFrame:
+def image_features(df: DataFrame, n_bins: int = 4, on_error: str = "skip") -> DataFrame:
     """Decode + feature-extract images: dimensions, mean/std intensity
     (x1e4 fixed-point), n_bins histogram (scalar hist_0..hist_{n-1}).
-    mapInPandas; one Arrow crossing."""
+    mapInPandas; one Arrow crossing.
+
+    Garbage tolerance (r5): at the 100 TB design point one corrupt row
+    must not kill a stage. ``on_error='skip'`` (default) quarantines
+    malformed payloads (truncated/invalid SIMG -> ValueError from the
+    decoder) and degenerate 0-pixel images (whose mean is NaN — the r4
+    code crashed on int(floor(nan))): they emit NO feature row, the same
+    convention as wordless documents in the text operators. Callers audit
+    the quarantine by anti-joining output media_ids against the input.
+    ``on_error='raise'`` keeps the fail-fast debug behavior. Real-codec
+    payloads (JPEG/WAV/... magic) ALWAYS raise NotImplementedError —
+    silently dropping data the build cannot read would hide a deployment
+    error, not an input-data problem."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     cols = ["media_id", "width", "height", "mean_e4", "std_e4"] + [
         f"hist_{i}" for i in range(n_bins)
     ]
@@ -121,7 +151,16 @@ def image_features(df: DataFrame, n_bins: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_simg(bytes(payload))
+                try:
+                    px = decode_simg(bytes(payload))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
+                if px.size == 0:
+                    if on_error == "raise":
+                        raise ValueError(f"degenerate 0-pixel image media_id={mid}")
+                    continue
                 hist = np.histogram(px, bins=n_bins, range=(0, 256))[0]
                 rows.append(
                     (
@@ -140,17 +179,35 @@ def image_features(df: DataFrame, n_bins: int = 4) -> DataFrame:
     )
 
 
-def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
+def resize_images(df: DataFrame, factor: int = 2, on_error: str = "skip") -> DataFrame:
     """Integer-factor box downscale; returns new SIMG payloads + meta.
-    (Deterministic: mean of factor x factor blocks, floor to u8.)"""
+    (Deterministic: mean of factor x factor blocks, floor to u8.)
+
+    Same quarantine policy as image_features (r5): malformed payloads and
+    images smaller than the factor (whose crop is 0-pixel — carrying an
+    empty payload downstream just defers the crash) emit no row under
+    on_error='skip'; real-codec magic always raises."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
     out_schema = MEDIA_SCHEMA
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_simg(bytes(payload))
+                try:
+                    px = decode_simg(bytes(payload))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
                 h, w = px.shape
+                if h < factor or w < factor:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"image media_id={mid} ({w}x{h}) smaller than factor {factor}"
+                        )
+                    continue
                 h2, w2 = (h // factor) * factor, (w // factor) * factor
                 small = (
                     px[:h2, :w2]
@@ -178,12 +235,23 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def audio_features(df: DataFrame) -> DataFrame:
+def audio_features(df: DataFrame, on_error: str = "skip") -> DataFrame:
+    """RMS/zero-crossing features. Zero-SAMPLE audio is well-defined (rms
+    0, zc 0 — emits a row); malformed payloads follow the image operators'
+    quarantine policy (r5): skip by default, real-codec magic raises."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, samples = decode_saud(bytes(payload))
+                try:
+                    rate, samples = decode_saud(bytes(payload))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
                 x = samples.astype(np.float64)
                 rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
                 zc = int(np.sum(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0
@@ -201,15 +269,24 @@ def audio_features(df: DataFrame) -> DataFrame:
 FRAME_SCHEMA = "media_id long, frame_idx int, kind string, payload binary"
 
 
-def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
+def sample_frames(df: DataFrame, every_k: int = 2, on_error: str = "skip") -> DataFrame:
     """Video -> one row per sampled frame (frame re-encoded as SIMG), the
-    canonical flatMap shape for frame-level training data."""
+    canonical flatMap shape for frame-level training data. Malformed
+    payloads follow the quarantine policy (r5): skip by default,
+    real-codec magic raises."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = decode_svid(bytes(payload))
+                try:
+                    frames = decode_svid(bytes(payload))
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
                 for idx in range(0, frames.shape[0], every_k):
                     rows.append((int(mid), idx, "image", encode_simg(frames[idx])))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "kind", "payload"])

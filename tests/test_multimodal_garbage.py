@@ -1,0 +1,126 @@
+"""Garbage tolerance of the media operators (r5): corrupt or degenerate
+payloads must be quarantined per row (on_error='skip', the default), never
+kill the stage, and never be silently mis-decoded; real-codec magic must
+still raise loudly. The r4 code crashed on a 0-pixel image
+(int(floor(nan))) and on truncated SIMG/SVID bodies (numpy reshape), and
+decode_saud silently returned FEWER samples than the header claimed."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from posextract_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    audio_features,
+    decode_saud,
+    decode_simg,
+    decode_svid,
+    encode_saud,
+    encode_simg,
+    encode_svid,
+    image_features,
+    resize_images,
+    sample_frames,
+)
+
+
+def _img_rows():
+    good = encode_simg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    empty = encode_simg(np.zeros((0, 0), dtype=np.uint8))  # 0-pixel, valid header
+    truncated = good[: len(good) - 10]
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    return [
+        (1, "image", bytearray(good), (8, 8, "SIMG", None, None)),
+        (2, "image", bytearray(empty), (0, 0, "SIMG", None, None)),
+        (3, "image", bytearray(truncated), (8, 8, "SIMG", None, None)),
+    ], jpeg
+
+
+def test_decoders_raise_explicit_valueerror_on_truncation():
+    good = encode_simg(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated SIMG"):
+        decode_simg(good[:-3])
+    aud = encode_saud(8000, np.zeros(100, dtype=np.int16))
+    with pytest.raises(ValueError, match="truncated SAUD"):
+        decode_saud(aud[:-5])
+    vid = encode_svid(np.zeros((3, 4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated SVID"):
+        decode_svid(vid[:-7])
+
+
+def test_image_features_quarantines_corrupt_and_degenerate(spark):
+    rows, _ = _img_rows()
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = image_features(df).collect()
+    # only the well-formed 8x8 image emits features; the 0-pixel and
+    # truncated payloads are quarantined (no row), not a stage crash
+    assert [r.media_id for r in out] == [1]
+    assert out[0].width == 8 and out[0].height == 8
+    with pytest.raises(Exception):  # fail-fast mode surfaces the ValueError
+        image_features(df, on_error="raise").collect()
+
+
+def test_real_codec_magic_still_raises_even_with_skip(spark):
+    rows, jpeg = _img_rows()
+    df = spark.createDataFrame(
+        [(9, "image", bytearray(jpeg), (0, 0, "JPEG", None, None))], MEDIA_SCHEMA
+    )
+    # NotImplementedError must NOT be swallowed by on_error='skip':
+    # dropping data the build cannot read hides a deployment error
+    with pytest.raises(Exception, match="NotImplementedError|not implemented"):
+        image_features(df).collect()
+
+
+def test_resize_skips_sub_factor_images(spark):
+    one_px = encode_simg(np.array([[7]], dtype=np.uint8))
+    good = encode_simg(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(one_px), (1, 1, "SIMG", None, None)),
+            (2, "image", bytearray(good), (4, 4, "SIMG", None, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(df, factor=2).collect()
+    assert [r.media_id for r in out] == [2]  # 1x1 would crop to 0 pixels
+    assert out[0].meta.width == 2 and out[0].meta.height == 2
+
+
+def test_audio_zero_samples_is_a_valid_row_but_truncation_skips(spark):
+    silent = encode_saud(8000, np.zeros(0, dtype=np.int16))
+    good = encode_saud(16000, np.array([100, -100, 100], dtype=np.int16))
+    truncated = good[:-2]
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(silent), (None, None, "SAUD", None, 8000)),
+            (2, "audio", bytearray(good), (None, None, "SAUD", None, 16000)),
+            (3, "audio", bytearray(truncated), (None, None, "SAUD", None, 16000)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in audio_features(df).collect()}
+    assert set(out) == {1, 2}  # truncated quarantined; zero-sample kept
+    assert out[1].n_samples == 0 and out[1].rms_e4 == 0 and out[1].zero_crossings == 0
+    assert out[2].zero_crossings == 2
+
+
+def test_frame_sample_skips_truncated_video(spark):
+    good = encode_svid(np.zeros((4, 3, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(good), (3, 3, "SVID", 4, None)),
+            (2, "video", bytearray(good[:-5]), (3, 3, "SVID", 4, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = sample_frames(df, every_k=2).collect()
+    assert {r.media_id for r in out} == {1}
+    assert sorted(r.frame_idx for r in out) == [0, 2]
+
+
+def test_on_error_validation():
+    import pyspark.sql.functions as F  # noqa: F401
+
+    with pytest.raises(ValueError, match="on_error"):
+        image_features(None, on_error="ignore")
