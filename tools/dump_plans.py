@@ -124,6 +124,68 @@ def main() -> None:
         )
     )
 
+    from posextract_spark.operators.dedup import _band_keys, _star_edges
+
+    sections.append(
+        (
+            "dedup star edges (groupBy bucket-min + join-back, r5)",
+            "No Window node anywhere: the bucket-min is a HashAggregate "
+            "with partial_min below its Exchange (map-side partials — no "
+            "task ever holds a whole hot bucket) joined back on "
+            "(band, band_key); AQE can skew-split that join. The r4 "
+            "Window.partitionBy formulation serialized each 10^6-copy "
+            "boilerplate bucket onto one task.",
+            formatted(_star_edges(_band_keys(docs, "text", "doc_id", 8, 2), "doc_id")),
+        )
+    )
+
+    from posextract_spark.operators.linking import resolve_surfaces_scored
+
+    surf = docs.selectExpr("source as surface_norm")
+    sections.append(
+        (
+            "resolve_surfaces_scored (fuzzy linking scorer, r5 CSE)",
+            "One array_contains intersection scan (materialized behind a "
+            "Generate — the r4 plan pasted it three times into the joined "
+            "projection), lower(trim) exactly once (mention side; the "
+            "alias dictionary is pre-normalized by contract), broadcast "
+            "join, map-side-combinable max instead of a Window.",
+            formatted(resolve_surfaces_scored(surf, alias_table(spark))),
+        )
+    )
+
+    from posextract_spark.operators.mldata import decontaminate, hash_split, pack_sequences
+
+    sections.append(
+        (
+            "hash_split (deterministic train/val/test, r5)",
+            "Pure scan-side projection: zero Exchange, zero Join — the "
+            "split assignment depends only on md5(doc_id), so it is stable "
+            "under repartitioning, appends, and stage retries.",
+            formatted(hash_split(docs).select("doc_id", "split")),
+        )
+    )
+    sections.append(
+        (
+            "pack_sequences (budgeted packing assignment, r5)",
+            "Exactly one Exchange (hashpartitioning on bucket) + one "
+            "in-partition Window running sum: the sequential core of "
+            "packing, bounded by n_buckets rather than corpus size.",
+            formatted(pack_sequences(docs)),
+        )
+    )
+    sections.append(
+        (
+            "decontaminate (train-vs-eval shingle overlap, r5)",
+            "The eval shingle set is broadcast (BroadcastHashJoin, no "
+            "SortMergeJoin): train-side traffic stays partitioned as "
+            "scanned until the final per-doc count.",
+            formatted(
+                decontaminate(docs, docs.filter(F.col("doc_id") % 29 == 0))
+            ),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/dump_plans.py at sf0.001)\n"]
     for title, claim, plan in sections:
         out.append(f"## {title}\n\n{claim}\n\n```\n{plan}\n```\n")
