@@ -96,3 +96,39 @@ def test_simhash_linear_on_long_docs(long_docs):
     # identical word MULTISET per doc (rotations) -> identical simhash
     assert len({r.simhash for r in rows}) == 1
     assert dt < 120, f"simhash on long docs took {dt:.0f}s"
+
+
+def test_pack_sequences_linear_on_long_docs(long_docs):
+    from posextract_spark.operators.mldata import pack_sequences
+
+    t0 = time.time()
+    rows = pack_sequences(long_docs, budget=512, n_buckets=4).collect()
+    dt = time.time() - t0
+    assert len(rows) == N_DOCS
+    # every doc is exactly N_WORDS tokens; within a bucket the k-th doc
+    # (id order) starts at offset k * N_WORDS
+    by_bucket = {}
+    for r in rows:
+        assert r.n_tokens == N_WORDS
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows_b in by_bucket.values():
+        rows_b.sort(key=lambda r: r.doc_id)
+        for k, r in enumerate(rows_b):
+            assert r.bin_offset == k * N_WORDS
+            assert r.seq_bin == (k * N_WORDS) // 512
+    assert dt < 60, f"pack_sequences took {dt:.1f}s on long docs"
+
+
+def test_decontaminate_linear_on_long_docs(long_docs):
+    from posextract_spark.operators.mldata import decontaminate
+
+    # eval = the first doc; all docs share its shingle SET (vocab
+    # rotations), so every doc is fully contaminated with exactly the
+    # 8 distinct shingles of the cycle
+    ev = long_docs.filter(F.col("doc_id") == 0)
+    t0 = time.time()
+    out = {r.doc_id: r.n_contaminated for r in decontaminate(long_docs, ev).collect()}
+    dt = time.time() - t0
+    assert len(out) == N_DOCS
+    assert set(out.values()) == {8}
+    assert dt < 60, f"decontaminate took {dt:.1f}s on long docs"
