@@ -52,6 +52,40 @@ def _require_real_codec(fmt: str, lib: str = "PIL/soundfile"):
     )
 
 
+# Recognizable real-media magic prefixes (r5 review): ONLY these escalate
+# to NotImplementedError — a recognizable real format in the corpus is a
+# DEPLOYMENT gap (the build lacks the codec) that must fail loudly.
+# Everything else with a wrong magic (bit-flipped header, empty payload,
+# arbitrary garbage) is corrupt DATA and raises ValueError so the
+# operators' on_error='skip' quarantine can drop the row instead of
+# killing the stage. The r5.0 version escalated ALL unknown magics, so
+# one flipped magic byte killed the stage even under 'skip'.
+_REAL_MEDIA_MAGICS = (
+    b"\xff\xd8\xff",  # JPEG
+    b"\x89PNG",       # PNG
+    b"GIF8",          # GIF
+    b"BM",            # BMP
+    b"RIFF",          # WAV / AVI container
+    b"fLaC",          # FLAC
+    b"OggS",          # Ogg
+    b"ID3",           # MP3 with ID3 tag
+    b"\xff\xfb",      # bare MP3 frame sync
+)
+
+
+def _reject_magic(payload: bytes, expected: str, lib: str = "PIL/soundfile"):
+    """Wrong-magic dispatch: recognizable real format -> NotImplementedError
+    (deployment gap, never silently dropped); MP4 (ftyp at offset 4) and
+    the listed prefixes are checked; anything else -> ValueError (corrupt
+    data, quarantinable)."""
+    head = bytes(payload[:12])
+    if any(head.startswith(m) for m in _REAL_MEDIA_MAGICS) or head[4:8] == b"ftyp":
+        _require_real_codec(head[:4].hex(), lib=lib)
+    raise ValueError(
+        f"unrecognized payload magic {head[:4]!r} (expected {expected}); corrupt row"
+    )
+
+
 # --- pure payload codecs (shared by generator, UDFs, and tests) ------------
 
 def encode_simg(pixels: np.ndarray) -> bytes:
@@ -61,7 +95,7 @@ def encode_simg(pixels: np.ndarray) -> bytes:
 
 def decode_simg(payload: bytes) -> np.ndarray:
     if payload[:4] != b"SIMG":
-        _require_real_codec(payload[:4].hex())
+        _reject_magic(payload, "SIMG")
     if len(payload) < 8:
         raise ValueError(f"truncated SIMG header: {len(payload)} bytes")
     w, h = struct.unpack("<HH", payload[4:8])
@@ -82,10 +116,16 @@ def encode_saud(sample_rate: int, samples: np.ndarray) -> bytes:
 
 def decode_saud(payload: bytes):
     if payload[:4] != b"SAUD":
-        _require_real_codec(payload[:4].hex(), lib="soundfile")
+        _reject_magic(payload, "SAUD", lib="soundfile")
     if len(payload) < 12:
         raise ValueError(f"truncated SAUD header: {len(payload)} bytes")
     rate, n = struct.unpack("<II", payload[4:12])
+    if not (0 < rate <= 2**31 - 1):
+        # AUDIO_FEATURE_SCHEMA carries sample_rate as int32; without this
+        # check a corrupt u32 rate (e.g. 0xFFFFFFFF) would pass decode and
+        # silently WRAP in the Arrow int64->int32 cast — corrupt data
+        # emitted as a plausible feature row (r5 review)
+        raise ValueError(f"implausible SAUD sample_rate {rate}")
     if len(payload) < 12 + 2 * n:
         # without this check frombuffer silently yields FEWER samples than
         # the header claims — silent corruption, worse than a crash
@@ -100,7 +140,7 @@ def encode_svid(frames: np.ndarray) -> bytes:
 
 def decode_svid(payload: bytes) -> np.ndarray:
     if payload[:4] != b"SVID":
-        _require_real_codec(payload[:4].hex())
+        _reject_magic(payload, "SVID")
     if len(payload) < 10:
         raise ValueError(f"truncated SVID header: {len(payload)} bytes")
     w, h, n = struct.unpack("<HHH", payload[4:10])
@@ -110,6 +150,33 @@ def decode_svid(payload: bytes) -> np.ndarray:
 
 
 # --- operators --------------------------------------------------------------
+
+def _check_on_error(on_error: str) -> None:
+    if on_error != "skip" and on_error != "raise":
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+
+
+def _decode_or_none(decoder, payload, on_error: str):
+    """THE quarantine policy, in one place (r5 review: four diverging
+    copies let sample_frames drift). Returns the decoded value, or None
+    when the row is quarantined under on_error='skip'. Quarantinable:
+    NULL payloads (a failed upstream fetch — bytes(None) used to raise
+    TypeError and kill the stage even under 'skip') and ValueError from
+    the decoders (corrupt/truncated/unrecognized-magic data).
+    NotImplementedError (recognizable real-codec magic) ALWAYS
+    propagates: missing codecs are a deployment gap, not an input-data
+    problem."""
+    if payload is None:
+        if on_error == "raise":
+            raise ValueError("NULL media payload")
+        return None
+    try:
+        return decoder(bytes(payload))
+    except ValueError:
+        if on_error == "raise":
+            raise
+        return None
+
 
 def image_feature_schema(n_bins: int = 4) -> str:
     """Histogram bins are flattened to scalar hist_i columns: every consumer
@@ -141,8 +208,7 @@ def image_features(df: DataFrame, n_bins: int = 4, on_error: str = "skip") -> Da
     payloads (JPEG/WAV/... magic) ALWAYS raise NotImplementedError —
     silently dropping data the build cannot read would hide a deployment
     error, not an input-data problem."""
-    if on_error not in ("skip", "raise"):
-        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    _check_on_error(on_error)
     cols = ["media_id", "width", "height", "mean_e4", "std_e4"] + [
         f"hist_{i}" for i in range(n_bins)
     ]
@@ -151,11 +217,8 @@ def image_features(df: DataFrame, n_bins: int = 4, on_error: str = "skip") -> Da
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    px = decode_simg(bytes(payload))
-                except ValueError:
-                    if on_error == "raise":
-                        raise
+                px = _decode_or_none(decode_simg, payload, on_error)
+                if px is None:
                     continue
                 if px.size == 0:
                     if on_error == "raise":
@@ -187,19 +250,15 @@ def resize_images(df: DataFrame, factor: int = 2, on_error: str = "skip") -> Dat
     images smaller than the factor (whose crop is 0-pixel — carrying an
     empty payload downstream just defers the crash) emit no row under
     on_error='skip'; real-codec magic always raises."""
-    if on_error not in ("skip", "raise"):
-        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    _check_on_error(on_error)
     out_schema = MEDIA_SCHEMA
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    px = decode_simg(bytes(payload))
-                except ValueError:
-                    if on_error == "raise":
-                        raise
+                px = _decode_or_none(decode_simg, payload, on_error)
+                if px is None:
                     continue
                 h, w = px.shape
                 if h < factor or w < factor:
@@ -239,19 +298,16 @@ def audio_features(df: DataFrame, on_error: str = "skip") -> DataFrame:
     """RMS/zero-crossing features. Zero-SAMPLE audio is well-defined (rms
     0, zc 0 — emits a row); malformed payloads follow the image operators'
     quarantine policy (r5): skip by default, real-codec magic raises."""
-    if on_error not in ("skip", "raise"):
-        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    _check_on_error(on_error)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    rate, samples = decode_saud(bytes(payload))
-                except ValueError:
-                    if on_error == "raise":
-                        raise
+                decoded = _decode_or_none(decode_saud, payload, on_error)
+                if decoded is None:
                     continue
+                rate, samples = decoded
                 x = samples.astype(np.float64)
                 rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
                 zc = int(np.sum(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0
@@ -274,18 +330,22 @@ def sample_frames(df: DataFrame, every_k: int = 2, on_error: str = "skip") -> Da
     canonical flatMap shape for frame-level training data. Malformed
     payloads follow the quarantine policy (r5): skip by default,
     real-codec magic raises."""
-    if on_error not in ("skip", "raise"):
-        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    _check_on_error(on_error)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    frames = decode_svid(bytes(payload))
-                except ValueError:
+                frames = _decode_or_none(decode_svid, payload, on_error)
+                if frames is None:
+                    continue
+                if frames.shape[0] > 0 and (frames.shape[1] == 0 or frames.shape[2] == 0):
+                    # degenerate frames (w or h = 0): quarantining the
+                    # VIDEO here beats emitting n 0-pixel SIMG rows that
+                    # downstream image operators would silently re-drop —
+                    # deferred, double-silent data loss (r5 review)
                     if on_error == "raise":
-                        raise
+                        raise ValueError(f"degenerate 0-pixel frames media_id={mid}")
                     continue
                 for idx in range(0, frames.shape[0], every_k):
                     rows.append((int(mid), idx, "image", encode_simg(frames[idx])))

@@ -124,3 +124,44 @@ def test_on_error_validation():
 
     with pytest.raises(ValueError, match="on_error"):
         image_features(None, on_error="ignore")
+
+
+def test_quarantine_holes_from_review(spark):
+    """r5 second review: (a) garbage/flipped magic and empty payloads must
+    QUARANTINE (the first cut escalated every unknown magic to
+    NotImplementedError — one flipped magic byte killed the stage under
+    'skip'); (b) NULL payloads must quarantine, not TypeError; (c) a
+    corrupt SAUD rate > INT32_MAX must quarantine, not silently wrap in
+    the Arrow int64->int32 cast; (d) a 0-width video must quarantine
+    rather than emit 0-pixel frame rows."""
+    good = encode_simg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    rows = [
+        (1, "image", bytearray(good), (8, 8, "SIMG", None, None)),
+        (2, "image", bytearray(b""), (0, 0, "SIMG", None, None)),            # empty
+        (3, "image", bytearray(b"XIMG\x01\x00\x01\x00\x00"), (1, 1, "SIMG", None, None)),  # flipped magic
+        (4, "image", None, (8, 8, "SIMG", None, None)),                      # NULL payload
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = image_features(df).collect()
+    assert [r.media_id for r in out] == [1]
+
+    wrapped_rate = b"SAUD" + struct.pack("<II", 0xFFFFFFFF, 0)
+    good_aud = encode_saud(16000, np.array([5, -5], dtype=np.int16))
+    adf = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(good_aud), (None, None, "SAUD", None, 16000)),
+            (2, "audio", bytearray(wrapped_rate), (None, None, "SAUD", None, None)),
+            (3, "audio", None, (None, None, "SAUD", None, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    aout = audio_features(adf).collect()
+    assert [r.media_id for r in aout] == [1]  # no wrapped -1 sample_rate row
+
+    zero_w_video = b"SVID" + struct.pack("<HHH", 0, 3, 4)
+    vdf = spark.createDataFrame(
+        [(1, "video", bytearray(zero_w_video), (0, 3, "SVID", 4, None))], MEDIA_SCHEMA
+    )
+    assert sample_frames(vdf).count() == 0  # no 0-pixel frame rows emitted
+    with pytest.raises(Exception, match="degenerate"):
+        sample_frames(vdf, on_error="raise").collect()
