@@ -226,18 +226,9 @@ def minhash_band_pairs(
     it, as minhash_dedup_survivors does for its own two-consumer shape."""
     keys = _band_keys(df, text_col, id_col, n_seeds, band_size)
     if max_bucket_width is not None:
-        widths = keys.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("_n"))
-        keys = (
-            keys.join(widths, ["band", "band_key"])
-            .filter(
-                (F.col("_n") <= max_bucket_width)
-                | (
-                    F.pmod(portable_hash64(F.col(id_col).cast("string")), F.col("_n"))
-                    < max_bucket_width
-                )
-            )
-            .drop("_n")
-        )
+        from posextract_spark.functions.capping import cap_bucket_width
+
+        keys = cap_bucket_width(keys, ["band", "band_key"], id_col, max_bucket_width)
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (
         a.join(
@@ -392,18 +383,9 @@ def ngram_jaccard_stats(
     )
     sh = g.select(F.col(id_col), F.explode(_shingles(F.col("__words"))).alias("shingle"))
     if max_shingle_bucket is not None:
-        widths = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n"))
-        sh = (
-            sh.join(widths, "shingle")
-            .filter(
-                (F.col("_n") <= max_shingle_bucket)
-                | (
-                    F.pmod(portable_hash64(F.col(id_col).cast("string")), F.col("_n"))
-                    < max_shingle_bucket
-                )
-            )
-            .drop("_n")
-        )
+        from posextract_spark.functions.capping import cap_bucket_width
+
+        sh = cap_bucket_width(sh, ["shingle"], id_col, max_shingle_bucket)
     a, b = sh.alias("a"), sh.alias("b")
     overl = (
         a.join(

@@ -161,26 +161,14 @@ def neardup_bucket_stats(
     )
     sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
     if max_bucket_width is not None:
-        # Deterministic hash-threshold subsample (r5, aligned with the
-        # dedup caps): a row in a bucket of width n > cap survives iff
-        # pmod(hash64(id), n) < cap — expected surviving width exactly
-        # ``cap``, buckets at/under the cap untouched. The r4 row_number
-        # Window forced the ENTIRE hot bucket onto one task and sorted it
-        # (the same single-task hazard VERDICT r4 item 1 removed from the
-        # dedup survivors path); the width join reuses ``sizes``, which
-        # this operator computes anyway, so the cap adds no extra
-        # aggregation pass. Deterministic in the data -> stage retries
-        # reproduce the sample.
-        b = (
-            b.join(sizes, "bucket")
-            .filter(
-                (F.col("n_vecs") <= max_bucket_width)
-                | (
-                    F.pmod(portable_hash64(F.col(id_col).cast("string")), F.col("n_vecs"))
-                    < max_bucket_width
-                )
-            )
-            .drop("n_vecs")
+        # Deterministic hash-threshold subsample (r5; the shared policy —
+        # semantics and the no-Window rationale in functions/capping.py).
+        # ``sizes`` is reused as the width frame, so the cap adds no
+        # extra aggregation pass here.
+        from posextract_spark.functions.capping import cap_bucket_width
+
+        b = cap_bucket_width(
+            b, ["bucket"], id_col, max_bucket_width, widths=sizes, width_col="n_vecs"
         )
     left = b.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col("_e").alias("ea")
