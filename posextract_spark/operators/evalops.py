@@ -89,18 +89,39 @@ def tag_sentence(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tag", tag).drop("__ts_words")
 
 
-def stratified_take(df: DataFrame, tag_col: str, id_col: str, n_per_tag: int = 10) -> DataFrame:
+def stratified_take(
+    df: DataFrame, tag_col: str, id_col: str, n_per_tag: int = 10, n_salts: int = 32
+) -> DataFrame:
     """P8, deterministic: first n rows per tag ordered by id (the reference
     samples randomly, select_sentences.py:69,74 — irreproducible across
-    cluster sizes; this variant is run-invariant)."""
+    cluster sizes; this variant is run-invariant).
+
+    Two-phase salted top-n (r5): a single ``Window.partitionBy(tag)``
+    puts an ENTIRE tag — 1/4 of the corpus with this tagger's 4 tags —
+    onto one task (the same single-task hot-partition hazard removed
+    from the dedup/similarity caps). Phase 1 ranks within
+    (tag, hash(id) % n_salts) — each task sees ~1/n_salts of a tag — and
+    keeps its local first-n: the union of per-bucket first-n is a
+    SUPERSET of the global first-n (every global top row is top-n inside
+    its own bucket). Phase 2 re-ranks the <= n_salts * n survivors per
+    tag — trivially small by construction. Exact same output; salt is
+    deterministic in the data (retry-safe)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(tag_col).orderBy(id_col)
-    return (
-        df.filter(F.col(tag_col).isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
+    filtered = df.filter(F.col(tag_col).isNotNull())
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy(tag_col, "_salt").orderBy(id_col)
+    cand = (
+        filtered.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= n_per_tag)
         .drop("_rn")
+    )
+    w2 = Window.partitionBy(tag_col).orderBy(id_col)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= n_per_tag)
+        .drop("_rn", "_salt")
     )
 
 

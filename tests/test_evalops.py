@@ -167,3 +167,30 @@ def test_chunk_documents_windows(spark):
     ]
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_stratified_take_two_phase_equals_naive_window(spark):
+    """r5: the salted two-phase top-n must return EXACTLY the naive
+    single-window result (per-bucket first-n is a superset of global
+    first-n), while no window partition carries a whole tag."""
+    from pyspark.sql import Window
+
+    from posextract_spark.operators.evalops import stratified_take
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tag"), (F.col("id") % 3).cast("string")).alias("tag"),
+    )
+    got = {(r.doc_id, r.tag) for r in stratified_take(df, "tag", "doc_id", n_per_tag=7).collect()}
+    w = Window.partitionBy("tag").orderBy("doc_id")
+    want = {
+        (r.doc_id, r.tag)
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 7)
+        .drop("_rn")
+        .collect()
+    }
+    assert got == want and len(got) == 21
+    # phase-1 window must be salted (tag alone never partitions raw data)
+    plan = stratified_take(df, "tag", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
