@@ -61,15 +61,22 @@ def _require_real_codec(fmt: str, lib: str = "PIL/soundfile"):
 # killing the stage. The r5.0 version escalated ALL unknown magics, so
 # one flipped magic byte killed the stage even under 'skip'.
 _REAL_MEDIA_MAGICS = (
+    # >= 3-byte magics only (third review): a 2-byte prefix like BMP's
+    # b'BM' or MP3's bare frame sync b'\xff\xfb' matches ~2^-16 of
+    # uniformly random garbage — an EXPECTED event at 10^10 rows, and
+    # each match would escalate corrupt data to a stage-killing
+    # NotImplementedError. 3-byte (~2^-24) and 4-byte (~2^-32) magics
+    # keep the collision odds negligible; a genuine headerless BMP/MP3
+    # payload is quarantined as corrupt instead — the conservative side
+    # of the trade (data loss is audited via the anti-join, a killed
+    # stage is not).
     b"\xff\xd8\xff",  # JPEG
     b"\x89PNG",       # PNG
     b"GIF8",          # GIF
-    b"BM",            # BMP
     b"RIFF",          # WAV / AVI container
     b"fLaC",          # FLAC
     b"OggS",          # Ogg
     b"ID3",           # MP3 with ID3 tag
-    b"\xff\xfb",      # bare MP3 frame sync
 )
 
 
@@ -79,7 +86,11 @@ def _reject_magic(payload: bytes, expected: str, lib: str = "PIL/soundfile"):
     the listed prefixes are checked; anything else -> ValueError (corrupt
     data, quarantinable)."""
     head = bytes(payload[:12])
-    if any(head.startswith(m) for m in _REAL_MEDIA_MAGICS) or head[4:8] == b"ftyp":
+    if head[4:8] == b"ftyp":
+        # report the BRAND (mp42/isom/...), not the leading box-size
+        # bytes — '00000018' in a deployment error helps nobody
+        _require_real_codec("ftyp/" + head[8:12].decode("ascii", "replace"), lib=lib)
+    if any(head.startswith(m) for m in _REAL_MEDIA_MAGICS):
         _require_real_codec(head[:4].hex(), lib=lib)
     raise ValueError(
         f"unrecognized payload magic {head[:4]!r} (expected {expected}); corrupt row"
@@ -107,6 +118,12 @@ def decode_simg(payload: bytes) -> np.ndarray:
 
 
 def encode_saud(sample_rate: int, samples: np.ndarray) -> bytes:
+    if not (0 < sample_rate <= 2**31 - 1):
+        # mirror decode_saud's plausibility check (third review): the
+        # encoder must not produce payloads its own decoder quarantines —
+        # a rate-0 placeholder would silently vanish under
+        # on_error='skip' instead of failing here, at the write site
+        raise ValueError(f"sample_rate must be in [1, 2^31-1], got {sample_rate}")
     return (
         b"SAUD"
         + struct.pack("<II", sample_rate, len(samples))

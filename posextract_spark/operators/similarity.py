@@ -146,8 +146,6 @@ def neardup_bucket_stats(
       ``n_vecs`` still reports the TRUE width, so capped buckets are
       visible to the caller (n_pairs < n_vecs*(n_vecs-1)/2 flags sampling).
     """
-    from posextract_spark.functions.hashing import portable_hash64
-
     if n_planes is None:
         n_planes = planes_for(df.count(), target_bucket)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))

@@ -165,3 +165,32 @@ def test_quarantine_holes_from_review(spark):
     assert sample_frames(vdf).count() == 0  # no 0-pixel frame rows emitted
     with pytest.raises(Exception, match="degenerate"):
         sample_frames(vdf, on_error="raise").collect()
+
+
+def test_weak_two_byte_magics_quarantine_not_escalate(spark):
+    """Third review: 2-byte prefixes (BMP's 'BM', MP3's 0xFFFB frame
+    sync) match ~2^-16 of random garbage — an expected event at 10^10
+    rows — so they must QUARANTINE as corrupt data, not escalate to a
+    stage-killing NotImplementedError; only >=3-byte magics escalate."""
+    good = encode_simg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    rows = [
+        (1, "image", bytearray(good), (8, 8, "SIMG", None, None)),
+        (2, "image", bytearray(b"BM25 ranking text that landed here"), (0, 0, "?", None, None)),
+        (3, "image", bytearray(b"\xff\xfb\x01\x02\x03\x04\x05\x06"), (0, 0, "?", None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = image_features(df).collect()
+    assert [r.media_id for r in out] == [1]
+
+
+def test_mp4_error_reports_brand_not_box_size():
+    payload = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="ftyp/mp42"):
+        decode_simg(payload)
+
+
+def test_encode_saud_rejects_undecodable_rates():
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_saud(0, np.zeros(4, dtype=np.int16))
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_saud(2**31, np.zeros(4, dtype=np.int16))
