@@ -218,16 +218,21 @@ def minhash_band_pairs(
     when you want full closure. None (default, used by the oracle-checked
     contract query) is exact.
 
-    Cost note (r5 review): the width computation consumes the band-key
-    frame a second time, so enabling the cap re-plans the scan+hash
-    lineage once more (2 FileScans). Deliberate trade: one extra linear
-    scan buys out of the O(k^2) hot-bucket join the cap exists to
-    prevent; callers that persist their input (or this frame) amortize
-    it, as minhash_dedup_survivors does for its own two-consumer shape."""
+    Cost note (r6, ADVICE r5): with the cap enabled the band-key frame
+    has two consumers (the width aggregation and the capped self-join),
+    so it is materialized ONCE here via an eager localCheckpoint — the
+    executed plan has a single scan+shingle+md5 lineage; widths and the
+    join-back both read the checkpointed blocks. localCheckpoint (same
+    mechanism as the CC rounds) needs no caller-side unpersist: blocks
+    are reclaimed when the RDD is GC'd. Caveat it inherits: losing an
+    executor loses its blocks un-recomputably and fails the job — for
+    this diagnostic LISTING query that is the right trade; the survivors
+    path (the production dedup) uses persist+unpersist instead."""
     keys = _band_keys(df, text_col, id_col, n_seeds, band_size)
     if max_bucket_width is not None:
         from posextract_spark.functions.capping import cap_bucket_width
 
+        keys = keys.localCheckpoint(eager=True)
         keys = cap_bucket_width(keys, ["band", "band_key"], id_col, max_bucket_width)
     a, b = keys.alias("a"), keys.alias("b")
     pairs = (

@@ -140,11 +140,13 @@ def neardup_bucket_stats(
       planes so expected width stays ~target_bucket regardless of N;
     - ``max_bucket_width`` bounds the WORST bucket (hyperplanes cannot bound
       skew — 10^6 embeddings of one boilerplate page all share a bucket):
-      pair generation sees only the first ``max_bucket_width`` rows per
-      bucket in deterministic hash-of-id order, a uniform sample of the
-      bucket, so per-bucket pair work is <= cap^2/2 no matter the skew.
-      ``n_vecs`` still reports the TRUE width, so capped buckets are
-      visible to the caller (n_pairs < n_vecs*(n_vecs-1)/2 flags sampling).
+      over-width buckets keep a deterministic hash-threshold sample of
+      EXPECTED size ``max_bucket_width`` (binomial around the cap, whp
+      within a small factor — exact semantics in functions/capping.py), so
+      per-bucket pair work concentrates near cap^2/2 rather than width^2/2.
+      Buckets already at or under the cap are kept exactly. ``n_vecs``
+      still reports the TRUE width, so capped buckets are visible to the
+      caller (n_pairs < n_vecs*(n_vecs-1)/2 flags sampling).
     """
     if n_planes is None:
         n_planes = planes_for(df.count(), target_bucket)

@@ -118,3 +118,51 @@ def test_cap_wider_than_buckets_is_exact(spark):
         for r in ngram_jaccard_stats(docs, max_shingle_bucket=100000).collect()
     }
     assert exact == capped
+
+
+def test_capped_band_pairs_exact_sample_and_single_materialization(spark):
+    """minhash_band_pairs with a cap (r6, ADVICE r5): the band-key frame
+    has two consumers (width agg + capped self-join), so it must be
+    materialized ONCE (eager localCheckpoint) — the executed plan contains
+    NO FileScan (lineage severed at the checkpoint) instead of the two
+    full scan+shingle+md5 lineages the r5 code re-planned. Semantics: all
+    2000 identical docs share one bucket per band; cap=16 keeps doc i iff
+    md5(i) % 2000 < 16 (same Python mirror as the ngram cap test), so the
+    pair listing is exactly C(15,2)=105 pairs, each colliding in all 4
+    bands."""
+    import hashlib
+
+    from posextract_spark.operators.dedup import minhash_band_pairs
+
+    expected = {
+        i
+        for i in range(2000)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 2000 < 16
+    }
+    docs = _identical_corpus(spark, 2000)
+    capped = minhash_band_pairs(docs, max_bucket_width=16)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    out = capped.collect()
+    ids = {r.id_a for r in out} | {r.id_b for r in out}
+    assert ids == expected
+    n = len(expected)
+    assert len(out) == n * (n - 1) // 2
+    assert all(r.n_bands == 4 for r in out)
+
+
+def test_capped_band_pairs_single_scan_from_parquet(spark):
+    """Same cap path over a real parquet source: the pre-r6 shape planned
+    the FileScan TWICE (once under the width agg, once under the
+    self-join); the checkpoint makes it zero FileScans in the final plan
+    (both consumers read the checkpointed blocks)."""
+    from posextract_spark.operators.dedup import minhash_band_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    capped = minhash_band_pairs(docs, max_bucket_width=64)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0
+    # and the uncapped (oracle-checked) path still plans straight scans
+    uncapped = minhash_band_pairs(docs)
+    uplan = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert uplan.count("FileScan") >= 1

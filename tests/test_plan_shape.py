@@ -287,5 +287,8 @@ def test_pages_pipeline_python_crossings(spark, tmp_path):
     assert plan.count("MapInPandas") == 1
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
-    # the lang filter must reach the parquet scan
-    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # the lang filter must reach the parquet scan. Matched loosely (ADVICE
+    # r5): the exact bracketed rendering of PushedFilters varies across
+    # Spark/datasource versions; what we pin is that pushdown HAPPENED.
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan

@@ -72,7 +72,14 @@ def _streaming_batch_equivalence(spark) -> tuple[bool, str]:
         generate_pages(spark, 30, seed=12, n_partitions=2).write.mode("append").parquet(src)
 
         q = stream_pages_to_triples(spark, src, ckpt, out, provider="template")
-        q.awaitTermination(300)
+        try:
+            if not q.awaitTermination(300):
+                # availableNow should drain and stop well inside the timeout;
+                # a hang would otherwise read partial output below and then
+                # rmtree the source/checkpoint under a live query
+                return False, "stream did not terminate within 300s"
+        finally:
+            q.stop()
 
         streamed = spark.read.parquet(out).drop("batch_id").toPandas()
         batch = pages_to_triples(
