@@ -518,6 +518,31 @@ def q_kg_pages_pipeline(spark, sf_dir):
     return edges.select("src", "predicate", "dst", "weight")
 
 
+def q_kg_nodes_canonical(spark, sf_dir):
+    """SURVEY §7.6 full chain (VERDICT r5 item 3): pages -> triples ->
+    SCORED fuzzy linking -> link + co-reference edges -> connected
+    components -> canonical nodes. The corpus is generate_pages plus three
+    typo pages (sources/pages.py TYPO_SENTENCES) so all three
+    canonicalization behaviors carry oracle signal: exact dictionary hits,
+    a fuzzy link ('AcmeCorpX' -> acme, bigram Jaccard 7/8), and an
+    anchor-less co-reference cluster ('Quixote'+'Quixotec', linked by a CC
+    edge only). Oracle: full generator replay + Python mirror of the
+    scorer/union-find (posextract_spark/oracles.py)."""
+    from posextract_spark.pipeline import kg_from_pages
+    from posextract_spark.sources.pages import alias_table, generate_pages, typo_pages
+
+    pages = generate_pages(spark, 200, seed=42, n_partitions=8).unionAll(
+        typo_pages(spark)
+    )
+    nodes, _edges = kg_from_pages(pages, alias_table(spark), canonicalize=True)
+    return nodes.select(
+        "canonical",
+        "entity_id",
+        F.concat_ws("|", "surface_forms").alias("surfaces"),
+        "n_mentions",
+    )
+
+
 def q_validate_data(spark, sf_dir):
     """P5 filter; the corpus is lowercase, so upcase even doc_ids' first
     letter (mirrored in the oracle) to make the filter discriminative."""
@@ -696,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
         "kg_pages_pipeline": q_kg_pages_pipeline,
+        "kg_nodes_canonical": q_kg_nodes_canonical,
         "validate_data": q_validate_data,
         "syntax_check": q_syntax_check,
         "tag_sentence": q_tag_sentence,
@@ -818,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": _oracles.media_resize_sql(),
         "media_frame_sample": _oracles.media_frame_sample_sql(),
         "kg_pages_pipeline": _oracles.kg_pages_edges_sql(),
+        "kg_nodes_canonical": _oracles.kg_pages_nodes_canonical_sql(),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

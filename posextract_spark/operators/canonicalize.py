@@ -221,3 +221,155 @@ def canonical_clusters(
     with_comp = surfaces.join(comps, "node")
     reps = with_comp.groupBy("component").agg(F.min("surface_norm").alias("cluster_rep"))
     return with_comp.join(reps, "component").select("surface_norm", "cluster_rep")
+
+
+def coref_edges(
+    surfaces: DataFrame,
+    surface_col: str = "surface_norm",
+    min_sim_e6: int = 500000,
+    prefix_len: int = 2,
+    max_block_width: int | None = None,
+) -> DataFrame:
+    """Co-reference candidate edges between DISTINCT normalized surfaces:
+    (src, dst) hashes for pairs with char-bigram Jaccard >= ``min_sim_e6``,
+    prefix-blocked like the linking scorer (north_star: 'connected-components
+    union over co-reference edges').
+
+    Scale shape: the self-join runs over the distinct-surface VOCABULARY
+    (small next to mention traffic — the same dictionary-resolution trick
+    as resolve_surfaces_scored) and only within a normalized-prefix block.
+    A hot prefix block ('ma...' at web scale) is quadratic in block width,
+    so production runs pass ``max_block_width`` — the shared deterministic
+    hash-threshold cap (functions/capping.py), honest-lower-bound semantics
+    as everywhere else. The bigram intersection is materialized ONCE behind
+    a Generate boundary (r5 linking-CSE lesson: pasting it three times put
+    the O(|a|*|b|) scan in an interpreted projection 3x per pair)."""
+    from posextract_spark.functions.boundary import materialize
+    from posextract_spark.functions.hashing import portable_hash64
+    from posextract_spark.operators.linking import (
+        _bigram_intersection,
+        _jaccard_e6_from_inter,
+        char_bigrams,
+    )
+
+    s = surfaces.select(F.col(surface_col).alias("_s"))
+    s = s.withColumn("_pfx", F.substring("_s", 1, prefix_len)).withColumn(
+        "_bg", char_bigrams(F.col("_s"), pre_normalized=True)
+    )
+    if max_block_width is not None:
+        from posextract_spark.functions.capping import cap_bucket_width
+
+        s = cap_bucket_width(s, ["_pfx"], "_s", max_block_width)
+    a = s.select(
+        F.col("_pfx"), F.col("_s").alias("_sa"), F.col("_bg").alias("_bga")
+    )
+    b = s.select(
+        F.col("_pfx").alias("_pfxb"), F.col("_s").alias("_sb"), F.col("_bg").alias("_bgb")
+    )
+    joined = materialize(
+        a.join(b, (F.col("_pfx") == F.col("_pfxb")) & (F.col("_sa") < F.col("_sb"))),
+        _inter=_bigram_intersection(F.col("_bga"), F.col("_bgb")),
+    )
+    return (
+        joined.filter(
+            _jaccard_e6_from_inter(F.col("_bga"), F.col("_bgb"), F.col("_inter"))
+            >= F.lit(min_sim_e6)
+        )
+        .select(
+            portable_hash64(F.col("_sa")).alias("src"),
+            portable_hash64(F.col("_sb")).alias("dst"),
+        )
+    )
+
+
+def resolve_canonical_cc(
+    surfaces: DataFrame,
+    alias_df: DataFrame,
+    surface_col: str = "surface",
+    min_score_e6: int = 300000,
+    coref_min_sim_e6: int = 500000,
+    prefix_len: int = 2,
+    max_block_width: int | None = None,
+) -> DataFrame:
+    """Full canonicalization (SURVEY §7.6, VERDICT r5 item 3): scored
+    linking -> link + co-reference edges -> connected components -> one
+    canonical name per surface CLUSTER.
+
+    Graph nodes are surface hashes plus 'canon:'-namespaced dictionary
+    anchors; edges are (a) surface -> best-candidate anchor for surfaces
+    the scorer links (score >= min_score_e6) and (b) co-reference edges
+    between near-identical surfaces (coref_edges). A cluster's canonical
+    name is the smallest anchor canonical in its component, or the smallest
+    member surface for anchor-less clusters (typo families that match no
+    dictionary entry). Surfaces in no edge at all stay their own canonical.
+
+    Returns (surface_norm, canonical, entity_id, linked) — one row per
+    distinct normalized surface; ``linked`` keeps the SCORER's dictionary
+    verdict (a coref-clustered typo family has linked=0 but a shared
+    canonical). Callers broadcast this vocabulary-sized map back onto full
+    mention traffic (pipeline.kg_from_pages canonicalize=True).
+
+    Scale shape: every frame here is vocabulary-sized (distinct surfaces),
+    never mention traffic — the scorer output is localCheckpointed once
+    (eager; it has four consumers below and its lineage reaches back
+    through the mention extraction), CC is the O(log n) star algorithm,
+    and the rep/component joins are broadcast while vocabulary fits an
+    executor (drop the hints for >10^8-surface vocabularies; the joins
+    stay key-equijoins either way)."""
+    from posextract_spark.functions.hashing import portable_hash64
+    from posextract_spark.operators.linking import resolve_surfaces_scored
+
+    scored = resolve_surfaces_scored(
+        surfaces,
+        alias_df,
+        surface_col=surface_col,
+        min_score_e6=min_score_e6,
+        prefix_len=prefix_len,
+    ).localCheckpoint(eager=True)
+
+    anchor_node = portable_hash64(F.concat(F.lit("canon:"), F.col("canonical")))
+    linked_rows = scored.filter(F.col("linked") == 1)
+    link_edges = linked_rows.select(
+        portable_hash64(F.col("surface_norm")).alias("src"),
+        anchor_node.alias("dst"),
+    )
+    coref = coref_edges(
+        scored.select("surface_norm"),
+        min_sim_e6=coref_min_sim_e6,
+        prefix_len=prefix_len,
+        max_block_width=max_block_width,
+    )
+    comps = connected_components_star(link_edges.unionAll(coref))
+
+    anchors = linked_rows.select(
+        anchor_node.alias("node"), F.col("canonical")
+    ).distinct()
+    anchor_rep = (
+        anchors.join(F.broadcast(comps), "node")
+        .groupBy("component")
+        .agg(F.min("canonical").alias("_arep"))
+    )
+    surf_nodes = scored.select(
+        "surface_norm",
+        "linked",
+        portable_hash64(F.col("surface_norm")).alias("node"),
+    )
+    surf_comp = surf_nodes.join(F.broadcast(comps), "node", "left")
+    surf_rep = (
+        surf_comp.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.min("surface_norm").alias("_srep"))
+    )
+    reps = surf_rep.join(anchor_rep, "component", "left").select(
+        "component", F.coalesce(F.col("_arep"), F.col("_srep")).alias("_rep")
+    )
+    return (
+        surf_comp.join(F.broadcast(reps), "component", "left")
+        .select(
+            "surface_norm",
+            F.coalesce(F.col("_rep"), F.col("surface_norm")).alias("canonical"),
+            "linked",
+        )
+        .withColumn("entity_id", portable_hash64(F.col("canonical")))
+        .select("surface_norm", "canonical", "entity_id", "linked")
+    )

@@ -255,6 +255,152 @@ def kg_pages_edges_sql(n: int = 200, seed: int = 42) -> str:
     return _values_sql(rows, cols)
 
 
+def kg_pages_nodes_canonical_sql(n: int = 200, seed: int = 42) -> str:
+    """Expected (canonical, entity_id, surfaces, n_mentions) for
+    __spark_entry__.q_kg_nodes_canonical: full generator replay + a plain-
+    Python mirror of the scored-linking / co-reference-CC canonicalization
+    (operators/canonicalize.py resolve_canonical_cc). Mirrored semantics,
+    each pinned by the distributed implementation's own unit tests:
+    - normalize = lower(trim); bigrams = DISTINCT char 2-grams, empty for
+      len < 2 (linking.char_bigrams);
+    - candidate block = alias rows sharing the 2-char normalized prefix;
+      score = 1e6 for verbatim hits else floor(bigram-Jaccard * 1e6)
+      (IEEE double, same fp path both engines); best candidate = max by
+      (score, canonical) exactly like Spark's max(struct(score, cand));
+    - link edge surface->'canon:'+canonical when score >= 300000; coref
+      edge between distinct surfaces with prefix-blocked Jaccard >= 500000;
+    - union-find closure; cluster canonical = min anchor canonical, else
+      min member surface; edge-less surfaces stay themselves;
+    - node rows group raw mention surfaces by cluster canonical with the
+      build_nodes slice-8 sorted surface_forms cap."""
+    import math
+    import random
+    from collections import Counter, defaultdict
+
+    from posextract_spark.sources.pages import (
+        ENTITY_ALIASES,
+        TYPO_SENTENCES,
+        _gen_sentences,
+    )
+
+    alias_rows = [
+        (surface.lower(), canonical)
+        for canonical, surfaces in ENTITY_ALIASES.items()
+        for surface in surfaces
+    ]
+
+    def bigrams(s: str) -> frozenset:
+        return frozenset(s[i : i + 2] for i in range(len(s) - 1)) if len(s) >= 2 else frozenset()
+
+    def jacc_e6(a: frozenset, b: frozenset) -> int:
+        union = len(a | b)
+        return int(math.floor(len(a & b) / union * 1000000.0)) if union else 0
+
+    # 1. replay the corpus -> raw mention surfaces
+    mention_counts: Counter = Counter()
+    sentences: list = []
+    for i in range(n):
+        rng = random.Random(f"{seed}:{i}")
+        if rng.random() >= 0.85:
+            continue
+        sentences.extend(_gen_sentences(rng))
+    sentences.extend(TYPO_SENTENCES)
+    for sentence in sentences:
+        for subj, _verb, obj in triples_for_sentence(sentence):
+            mention_counts[subj] += 1
+            mention_counts[obj] += 1
+
+    surfaces_raw = defaultdict(set)  # surface_norm -> raw surfaces seen
+    for raw in mention_counts:
+        surfaces_raw[raw.strip().lower()].add(raw)
+    vocab = sorted(surfaces_raw)
+
+    # 2. scorer mirror: best candidate per distinct normalized surface
+    best: dict = {}
+    for s in vocab:
+        cands = [
+            (1000000 if s == asurf else jacc_e6(bigrams(s), bigrams(asurf)), canon)
+            for asurf, canon in alias_rows
+            if asurf[:2] == s[:2]
+        ]
+        best[s] = max(cands) if cands else (0, None)
+
+    # 3. link + coref edges over hashed nodes, then union-find
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    h = _portable_hash64_py
+    for s in vocab:
+        score, canon = best[s]
+        if score >= 300000:
+            union(h(s), h("canon:" + canon))
+    for i, s1 in enumerate(vocab):
+        for s2 in vocab[i + 1 :]:
+            if s1[:2] == s2[:2] and jacc_e6(bigrams(s1), bigrams(s2)) >= 500000:
+                union(h(s1), h(s2))
+    # snapshot BEFORE the rep loops: find() inserts queried nodes into
+    # ``parent``, so membership after those loops would claim every
+    # surface was touched by an edge
+    touched = set(parent)
+
+    # 4. cluster representative: min anchor canonical, else min surface
+    anchor_rep: dict = {}
+    for s in vocab:
+        score, canon = best[s]
+        if score >= 300000:
+            root = find(h("canon:" + canon))
+            if root not in anchor_rep or canon < anchor_rep[root]:
+                anchor_rep[root] = canon
+    surf_rep: dict = {}
+    for s in vocab:
+        if h(s) not in touched:
+            continue
+        root = find(h(s))
+        if root not in surf_rep or s < surf_rep[root]:
+            surf_rep[root] = s
+
+    def canonical_of(s: str) -> str:
+        node = h(s)
+        if node not in touched:
+            return s  # never touched by any edge: own singleton canonical
+        root = find(node)
+        return anchor_rep.get(root, surf_rep[root])
+
+    # 5. aggregate nodes by cluster canonical
+    n_mentions: Counter = Counter()
+    node_surfaces = defaultdict(set)
+    for raw, cnt in mention_counts.items():
+        canon = canonical_of(raw.strip().lower())
+        n_mentions[canon] += cnt
+        node_surfaces[canon].update({raw})
+
+    rows = [
+        (
+            canon,
+            h(canon),
+            "|".join(sorted(node_surfaces[canon])[:8]),
+            n_mentions[canon],
+        )
+        for canon in sorted(n_mentions)
+    ]
+    cols = [
+        ("canonical", "VARCHAR"),
+        ("entity_id", "BIGINT"),
+        ("surfaces", "VARCHAR"),
+        ("n_mentions", "BIGINT"),
+    ]
+    return _values_sql(rows, cols)
+
+
+
 def media_frame_sample_sql(n: int = 120, seed: int = 42, every_k: int = 2) -> str:
     """Expected sampled-frame count per video: ceil(n_frames / every_k)."""
     rows: List[Tuple] = []

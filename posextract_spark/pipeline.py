@@ -61,9 +61,24 @@ def kg_from_pages(
     out_dir: Optional[str] = None,
     n_buckets: int = 16,
     persist: bool = True,
+    canonicalize: bool = False,
+    min_score_e6: int = 300000,
+    coref_min_sim_e6: int = 500000,
+    max_block_width: Optional[int] = None,
     **kwargs,
 ):
     """(nodes, edges) from raw pages.
+
+    ``canonicalize=True`` (r6, SURVEY §7.6 full chain) builds the NODES via
+    scored fuzzy linking + co-reference connected components instead of the
+    exact broadcast alias join: distinct mention surfaces are scored against
+    the dictionary (operators.linking.resolve_surfaces_scored), link and
+    co-reference edges feed the O(log n) star CC, and the vocabulary-sized
+    (surface -> cluster-canonical) map is broadcast back onto mention
+    traffic (operators.canonicalize.resolve_canonical_cc). Edges keep the
+    exact-link identity either way — edge endpoints must stay stable under
+    re-linking runs; pass the canonical node map downstream to re-key edges
+    when a deployment wants cluster-level edges.
 
     ``persist`` caches the triples at the fan-out point — CRITICAL for
     scale: edges and nodes both consume the triples, and
@@ -82,7 +97,24 @@ def kg_from_pages(
         "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
     )
     mentions = mentions_from_triples(triples, id_cols=("url", "sent_id"))
-    nodes = build_nodes(link_entities(mentions, alias_df)).withColumn(
+    if canonicalize:
+        from posextract_spark.operators.canonicalize import resolve_canonical_cc
+        from posextract_spark.operators.linking import normalize_surface
+
+        mapping = resolve_canonical_cc(
+            mentions,
+            alias_df,
+            surface_col="surface",
+            min_score_e6=min_score_e6,
+            coref_min_sim_e6=coref_min_sim_e6,
+            max_block_width=max_block_width,
+        )
+        linked_mentions = mentions.withColumn(
+            "surface_norm", normalize_surface(F.col("surface"))
+        ).join(F.broadcast(mapping), "surface_norm")
+    else:
+        linked_mentions = link_entities(mentions, alias_df)
+    nodes = build_nodes(linked_mentions).withColumn(
         "bucket", F.pmod(F.col("entity_id"), F.lit(n_buckets))
     )
     if out_dir:

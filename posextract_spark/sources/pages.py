@@ -142,6 +142,39 @@ def generate_pages(
     return spark.range(n).repartition(n_partitions).mapInPandas(gen, PAGES_SCHEMA)
 
 
+#: Deterministic pages whose mention surfaces are NOT generator aliases —
+#: they exercise the scored-linking + co-reference-CC canonicalization path
+#: (SURVEY §7.6): 'AcmeCorpX' fuzzy-links to the dictionary (bigram Jaccard
+#: 7/8 vs 'acmecorp'), while 'Quixote'/'Quixotec' match no dictionary entry
+#: but are near-identical to each other (6/7), so only a co-reference CC
+#: edge can put them in one cluster.
+TYPO_SENTENCES = [
+    "AcmeCorpX wanted to acquire Zorin.",
+    "Quixote wanted to acquire Bolt.",
+    "Quixotec wanted to acquire Hooli.",
+]
+
+
+def typo_pages(spark: SparkSession) -> DataFrame:
+    """One tiny page per TYPO_SENTENCES entry (url namespace 'typo' — never
+    collides with generate_pages urls). Deterministic literal frame; unioned
+    onto the generated corpus by the canonicalization contract query."""
+    rows = []
+    for i, sentence in enumerate(TYPO_SENTENCES):
+        html = _gen_html(i, random.Random(f"typo:{i}"), [sentence])
+        _, text = extract_text_pure(html)
+        rows.append(
+            {
+                "url": f"https://synth.test/typo/{i}",
+                "warc_ts": _EPOCH + timedelta(days=7, seconds=i),
+                "html": html.encode("utf-8"),
+                "text": text,
+                "lang": "en",
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA)
+
+
 def alias_table(spark: SparkSession) -> DataFrame:
     """Broadcast-sized alias dictionary: surface_norm -> canonical entity."""
     rows = [
