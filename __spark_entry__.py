@@ -636,6 +636,17 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=32)
 
 
+def q_pack_sequence_spans(spark, sf_dir):
+    """Export step over the packing assignment (VERDICT r5 item 4): one
+    row per (document, training sequence) with explicit straddle
+    carry-over — (bucket, seq_bin, tok_start, tok_end, seq_offset). Pure
+    projection + explode over the assignment; same single per-bucket
+    window shuffle."""
+    from posextract_spark.operators.mldata import pack_sequence_spans
+
+    return pack_sequence_spans(_docs(spark, sf_dir), budget=512, n_buckets=32)
+
+
 def q_decontaminate(spark, sf_dir):
     """Train-vs-eval n-gram contamination: per-train-doc count of distinct
     eval-set 5-gram shingles it contains (broadcast eval shingle set; the
@@ -731,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_doc_counts": q_salted_doc_counts,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
+        "pack_sequence_spans": q_pack_sequence_spans,
         "decontaminate": q_decontaminate,
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
@@ -923,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hash_split": _mldata.HASH_SPLIT_SQL,
         "pack_sequences": _mldata.PACK_SEQUENCES_SQL,
+        "pack_sequence_spans": _mldata.PACK_SEQUENCE_SPANS_SQL,
         "decontaminate": _mldata.DECONTAMINATE_SQL,
         "events_by_type_day": (
             # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT,

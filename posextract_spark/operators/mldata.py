@@ -101,17 +101,79 @@ def pack_sequences(
     )
 
 
+def pack_sequence_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """The EXPORT step over pack_sequences (VERDICT r5 item 4): one row per
+    (document, training sequence) span — the layout a sequence writer
+    consumes directly. A document starting at token ``bin_offset`` in its
+    bucket's running concatenation occupies bins
+    floor(bin_offset/budget) .. floor((bin_offset + n_tokens - 1)/budget);
+    a straddling document carries over into the next bin(s) with the split
+    points made explicit:
+
+      (bucket, seq_bin, doc_id,
+       tok_start, tok_end,   -- token slice OF THE DOCUMENT in this bin
+       seq_offset)           -- where the slice begins INSIDE the sequence
+
+    Every ``seq_bin`` is exactly ``budget`` tokens (the last bin of a
+    bucket may be short), zero-token documents emit no span, and
+    sum(tok_end - tok_start) per (bucket, seq_bin) == budget for all full
+    bins — pinned by tests.
+
+    Scale shape: a pure projection + explode over the pack_sequences
+    assignment — the ONLY shuffle remains the assignment's per-bucket
+    window; the explode fan-out per document is ceil(n_tokens/budget)+1
+    spans, scan-side. Deterministic in the data like the assignment, so
+    the export is value-hash-checkable and retry-stable."""
+    packed = pack_sequences(
+        df, text_col=text_col, id_col=id_col, budget=budget, n_buckets=n_buckets
+    )
+    first_bin = F.col("seq_bin")  # floor(bin_offset / budget) by construction
+    last_bin = F.floor((F.col("bin_offset") + F.col("n_tokens") - 1) / F.lit(budget)).cast(
+        "bigint"
+    )
+    spans = (
+        packed.filter(F.col("n_tokens") > 0)
+        .withColumn("_bin", F.explode(F.sequence(first_bin, last_bin)))
+    )
+    b0 = F.col("_bin") * F.lit(budget)
+    return spans.select(
+        id_col,
+        "bucket",
+        F.col("_bin").alias("seq_bin"),
+        F.greatest(F.lit(0).cast("bigint"), b0 - F.col("bin_offset")).alias("tok_start"),
+        F.least(F.col("n_tokens"), b0 + F.lit(budget) - F.col("bin_offset")).alias("tok_end"),
+        F.greatest(F.lit(0).cast("bigint"), F.col("bin_offset") - b0).alias("seq_offset"),
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     eval_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eval_broadcast_limit: int | None = 10_000_000,
 ) -> DataFrame:
     """Per-train-document eval-contamination count: how many DISTINCT
     eval-set 5-gram shingles the document contains. Emits only
     contaminated documents (callers anti-join or filter on the result;
     absence of a row means clean). The eval shingle set is broadcast —
-    the train side stays partitioned as scanned."""
+    the train side stays partitioned as scanned.
+
+    Broadcast guard (VERDICT r5 item 5): eval suites are tiny by
+    assumption, but nothing used to enforce it — a large eval frame would
+    OOM the driver collecting the broadcast. The distinct eval shingle
+    set is now counted first (one cheap job on the SMALL side only) and,
+    above ``eval_broadcast_limit`` shingles, the join falls back to a
+    plain shuffle hash join on ``shingle`` — both sides exchange once,
+    which is the correct plan when the 'small' side isn't. Pass ``None``
+    to skip the count and unconditionally broadcast (the pre-r6
+    behavior, for callers that know their eval set)."""
     from posextract_spark.functions.boundary import materialize
     from posextract_spark.operators.dedup import SHINGLE_N, _shingles
 
@@ -126,6 +188,16 @@ def decontaminate(
 
     ev = shingle_rows(eval_df).select("shingle").distinct()
     tr = shingle_rows(train_df)
+    if eval_broadcast_limit is not None:
+        # localCheckpoint: the count below and the join both consume the
+        # distinct shingle set; materialize it once (blocks GC-reclaimed)
+        ev = ev.localCheckpoint(eager=True)
+        if ev.count() > eval_broadcast_limit:
+            return (
+                tr.join(ev, "shingle")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_contaminated"))
+            )
     return (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy(id_col)
@@ -165,6 +237,34 @@ SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(bin_offset AS BIGINT) AS bin_offset,
        CAST(floor(bin_offset / 512.0) AS BIGINT) AS seq_bin
 FROM packed
+"""
+
+PACK_SEQUENCE_SPANS_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 32 AS bucket
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS bin_offset
+  FROM meta
+),
+spans AS (
+  SELECT doc_id, bucket, n_tokens, bin_offset,
+         unnest(generate_series(CAST(floor(bin_offset / 512.0) AS BIGINT),
+                                CAST(floor((bin_offset + n_tokens - 1) / 512.0) AS BIGINT)))
+           AS seq_bin
+  FROM packed WHERE n_tokens > 0
+)
+SELECT doc_id, bucket, CAST(seq_bin AS BIGINT) AS seq_bin,
+       CAST(greatest(0, seq_bin * 512 - bin_offset) AS BIGINT) AS tok_start,
+       CAST(least(n_tokens, seq_bin * 512 + 512 - bin_offset) AS BIGINT) AS tok_end,
+       CAST(greatest(0, bin_offset - seq_bin * 512) AS BIGINT) AS seq_offset
+FROM spans
 """
 
 DECONTAMINATE_SQL = """

@@ -107,3 +107,103 @@ def test_decontaminate_disjoint_corpora_empty(spark):
         [(2, "one two three four five six")], "doc_id bigint, text string"
     )
     assert decontaminate(a, b).count() == 0
+
+
+def test_pack_sequence_spans_partition_each_doc_and_fill_bins(spark):
+    """Spans must (a) partition every document's tokens exactly (per-doc
+    sum of slice lengths == n_tokens, slices contiguous from 0), and
+    (b) fill every non-final bin of a bucket to exactly ``budget`` tokens
+    — the straddle carry-over leaves no holes and no overlaps."""
+    from collections import defaultdict
+
+    from posextract_spark.operators.mldata import pack_sequence_spans, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 512
+    spans = pack_sequence_spans(docs, budget=budget).collect()
+    packed = {r.doc_id: r for r in pack_sequences(docs, budget=budget).collect()}
+
+    per_doc = defaultdict(list)
+    per_bin = defaultdict(int)
+    for r in spans:
+        assert 0 <= r.tok_start < r.tok_end, r
+        assert 0 <= r.seq_offset < budget, r
+        per_doc[r.doc_id].append(r)
+        per_bin[(r.bucket, r.seq_bin)] += r.tok_end - r.tok_start
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r.seq_bin)
+        assert rows[0].tok_start == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.tok_end == b.tok_start  # contiguous, no overlap
+            assert b.seq_bin == a.seq_bin + 1
+            assert b.seq_offset == 0  # carried-over slice starts the bin
+        assert rows[-1].tok_end == packed[doc_id].n_tokens
+        assert rows[0].seq_bin == packed[doc_id].seq_bin  # starts in its bin
+    # every doc with tokens has spans; zero-token docs have none
+    assert set(per_doc) == {d for d, r in packed.items() if r.n_tokens > 0}
+    # all bins except each bucket's last are exactly full
+    last_bin = defaultdict(int)
+    for bucket, seq_bin in per_bin:
+        last_bin[bucket] = max(last_bin[bucket], seq_bin)
+    for (bucket, seq_bin), filled in per_bin.items():
+        if seq_bin < last_bin[bucket]:
+            assert filled == budget, (bucket, seq_bin, filled)
+
+
+def test_pack_sequence_spans_straddle_exact(spark):
+    """Closed-form straddle: one bucket, budget 4, docs of 3/3/6 tokens in
+    id order -> offsets 0,3,6; doc 2 straddles bins 0-1, doc 3 bins 1-3."""
+    from posextract_spark.operators.mldata import pack_sequence_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h i j k l")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.doc_id, r.seq_bin): (r.tok_start, r.tok_end, r.seq_offset)
+        for r in pack_sequence_spans(docs, budget=4, n_buckets=1).collect()
+    }
+    assert out == {
+        (1, 0): (0, 3, 0),
+        (2, 0): (0, 1, 3),
+        (2, 1): (1, 3, 0),
+        (3, 1): (0, 2, 2),
+        (3, 2): (2, 6, 0),
+    }
+
+
+def test_pack_sequence_spans_single_shuffle(spark):
+    """The export adds NO shuffle beyond the assignment's per-bucket
+    window: exactly one Exchange in the plan."""
+    from posextract_spark.operators.mldata import pack_sequence_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_sequence_spans(docs))
+    assert plan.count("Exchange") == 1
+
+
+def test_decontaminate_shuffle_fallback_above_broadcast_limit(spark):
+    """eval_broadcast_limit=0 drops the FORCED broadcast hint, leaving the
+    join strategy to the optimizer — with autoBroadcastJoinThreshold
+    disabled the plan must show a shuffle join (the behavior that saves a
+    too-big eval set), while the default path still forces the broadcast.
+    Results identical either way. (Without the threshold override, AQE
+    rightly re-broadcasts the genuinely tiny test eval side — the guard
+    removes the FORCE, it doesn't forbid broadcasts.)"""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    via_broadcast = {
+        r.doc_id: r.n_contaminated for r in decontaminate(docs, ev).collect()
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fallback = decontaminate(docs, ev, eval_broadcast_limit=0)
+        plan = _plan(fallback)
+        assert "BroadcastHashJoin" not in plan
+        via_shuffle = {r.doc_id: r.n_contaminated for r in fallback.collect()}
+        # the default (hinted) path broadcasts even with the threshold off
+        assert "BroadcastHashJoin" in _plan(decontaminate(docs, ev))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert via_broadcast == via_shuffle
