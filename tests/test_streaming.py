@@ -1,5 +1,6 @@
 """Streaming pipeline test: availableNow file-source run + resume."""
 
+import pytest
 from posextract_spark.sources.pages import generate_pages
 from posextract_spark.streaming import stream_pages_to_triples
 
@@ -167,3 +168,84 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_distinct = spark.read.parquet(src).select("text").distinct().count()
     assert got.count() == n_distinct
     assert got.select("text_hash").distinct().count() == n_distinct
+
+
+def test_stateful_entity_profiles_kill_midstream_and_resume(spark, tmp_path):
+    """Kill-and-resume (VERDICT r5 item 7): the query CRASHES mid-stream —
+    foreachBatch raises on the second micro-batch AFTER writing its sink
+    output but BEFORE the checkpoint commit. On resume from the same
+    checkpoint Spark replays that micro-batch; the state store must roll
+    back to the last committed version so the replay does not double-apply
+    the batch (cumulative totals are monotonic, so any double-count shows
+    up as max(n_mentions) > ground truth). The sink itself is
+    at-least-once by construction here (plain append), which is exactly
+    what makes the duplicate-free STATE visible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from posextract_spark.streaming import streaming_entity_profiles
+
+    src = str(tmp_path / "pages_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "profiles")
+    crashed_flag = str(tmp_path / "crashed_once")
+    # 9 files at maxFilesPerTrigger=8 -> two micro-batches (0 and 1)
+    generate_pages(spark, 45, seed=21, n_partitions=9).write.mode("append").parquet(src)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+        if batch_id == 1 and not os.path.exists(crashed_flag):
+            open(crashed_flag, "w").write("1")
+            raise RuntimeError("injected crash after sink write, before commit")
+
+    def run_once():
+        return (
+            streaming_entity_profiles(spark, src)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    from pyspark.errors import StreamingQueryException
+
+    q = run_once()
+    # the specific exception type matters: a bare Exception would also
+    # swallow an assertion that the query DIDN'T crash
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(180)
+    q.stop()
+    assert os.path.exists(crashed_flag)
+
+    q2 = run_once()
+    assert q2.awaitTermination(180)
+
+    # ground truth from the batch pipeline over the full corpus
+    from posextract_spark.pipeline import pages_to_triples
+
+    t = pages_to_triples(spark.read.parquet(src), provider="template")
+    men = t.select(F.lower(F.trim("subject")).alias("s"), F.lit(1).alias("i")).unionAll(
+        t.select(F.lower(F.trim("object")).alias("s"), F.lit(0).alias("i"))
+    )
+    truth = {
+        r.s: (r.n, r.ns)
+        for r in men.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("i").alias("ns"))
+        .collect()
+    }
+    # cumulative totals are monotonic: the LAST (max) emission per surface
+    # is the all-time profile; replayed batch rows are duplicates in the
+    # at-least-once sink but must carry the same (not doubled) totals
+    emitted = spark.read.parquet(out)
+    finals = {
+        r.surface_norm: (r.n_mentions, r.n_subject_mentions)
+        for r in emitted.groupBy("surface_norm")
+        .agg(
+            F.max("n_mentions").alias("n_mentions"),
+            F.max("n_subject_mentions").alias("n_subject_mentions"),
+        )
+        .collect()
+    }
+    assert finals == truth
