@@ -691,6 +691,13 @@ def q_revenue_by_nation(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-contract exports — EXACTLY 50 entries (VERDICT r5 item 1: the
+    round driver sweeps at most 50 queries in dict order; r5 exported 52
+    and the last two silently got no correctness row). Queries beyond the
+    cap live in extra_queries() below — same (spark, sf_dir) contract,
+    oracle entries kept in oracle_sql(), swept by the LOCAL strict gate
+    (tools/check_contract.py) every run, and rotatable back in. Keep
+    len(queries()) == 50: when adding a query here, rotate another out."""
     return {
         "svo_triples": q_svo_triples,
         "svo_triples_by_verb": q_svo_triples_by_verb,
@@ -719,7 +726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "ivf_assign_kmeans": q_ivf_assign_kmeans,
-        "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "embedding_neardup": q_embedding_neardup,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -738,12 +744,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_sentence": q_tag_sentence,
         "stratified_take": q_stratified_take,
         "sample_n": q_sample_n,
-        "sample_fraction": q_sample_fraction,
         "salted_doc_counts": q_salted_doc_counts,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "pack_sequence_spans": q_pack_sequence_spans,
         "decontaminate": q_decontaminate,
+        }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries rotated OUT of the driver's 50-entry sweep (see queries()
+    docstring). Fully oracle-backed: oracle_sql() keeps their entries and
+    tools/check_contract.py sweeps them alongside queries(), so they keep
+    a hard local correctness signal every round. Rotation choices (r6):
+    the two generic TPC-H-style demos (not SURVEY §2 operators), plus
+    sample_fraction (P8 keeps sample_n + stratified_take rows) and
+    ivf_topk_kmeans (IVF keeps assign/topk/assign_kmeans rows)."""
+    return {
+        "sample_fraction": q_sample_fraction,
+        "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
     }

@@ -193,7 +193,7 @@ def test_similarity_queries_match_oracles_on_adversarial_embeddings(spark, adver
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{adversarial_emb_sf}/embeddings.parquet'"
     )
-    qs = em.queries()
+    qs = {**em.queries(), **em.extra_queries()}
     oracles = em.oracle_sql()
     failures = []
     for name in EMB_QUERIES:
@@ -216,7 +216,7 @@ def test_text_queries_match_oracles_on_adversarial_corpus(spark, adversarial_sf)
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{adversarial_sf}/documents.parquet'"
     )
-    qs = em.queries()
+    qs = {**em.queries(), **em.extra_queries()}
     oracles = em.oracle_sql()
     failures = []
     for name in TEXT_QUERIES:
@@ -300,7 +300,7 @@ def test_events_query_matches_oracle_on_adversarial_events(spark, adversarial_ev
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{adversarial_events_sf}/events.parquet'"
     )
-    sdf = em.queries()["events_by_type_day"](spark, adversarial_events_sf).toPandas()
+    sdf = em.extra_queries()["events_by_type_day"](spark, adversarial_events_sf).toPandas()
     odf = con.execute(em.oracle_sql()["events_by_type_day"]).df()
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
@@ -349,7 +349,7 @@ def test_revenue_query_matches_oracle_on_adversarial_tpch(spark, adversarial_tpc
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{adversarial_tpch_sf}/{t}.parquet'"
         )
-    sdf = em.queries()["revenue_by_nation"](spark, adversarial_tpch_sf).toPandas()
+    sdf = em.extra_queries()["revenue_by_nation"](spark, adversarial_tpch_sf).toPandas()
     odf = con.execute(em.oracle_sql()["revenue_by_nation"]).df()
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
@@ -386,7 +386,7 @@ def test_cc_queries_match_oracle_on_adversarial_nation(spark, adversarial_nation
     con.execute(
         f"CREATE VIEW nation AS SELECT * FROM '{adversarial_nation_sf}/nation.parquet'"
     )
-    qs = em.queries()
+    qs = {**em.queries(), **em.extra_queries()}
     oracles = em.oracle_sql()
     failures = []
     for name in ("connected_components", "connected_components_star"):

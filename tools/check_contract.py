@@ -120,7 +120,12 @@ def main(sf_dir: str, only: list[str]) -> int:
 
     spark.range(4096).repartition(64).select(_warm("id")).count()
 
-    qs = entry_mod.queries()
+    # the driver caps its sweep at 50 queries (CORRECTNESS_r05 evidence);
+    # the LOCAL gate has no cap — it also sweeps the rotated-out
+    # extra_queries() so every oracle-backed query keeps a hard signal
+    qs = dict(entry_mod.queries())
+    if hasattr(entry_mod, "extra_queries"):
+        qs.update(entry_mod.extra_queries())
     oracles = entry_mod.oracle_sql()
     failures = 0
     spark_secs: dict[str, float] = {}
