@@ -21,6 +21,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch_size: int = 2048,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -47,4 +48,8 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # last-wins overrides (e.g. tools/stress_sf1.py re-enables the UI to
+    # read per-stage shuffle/spill metrics over the REST API)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
