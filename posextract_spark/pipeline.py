@@ -75,10 +75,10 @@ def kg_from_pages(
     the dictionary (operators.linking.resolve_surfaces_scored), link and
     co-reference edges feed the O(log n) star CC, and the vocabulary-sized
     (surface -> cluster-canonical) map is broadcast back onto mention
-    traffic (operators.canonicalize.resolve_canonical_cc). Edges keep the
-    exact-link identity either way — edge endpoints must stay stable under
-    re-linking runs; pass the canonical node map downstream to re-key edges
-    when a deployment wants cluster-level edges.
+    traffic (operators.canonicalize.resolve_canonical_cc). EDGES link
+    through the same map, so every edge endpoint id is a canonical nodes
+    entity_id — a fuzzy/coref merge moves the node AND its edges together
+    (graph consistency, pinned by tests/test_canonicalize_cc.py).
 
     ``persist`` caches the triples at the fan-out point — CRITICAL for
     scale: edges and nodes both consume the triples, and
@@ -92,10 +92,6 @@ def kg_from_pages(
     triples = pages_to_triples(pages, **kwargs)
     if persist:
         triples = triples.persist()
-    linked = link_triples(triples, alias_df)
-    edges = build_edges(linked, source_col="url").withColumn(
-        "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
-    )
     mentions = mentions_from_triples(triples, id_cols=("url", "sent_id"))
     if canonicalize:
         from posextract_spark.operators.canonicalize import resolve_canonical_cc
@@ -109,11 +105,34 @@ def kg_from_pages(
             coref_min_sim_e6=coref_min_sim_e6,
             max_block_width=max_block_width,
         )
+
+        # EDGES must link through the SAME map as the nodes: exact-link
+        # endpoint ids would not join a canonical nodes table whenever a
+        # fuzzy/coref cluster changed a surface's canonical (graph
+        # consistency — every edge endpoint is a node entity_id).
+        def attach(df: DataFrame, col: str, out: str) -> DataFrame:
+            m = mapping.select(
+                F.col("surface_norm").alias(f"_{out}_norm"),
+                F.col("entity_id").alias(out),
+            )
+            return df.withColumn(
+                f"_{out}_norm", normalize_surface(F.col(col))
+            ).join(F.broadcast(m), f"_{out}_norm", "left")
+
+        linked = attach(
+            attach(triples, "subject", "subject_entity_id"),
+            "object",
+            "object_entity_id",
+        )
         linked_mentions = mentions.withColumn(
             "surface_norm", normalize_surface(F.col("surface"))
         ).join(F.broadcast(mapping), "surface_norm")
     else:
+        linked = link_triples(triples, alias_df)
         linked_mentions = link_entities(mentions, alias_df)
+    edges = build_edges(linked, source_col="url").withColumn(
+        "bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+    )
     nodes = build_nodes(linked_mentions).withColumn(
         "bucket", F.pmod(F.col("entity_id"), F.lit(n_buckets))
     )
