@@ -636,6 +636,43 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=32)
 
 
+def _dirty_paragraph_docs(spark, sf_dir):
+    """Deterministically dirtied corpus for the paragraph-dedup pair: every
+    doc gains a shared boilerplate paragraph; every third doc repeats its
+    own text paragraph (mirrored verbatim in the DuckDB SQL)."""
+    from posextract_spark.operators.textops import PARA_BOILER
+
+    sep = F.lit("\n\n")
+    docs = _docs(spark, sf_dir)
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), sep, F.lit(PARA_BOILER), sep, F.col("text")),
+        ).otherwise(F.concat(F.col("text"), sep, F.lit(PARA_BOILER))),
+    )
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Intra-document paragraph dedup (C4-style within-page span removal):
+    order-preserving first occurrence, pure scan-side projection. The
+    oracle pins Spark's array_distinct ORDERING (DuckDB's list_distinct is
+    unordered, so the mirror uses a row_number window)."""
+    from posextract_spark.operators.textops import dedup_paragraphs
+
+    return dedup_paragraphs(_dirty_paragraph_docs(spark, sf_dir))
+
+
+def q_dedup_paragraphs_global(spark, sf_dir):
+    """Corpus-global paragraph dedup: each distinct paragraph survives only
+    at its (min doc_id, min pos) first occurrence — map-side-combinable
+    winner agg + equijoin + per-doc rebuild (operators/textops.py scale
+    notes)."""
+    from posextract_spark.operators.textops import dedup_paragraphs_global
+
+    return dedup_paragraphs_global(_dirty_paragraph_docs(spark, sf_dir))
+
+
 def q_pack_sequence_spans(spark, sf_dir):
     """Export step over the packing assignment (VERDICT r5 item 4): one
     row per (document, training sequence) with explicit straddle
@@ -765,6 +802,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
+        # r6 additions land here first (queries() is pinned at the
+        # driver's 50-entry cap); rotate them in when something rotates out
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_paragraphs_global": q_dedup_paragraphs_global,
     }
 
 
@@ -819,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         sample_n_sql,
     )
     from posextract_spark.operators import mldata as _mldata
+    from posextract_spark.operators import textops as _textops
     from posextract_spark.operators.triples import SVO_TRIPLES_CTE
     from posextract_spark.posrule import parse_posrule_text, to_sql
     from posextract_spark import oracles as _oracles
@@ -954,6 +996,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hash_split": _mldata.HASH_SPLIT_SQL,
         "pack_sequences": _mldata.PACK_SEQUENCES_SQL,
+        "dedup_paragraphs": _textops.DEDUP_PARAGRAPHS_SQL,
+        "dedup_paragraphs_global": _textops.DEDUP_PARAGRAPHS_GLOBAL_SQL,
         "pack_sequence_spans": _mldata.PACK_SEQUENCE_SPANS_SQL,
         "decontaminate": _mldata.DECONTAMINATE_SQL,
         "events_by_type_day": (

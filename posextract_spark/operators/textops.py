@@ -555,3 +555,161 @@ f AS (
 SELECT *, CAST(too_short + too_long + bad_word_len + too_repetitive + long_run + wrong_lang = 0 AS INT) AS keep
 FROM f
 """
+
+
+# --- paragraph dedup (C4-style span removal, r6) ----------------------------
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """INTRA-document paragraph dedup: drop repeated paragraphs within one
+    document, keeping the FIRST occurrence in order (the within-page half
+    of C4's repeated-span removal — nav boilerplate pasted between
+    sections, templated footers, etc.).
+
+    Scale shape: a pure per-row projection — split, order-preserving
+    array_distinct, re-join. Zero shuffle, zero state; runs at scan
+    bandwidth on any number of executors. (Spark's array_distinct keeps
+    first-occurrence order; DuckDB's list_distinct does NOT, so the SQL
+    mirror pins the ordering with a window formulation — the oracle
+    genuinely checks the order semantics, not just the multiset.)"""
+    paras = F.split(F.col(text_col), F.lit(sep))
+    kept = F.array_distinct(paras)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias(out_col),
+        F.size(paras).alias("n_paras"),
+        (F.size(paras) - F.size(kept)).alias("n_dropped"),
+    )
+
+
+def dedup_paragraphs_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """GLOBAL paragraph dedup: every distinct paragraph is kept exactly
+    once across the whole corpus — at its first occurrence by
+    (min doc id, min position) — and removed everywhere else (C4: "we
+    removed any three-sentence span occurring more than once"; the unit
+    here is the paragraph). Subsumes the intra-document dedup (a repeat
+    inside one doc is also a global repeat).
+
+    Output: one row per input document — (id, deduped text, n_paras,
+    n_dropped); a document whose every paragraph occurred earlier comes
+    back with an empty string (left join keeps the row).
+
+    Scale shape (100 TB): three shuffles, all map-side combinable or
+    AQE-handled —
+    1. winner = groupBy(paragraph).agg(min(struct(doc, pos))): partial
+       min on the map side, so a boilerplate paragraph on 10^9 pages
+       sends ONE candidate per input partition, not 10^9 rows;
+    2. join paras->winner on the paragraph: both sides exchange on the
+       same key (the winner side reuses its aggregation exchange) and a
+       hot paragraph is an AQE-splittable skew key;
+    3. rebuild groupBy(doc): input-sized, bounded per-task by document
+       size. The paragraph STRING is the join/agg key deliberately —
+       exact (no hash-collision merges); swap in a 120-bit hash pair key
+       to cut shuffle bytes when paragraphs are huge."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("_pos", "_para"),
+    )
+    winner = paras.groupBy("_para").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))).alias("_w")
+    )
+    kept = (
+        paras.join(winner, "_para")
+        .filter((F.col(id_col) == F.col("_w.d")) & (F.col("_pos") == F.col("_w.p")))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    n_paras = F.size(F.split(F.col(text_col), F.lit(sep)))
+    return (
+        df.select(F.col(id_col), n_paras.alias("n_paras"))
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            "n_paras",
+            (F.col("n_paras") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )
+
+
+# Mirrors use the window formulation (row_number over first occurrence):
+# DuckDB's list_distinct is NOT order-preserving, so the oracle pins
+# Spark's first-occurrence ordering through string_agg(... ORDER BY pos).
+# The dirtied corpus is built in the paired contract queries
+# (__spark_entry__.q_dedup_paragraphs*): [text, BOILER] per doc, plus a
+# repeat of the doc's own text for doc_id % 3 == 0.
+PARA_BOILER = "subscribe to our newsletter for updates"
+
+DEDUP_PARAGRAPHS_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || e'\\n\\n' || '{PARA_BOILER}' || e'\\n\\n' || text
+              ELSE text || e'\\n\\n' || '{PARA_BOILER}' END AS text
+  FROM documents
+),
+s AS (SELECT doc_id, string_split(text, e'\\n\\n') AS ps FROM dirty),
+p AS (
+  SELECT doc_id, ps[i] AS para, i - 1 AS pos
+  FROM s CROSS JOIN UNNEST(generate_series(1, len(ps))) AS t(i)
+),
+k AS (
+  SELECT doc_id, para, pos,
+         row_number() OVER (PARTITION BY doc_id, para ORDER BY pos) AS rn
+  FROM p
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.para, e'\\n\\n' ORDER BY k.pos) FILTER (WHERE k.rn = 1), '') AS text_dedup,
+       CAST(count(k.pos) AS INT) AS n_paras,
+       CAST(count(k.pos) - count(k.pos) FILTER (WHERE k.rn = 1) AS INT) AS n_dropped
+FROM dirty d LEFT JOIN k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id
+"""
+
+DEDUP_PARAGRAPHS_GLOBAL_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || e'\\n\\n' || '{PARA_BOILER}' || e'\\n\\n' || text
+              ELSE text || e'\\n\\n' || '{PARA_BOILER}' END AS text
+  FROM documents
+),
+s AS (SELECT doc_id, string_split(text, e'\\n\\n') AS ps FROM dirty),
+p AS (
+  SELECT doc_id, ps[i] AS para, i - 1 AS pos
+  FROM s CROSS JOIN UNNEST(generate_series(1, len(ps))) AS t(i)
+),
+k AS (
+  SELECT doc_id, para, pos,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM p
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.para, e'\\n\\n' ORDER BY k.pos) FILTER (WHERE k.rn = 1), '') AS text_dedup,
+       CAST(count(k.pos) AS INT) AS n_paras,
+       CAST(count(k.pos) - count(k.pos) FILTER (WHERE k.rn = 1) AS INT) AS n_dropped
+FROM dirty d LEFT JOIN k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id
+"""

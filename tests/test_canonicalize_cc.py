@@ -130,3 +130,14 @@ def test_kg_canonicalize_edges_join_canonical_nodes(spark):
     canons = {r.canonical for r in nodes.select("canonical").collect()}
     assert "acmecorpx" not in canons and "quixotec" not in canons
     assert "quixote" in canons
+
+
+def test_resolve_canonical_cc_no_edges_at_all(spark):
+    """All surfaces unlinked and mutually dissimilar -> the CC runs on an
+    EMPTY edge frame; every surface must come back as its own singleton
+    canonical (left-join + coalesce path, no crash)."""
+    alias_df = spark.createDataFrame([("zz", "zz")], "surface_norm string, canonical string")
+    surfaces = spark.createDataFrame([("factories",), ("mines",)], "surface string")
+    out = {r.surface_norm: r for r in resolve_canonical_cc(surfaces, alias_df).collect()}
+    assert out["factories"].canonical == "factories" and out["factories"].linked == 0
+    assert out["mines"].canonical == "mines" and out["mines"].linked == 0
