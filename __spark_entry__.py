@@ -636,6 +636,28 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=32)
 
 
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle for training order: seed-keyed md5
+    permutation sharded so the sequential scope is one shard (same bounded
+    shape as pack_sequences); reproducible across engines/retries/appends
+    — no rand() anywhere."""
+    from posextract_spark.operators.mldata import shuffle_shards
+
+    return shuffle_shards(_docs(spark, sf_dir), n_shards=32, seed=0)
+
+
+def q_cap_per_domain(spark, sf_dir):
+    """Per-domain doc cap over the synthesized messy-URL corpus (20
+    domains x 25 docs at sf0.01): cap=10 < 25, so every domain takes the
+    deterministic hash-threshold sample path (shared capping policy;
+    expected width 10). Oracle mirrors the md5 threshold with a window
+    width count."""
+    from posextract_spark.operators.urls import cap_per_domain
+
+    urls = q_url_normalize(spark, sf_dir).select("doc_id", "host")
+    return cap_per_domain(urls, cap=10)
+
+
 def _dirty_paragraph_docs(spark, sf_dir):
     """Deterministically dirtied corpus for the paragraph-dedup pair: every
     doc gains a shared boilerplate paragraph; every third doc repeats its
@@ -806,6 +828,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver's 50-entry cap); rotate them in when something rotates out
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_paragraphs_global": q_dedup_paragraphs_global,
+        "shuffle_shards": q_shuffle_shards,
+        "cap_per_domain": q_cap_per_domain,
     }
 
 
@@ -861,6 +885,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from posextract_spark.operators import mldata as _mldata
     from posextract_spark.operators import textops as _textops
+    from posextract_spark.operators import urls as _urls
     from posextract_spark.operators.triples import SVO_TRIPLES_CTE
     from posextract_spark.posrule import parse_posrule_text, to_sql
     from posextract_spark import oracles as _oracles
@@ -998,6 +1023,12 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _mldata.PACK_SEQUENCES_SQL,
         "dedup_paragraphs": _textops.DEDUP_PARAGRAPHS_SQL,
         "dedup_paragraphs_global": _textops.DEDUP_PARAGRAPHS_GLOBAL_SQL,
+        "shuffle_shards": _mldata.SHUFFLE_SHARDS_SQL,
+        "cap_per_domain": (
+            "WITH urls_in AS (" + _URLS_IN_SQL + "), norm AS ("
+            + URL_NORMALIZE_EXPR_SQL + ") "
+            + _urls.cap_per_domain_sql(10, inner="norm")
+        ),
         "pack_sequence_spans": _mldata.PACK_SEQUENCE_SPANS_SQL,
         "decontaminate": _mldata.DECONTAMINATE_SQL,
         "events_by_type_day": (

@@ -285,3 +285,53 @@ SELECT s.doc_id, count(*) AS n_contaminated
 FROM sh s JOIN ev USING (shingle)
 GROUP BY s.doc_id
 """
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic corpus shuffle for training order: assign every
+    document a (shard, pos) so that reading shards in order yields a
+    seed-keyed pseudorandom permutation of the corpus — the step between
+    curation and pack_sequences. No rand(): both the shard and the
+    within-shard order are md5 hashes of (seed, id), so the permutation
+    is reproducible across engines, partitionings, retries, and appends
+    (a new document splices into its hash position without moving any
+    existing (shard, pos > insert) assignment in other shards).
+
+    Scale shape: identical to pack_sequences — one shuffle on (shard) and
+    one per-shard sort window; n_shards bounds the sequential scope (size
+    it so one shard ~= one comfortable task). A GLOBAL total-order sort
+    would be a range-partitioned full-sort shuffle for no benefit: shard
+    files are what a data loader actually consumes.
+
+    Output: (id, shard, pos) with pos dense from 0 per shard."""
+    from pyspark.sql import Window
+
+    sid = F.col(id_col).cast("string")
+    shard = F.pmod(
+        portable_hash64(F.concat(F.lit(f"{seed}:"), sid)), F.lit(n_shards)
+    )
+    order_key = portable_hash64(F.concat(F.lit(f"{seed}#"), sid))
+    w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), order_key.alias("_ord"))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select(id_col, "shard", F.col("pos").cast("bigint").alias("pos"))
+    )
+
+
+SHUFFLE_SHARDS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         (('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 32 AS shard,
+         (('0x' || substring(md5('0#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+FROM m
+"""

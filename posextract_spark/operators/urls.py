@@ -139,3 +139,40 @@ FROM (
   )
 )
 """
+
+
+def cap_per_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    cap: int = 1000,
+) -> DataFrame:
+    """Per-domain document cap (Common-Crawl curation staple: one SEO farm
+    must not dominate the corpus). A document in a domain wider than
+    ``cap`` survives iff ``pmod(hash64(id), width) < cap`` — the SHARED
+    deterministic hash-threshold policy (functions/capping.py: expected
+    surviving width = cap, exact when width <= cap, no per-domain ranking
+    Window, retry/append-reproducible in the data).
+
+    Scale shape: one map-side-combinable width count + one AQE-splittable
+    equijoin back on host — the same two-pass shape as every other cap;
+    a 10^9-page domain costs one counter and a skew-split join, never a
+    single-task sort."""
+    from posextract_spark.functions.capping import cap_bucket_width
+
+    return cap_bucket_width(df, [host_col], id_col, cap)
+
+
+def cap_per_domain_sql(cap: int, inner: str = "urls_in") -> str:
+    """DuckDB mirror over a (doc_id, host, ...) relation ``inner``: the
+    same md5 threshold, widths via a window count (engine-local detail —
+    the FILTER SEMANTICS are what the oracle checks)."""
+    return f"""
+SELECT doc_id, host
+FROM (
+  SELECT doc_id, host, count(*) OVER (PARTITION BY host) AS w
+  FROM {inner}
+)
+WHERE w <= {cap}
+   OR (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % w < {cap}
+"""

@@ -58,6 +58,10 @@ TEXT_QUERIES = [
     "simhash",
     "ngram_jaccard_stats",
     "validate_data",
+    "dedup_paragraphs",
+    "dedup_paragraphs_global",
+    "shuffle_shards",
+    "cap_per_domain",
     "syntax_check",
     "tag_sentence",
     "salted_doc_counts",

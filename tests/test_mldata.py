@@ -207,3 +207,30 @@ def test_decontaminate_shuffle_fallback_above_broadcast_limit(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert via_broadcast == via_shuffle
+
+
+def test_shuffle_shards_is_a_partition_invariant_permutation(spark):
+    """(shard, pos) must be a bijection onto the corpus: pos dense from 0
+    per shard, assignment identical under a different input partitioning
+    (no rand / no monotonically_increasing_id), and a different seed gives
+    a different order."""
+    from collections import defaultdict
+
+    from posextract_spark.operators.mldata import shuffle_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = shuffle_shards(docs, n_shards=8, seed=0).collect()
+    assert len(rows) == docs.count()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard  # dense from 0
+    reparted = shuffle_shards(docs.repartition(13), n_shards=8, seed=0).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in rows} == {
+        (r.doc_id, r.shard, r.pos) for r in reparted
+    }
+    other_seed = shuffle_shards(docs, n_shards=8, seed=1).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in rows} != {
+        (r.doc_id, r.shard, r.pos) for r in other_seed
+    }

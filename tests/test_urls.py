@@ -51,3 +51,32 @@ def test_url_normalize_duckdb_mirror_matches_goldens():
     for i, (raw, host, port, norm) in enumerate(CASES):
         doc_id, _url, g_host, g_port, g_norm = got[i]
         assert (g_host, g_port, g_norm) == (host, port, norm), raw
+
+
+def test_cap_per_domain_exact_hash_threshold_sample(spark):
+    """One hot domain (40 docs) + one small (3): the survivors are exactly
+    the Python md5-threshold mirror for the hot domain and ALL of the
+    small one; deterministic across runs; no Window in the plan."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.urls import cap_per_domain
+
+    rows = [(i, "hot.example.com") for i in range(40)] + [
+        (100 + i, "small.example.com") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string")
+    out = cap_per_domain(df, cap=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = {(r.doc_id, r.host) for r in out.collect()}
+    expected_hot = {
+        i
+        for i in range(40)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 40 < 5
+    }
+    assert got == {(i, "hot.example.com") for i in expected_hot} | {
+        (100 + i, "small.example.com") for i in range(3)
+    }
+    assert got == {(r.doc_id, r.host) for r in cap_per_domain(df, cap=5).collect()}
