@@ -576,8 +576,14 @@ def dedup_paragraphs(
     bandwidth on any number of executors. (Spark's array_distinct keeps
     first-occurrence order; DuckDB's list_distinct does NOT, so the SQL
     mirror pins the ordering with a window formulation — the oracle
-    genuinely checks the order semantics, not just the multiset.)"""
-    paras = F.split(F.col(text_col), F.lit(sep))
+    genuinely checks the order semantics, not just the multiset.)
+
+    ``sep`` is \Q-quoted before the split: Spark's split() interprets its
+    separator as a REGEX while DuckDB's string_split is literal, so an
+    unquoted regex-special separator ('.', '|') would silently diverge
+    between the operator and its oracle. (Quoting caveat: a sep containing
+    the literal sequence '\\E' is not supported.)"""
+    paras = F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"))
     kept = F.array_distinct(paras)
     return df.select(
         F.col(id_col),
@@ -616,10 +622,19 @@ def dedup_paragraphs_global(
     3. rebuild groupBy(doc): input-sized, bounded per-task by document
        size. The paragraph STRING is the join/agg key deliberately —
        exact (no hash-collision merges); swap in a 120-bit hash pair key
-       to cut shuffle bytes when paragraphs are huge."""
+       to cut shuffle bytes when paragraphs are huge.
+
+    Cost note: the exploded-paragraph lineage is planned TWICE (the
+    winner aggregation and the join probe side are different subtrees, so
+    Spark cannot reuse the exchange) plus a third thin scan for the
+    per-doc paragraph counts — callers running this over an expensive
+    upstream lineage should persist/materialize their input first, the
+    same rule as minhash_band_pairs (operators/dedup.py cost note).
+    ``sep`` is \Q-quoted (see dedup_paragraphs)."""
+    qsep = "\\Q" + sep + "\\E"
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("_pos", "_para"),
+        F.posexplode(F.split(F.col(text_col), F.lit(qsep))).alias("_pos", "_para"),
     )
     winner = paras.groupBy("_para").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))).alias("_w")
@@ -639,7 +654,7 @@ def dedup_paragraphs_global(
             F.count(F.lit(1)).alias("_n_kept"),
         )
     )
-    n_paras = F.size(F.split(F.col(text_col), F.lit(sep)))
+    n_paras = F.size(F.split(F.col(text_col), F.lit(qsep)))
     return (
         df.select(F.col(id_col), n_paras.alias("n_paras"))
         .join(kept, id_col, "left")

@@ -54,3 +54,14 @@ def test_global_winner_agg_is_map_side_partial(spark):
     plan = _plan(dedup_paragraphs_global(docs))
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_separator_is_literal_not_regex(spark):
+    """Spark's split() takes a REGEX; the operators \\Q-quote the
+    separator so a regex-special sep ('|') behaves literally — unquoted,
+    '|' would split between every character."""
+    df = spark.createDataFrame([(1, "a|b|a")], "doc_id bigint, text string")
+    out = dedup_paragraphs(df, sep="|").collect()[0]
+    assert out.text_dedup == "a|b" and (out.n_paras, out.n_dropped) == (3, 1)
+    g = dedup_paragraphs_global(df, sep="|").collect()[0]
+    assert g.text_dedup == "a|b" and (g.n_paras, g.n_dropped) == (3, 1)
