@@ -636,6 +636,32 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=32)
 
 
+def q_kg_edges_incremental(spark, sf_dir):
+    """Batch-incremental graph maintenance: the pages corpus is split into
+    two disjoint snapshots by url hash, each built into an edge aggregate
+    independently, then merged (operators/graph.py merge_edge_deltas).
+    The oracle is the EXISTING full-corpus replay (kg_pages_edges_sql) —
+    a green row proves merge(edges(A), edges(B)) == edges(A ∪ B), i.e.
+    per-snapshot incremental runs reproduce the from-scratch build
+    exactly."""
+    from posextract_spark.operators.graph import merge_edge_deltas
+    from posextract_spark.pipeline import kg_from_pages
+    from posextract_spark.sources.pages import alias_table, generate_pages
+
+    pages = generate_pages(spark, 200, seed=42, n_partitions=8)
+    half_a = pages.filter(F.pmod(F.xxhash64(F.col("url")), F.lit(2)) == 0)
+    half_b = pages.filter(F.pmod(F.xxhash64(F.col("url")), F.lit(2)) == 1)
+    alias_df = alias_table(spark)
+    # persist=False: edges is the only consumer EXECUTED here (the nodes
+    # frame is returned lazily and never run), so the fan-out cache would
+    # be pure overhead plus a leaked block set per sweep
+    _n_a, edges_a = kg_from_pages(half_a, alias_df, persist=False)
+    _n_b, edges_b = kg_from_pages(half_b, alias_df, persist=False)
+    return merge_edge_deltas(edges_a, edges_b).select(
+        "src", "predicate", "dst", "weight"
+    )
+
+
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic corpus shuffle for training order: seed-keyed md5
     permutation sharded so the sequential scope is one shard (same bounded
@@ -830,6 +856,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs_global": q_dedup_paragraphs_global,
         "shuffle_shards": q_shuffle_shards,
         "cap_per_domain": q_cap_per_domain,
+        "kg_edges_incremental": q_kg_edges_incremental,
     }
 
 
@@ -943,6 +970,8 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": _oracles.media_frame_sample_sql(),
         "kg_pages_pipeline": _oracles.kg_pages_edges_sql(),
         "kg_nodes_canonical": _oracles.kg_pages_nodes_canonical_sql(),
+        # incremental merge must equal the from-scratch build: SAME oracle
+        "kg_edges_incremental": _oracles.kg_pages_edges_sql(),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

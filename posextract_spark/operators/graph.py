@@ -108,3 +108,55 @@ def materialize_graph(
         if persist:
             triples.unpersist()
     return nodes, edges
+
+
+def merge_edge_deltas(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental graph maintenance: fold a new crawl snapshot's edge
+    aggregate into an existing edges table (daily-snapshot upsert — the
+    batch-incremental path that avoids re-extracting the whole corpus).
+
+    Exact invariant (oracle-checked by the kg_edges_incremental contract
+    query): merge(build_edges(A), build_edges(B)) == build_edges(A ∪ B)
+    on (src, predicate, dst, weight) for disjoint page sets A/B — weights
+    are sums, so the merge is a map-side-combinable groupBy; running it
+    per snapshot is associative and commutative. ``sources`` provenance is
+    the sorted union of both sides' capped lists re-capped to MAX_SOURCES:
+    exact whenever an edge's true source count stays within the cap,
+    a deterministic 'first MAX_SOURCES after sort' approximation beyond it
+    (the caps already made the column best-effort provenance, not an
+    exhaustive index).
+
+    Scale shape: ONE shuffle on (src, predicate, dst) with partial
+    aggregation; both inputs are already edge AGGREGATES (tiny next to
+    the corpus), and AQE skew-splits hot head-entity edges."""
+    both = base.select("src", "predicate", "dst", "weight", "sources").unionAll(
+        delta.select("src", "predicate", "dst", "weight", "sources")
+    )
+    return both.groupBy("src", "predicate", "dst").agg(
+        F.sum("weight").alias("weight"),
+        F.slice(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("sources")))),
+            1,
+            MAX_SOURCES,
+        ).alias("sources"),
+    )
+
+
+def merge_node_deltas(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Node-side snapshot merge: mention counts sum; surface_forms is the
+    sorted union of both sides' capped lists re-capped to MAX_SOURCES
+    (exact while an entity's distinct-surface count stays within the cap
+    — pinned by tests on the template corpus, whose entities have <= 4
+    surfaces). Same single map-side-combinable shuffle as the edge
+    merge."""
+    both = base.select("entity_id", "canonical", "surface_forms", "n_mentions").unionAll(
+        delta.select("entity_id", "canonical", "surface_forms", "n_mentions")
+    )
+    return both.groupBy("entity_id", "canonical").agg(
+        F.slice(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("surface_forms")))),
+            1,
+            MAX_SOURCES,
+        ).alias("surface_forms"),
+        F.sum("n_mentions").alias("n_mentions"),
+    )

@@ -273,3 +273,40 @@ def test_html_extract_nested_sections_and_unclosed_p():
     )
     _, text3 = extract_text_pure(html3)
     assert text3 == ""
+
+
+def test_incremental_merge_equals_from_scratch_build(spark):
+    """merge_edge_deltas / merge_node_deltas (r6): building the graph per
+    disjoint snapshot and merging must equal the from-scratch build — for
+    edges exactly (weights are sums), and for nodes exactly while
+    surface_forms stays within the MAX_SOURCES cap (template entities
+    have <= 4 surfaces, so the union-of-slices == slice-of-union here)."""
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.graph import merge_edge_deltas, merge_node_deltas
+    from posextract_spark.pipeline import kg_from_pages
+    from posextract_spark.sources.pages import alias_table, generate_pages
+
+    pages = generate_pages(spark, 60, seed=9, n_partitions=4)
+    alias_df = alias_table(spark)
+    half_a = pages.filter(F.pmod(F.xxhash64(F.col("url")), F.lit(2)) == 0)
+    half_b = pages.filter(F.pmod(F.xxhash64(F.col("url")), F.lit(2)) == 1)
+
+    nodes_a, edges_a = kg_from_pages(half_a, alias_df, persist=False)
+    nodes_b, edges_b = kg_from_pages(half_b, alias_df, persist=False)
+    nodes_full, edges_full = kg_from_pages(pages, alias_df, persist=False)
+
+    def edge_rows(df):
+        return {
+            (r.src, r.predicate, r.dst, r.weight, tuple(r.sources))
+            for r in df.select("src", "predicate", "dst", "weight", "sources").collect()
+        }
+
+    def node_rows(df):
+        return {
+            (r.entity_id, r.canonical, tuple(r.surface_forms), r.n_mentions)
+            for r in df.select("entity_id", "canonical", "surface_forms", "n_mentions").collect()
+        }
+
+    assert edge_rows(merge_edge_deltas(edges_a, edges_b)) == edge_rows(edges_full)
+    assert node_rows(merge_node_deltas(nodes_a, nodes_b)) == node_rows(nodes_full)
