@@ -636,6 +636,19 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=32)
 
 
+def q_minhash_dedup_against_base(spark, sf_dir):
+    """Append-only incremental near-dup dedup: odd doc_ids are the new
+    snapshot, even the existing corpus; a new doc is flagged when any of
+    its LSH band keys exists in the base (bucket-summary join — base side
+    pre-aggregated to one row per bucket, never quadratic)."""
+    from posextract_spark.operators.dedup import minhash_dedup_against_base
+
+    docs = _docs(spark, sf_dir)
+    return minhash_dedup_against_base(
+        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
 def q_kg_edges_incremental(spark, sf_dir):
     """Batch-incremental graph maintenance: the pages corpus is split into
     two disjoint snapshots by url hash, each built into an edge aggregate
@@ -857,6 +870,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "cap_per_domain": q_cap_per_domain,
         "kg_edges_incremental": q_kg_edges_incremental,
+        "minhash_dedup_against_base": q_minhash_dedup_against_base,
     }
 
 
@@ -910,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         sample_fraction_sql,
         sample_n_sql,
     )
+    from posextract_spark.operators import dedup as _dedup
     from posextract_spark.operators import mldata as _mldata
     from posextract_spark.operators import textops as _textops
     from posextract_spark.operators import urls as _urls
@@ -955,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": MINHASH_SIGNATURES_SQL,
         "minhash_band_pairs": MINHASH_BAND_PAIRS_SQL,
         "minhash_dedup_survivors": MINHASH_DEDUP_SURVIVORS_SQL,
+        "minhash_dedup_against_base": _dedup.MINHASH_DEDUP_AGAINST_BASE_SQL,
         "simhash": SIMHASH_SQL,
         "ngram_jaccard_stats": NGRAM_JACCARD_STATS_SQL,
         "cosine_topk": cosine_topk_sql(k=10),

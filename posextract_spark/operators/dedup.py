@@ -248,6 +248,57 @@ def minhash_band_pairs(
     return pairs
 
 
+def minhash_dedup_against_base(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_seeds: int = MINHASH_SEEDS,
+    band_size: int = 2,
+) -> DataFrame:
+    """APPEND-ONLY incremental near-dup dedup (r6, the dedup counterpart
+    of graph.merge_edge_deltas): flag new-snapshot documents that collide
+    with the EXISTING corpus — any shared LSH band key — without touching
+    base survivors. New-vs-new duplicates are handled by running
+    minhash_dedup_survivors over the new snapshot alone first; this
+    operator answers "is this new doc a near-dup of anything we already
+    keep", which is the question a daily crawl ingest actually asks.
+
+    Output: one row per new doc with >= SHINGLE_N words —
+      (id, n_hit_bands,        -- bands whose bucket exists in base (0..n_bands)
+       matched_base_id,        -- smallest colliding base doc id, -1 if none
+       is_new)                 -- 1 iff no collision
+
+    Scale shape: the base side is pre-aggregated to ONE ROW PER BAND
+    BUCKET (min base id via map-side-partial groupBy) BEFORE the join, so
+    a boilerplate bucket with 10^6 base copies meets each new key as a
+    single summary row — the join can never go quadratic, unlike a raw
+    keys-to-keys join. One shuffle per side on (band, band_key) + the
+    final per-doc aggregation; in production the base bucket summary is
+    a small persisted table maintained incrementally (merge = groupBy
+    min again, associative like the graph deltas)."""
+    new_keys = _band_keys(new_df, text_col, id_col, n_seeds, band_size)
+    base_summary = (
+        _band_keys(base_df, text_col, id_col, n_seeds, band_size)
+        .groupBy("band", "band_key")
+        .agg(F.min(id_col).alias("_base_min"))
+    )
+    hits = new_keys.join(base_summary, ["band", "band_key"], "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.col("_base_min")).alias("n_hit_bands"),
+            F.min("_base_min").alias("_mb"),
+        )
+        .select(
+            id_col,
+            F.col("n_hit_bands").cast("int").alias("n_hit_bands"),
+            F.coalesce(F.col("_mb"), F.lit(-1)).cast("bigint").alias("matched_base_id"),
+            (F.col("n_hit_bands") == 0).cast("int").alias("is_new"),
+        )
+    )
+
+
 def minhash_dedup_survivors(
     df: DataFrame,
     text_col: str = "text",
@@ -471,7 +522,10 @@ SELECT id_a AS doc_id, count(*) AS n_candidates, max(shared) AS max_shared
 FROM overl GROUP BY id_a
 """
 
-_BAND_PAIRS_CTES = f"""sh AS (
+# shared scan->shingle->minhash->band-key CTE chain (keys per doc/band);
+# consumed by the pair listing, the survivors closure, and the incremental
+# against-base mirror
+_BAND_KEYS_CTES = f"""sh AS (
   SELECT doc_id, {_H.format(x='shingle')} AS h
   FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
 ),
@@ -486,7 +540,9 @@ keys AS (
   SELECT doc_id, (seed // 2) AS band,
          {_H.format(x="array_to_string(list_transform(list_sort(list({'s': seed, 'm': minhash})), r -> r.m::VARCHAR), ',')")} AS band_key
   FROM sig GROUP BY doc_id, (seed // 2)
-),
+)"""
+
+_BAND_PAIRS_CTES = _BAND_KEYS_CTES + f""",
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
   FROM keys a JOIN keys b
@@ -497,6 +553,30 @@ pairs AS (
 MINHASH_BAND_PAIRS_SQL = (
     "WITH " + _BAND_PAIRS_CTES + "\nSELECT id_a, id_b, n_bands FROM pairs"
 )
+
+# Incremental against-base mirror: base = even doc_ids, new = odd (the
+# deterministic split used by the contract query). LEFT JOIN against the
+# per-bucket base summary, count(b.band) counts matches only.
+MINHASH_DEDUP_AGAINST_BASE_SQL = (
+    "WITH " + _BAND_KEYS_CTES + """,
+base AS (
+  SELECT band, band_key, min(doc_id) AS bmin
+  FROM keys WHERE doc_id % 2 = 0 GROUP BY band, band_key
+),
+hits AS (
+  SELECT n.doc_id, count(b.band) AS n_hit_bands, min(b.bmin) AS mb
+  FROM (SELECT * FROM keys WHERE doc_id % 2 = 1) n
+  LEFT JOIN base b ON n.band = b.band AND n.band_key = b.band_key
+  GROUP BY n.doc_id
+)
+SELECT doc_id,
+       CAST(n_hit_bands AS INT) AS n_hit_bands,
+       CAST(coalesce(mb, -1) AS BIGINT) AS matched_base_id,
+       CAST(n_hit_bands = 0 AS INT) AS is_new
+FROM hits
+"""
+)
+
 
 # Survivor selection: transitive closure of the candidate-pair graph as a
 # recursive CTE (exact fixpoint, algorithm-independent — mirrors whatever

@@ -166,3 +166,31 @@ def test_capped_band_pairs_single_scan_from_parquet(spark):
     uncapped = minhash_band_pairs(docs)
     uplan = uncapped._jdf.queryExecution().executedPlan().toString()
     assert uplan.count("FileScan") >= 1
+
+
+def test_against_base_flags_and_bucket_summary_plan(spark):
+    """Append-only incremental dedup: 2000 identical docs split odd/even —
+    every odd (new) doc must hit the base in all 4 bands with
+    matched_base_id = 0 (the smallest even doc). The base side must be
+    aggregated to a per-bucket summary BEFORE the join (partial_min, no
+    Window), so hot buckets cannot make the join quadratic; and a truly
+    novel doc comes back is_new=1 / matched -1."""
+    from posextract_spark.operators.dedup import minhash_dedup_against_base
+
+    docs = _identical_corpus(spark, 2000)
+    novel = spark.createDataFrame(
+        [(9001, "totally different words nobody else ever wrote here today ok")],
+        "doc_id bigint, text string",
+    )
+    new_df = docs.filter(F.col("doc_id") % 2 == 1).unionAll(novel)
+    base_df = docs.filter(F.col("doc_id") % 2 == 0)
+    out = minhash_dedup_against_base(new_df, base_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 1001
+    for i in range(1, 2000, 2):
+        assert rows[i].n_hit_bands == 4 and rows[i].matched_base_id == 0
+        assert rows[i].is_new == 0
+    assert rows[9001].is_new == 1 and rows[9001].matched_base_id == -1
