@@ -81,3 +81,53 @@ def test_two_stage_kg_resume_matches_single_run(spark, pages, tmp_path):
     want = sorted(map(tuple, edges.select(*cols).collect()))
     assert got == want and len(got) > 0
     linked.unpersist()
+
+
+def test_resumed_triples_feed_canonical_nodes(spark, pages, tmp_path):
+    """The r6 canonicalization composes with checkpoint-resume: stage 1
+    (triples per url bucket) crashes and resumes; the GLOBAL
+    canonicalization stage (scored linking + coref CC — inherently
+    cross-bucket, so it runs over the union of resumed bucket outputs)
+    then produces exactly the nodes the uninterrupted
+    kg_from_pages(canonicalize=True) run builds."""
+    from posextract_spark.operators.canonicalize import resolve_canonical_cc
+    from posextract_spark.operators.graph import build_nodes
+    from posextract_spark.operators.linking import (
+        mentions_from_triples,
+        normalize_surface,
+    )
+    from posextract_spark.pipeline import kg_from_pages
+    from posextract_spark.sources.pages import alias_table, typo_pages
+
+    corpus = pages.unionAll(typo_pages(spark))
+    r1 = BucketedRun(spark, str(tmp_path / "kgcanon"), n_buckets=4, stage="triples")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        r1.run(corpus, _stage, fail_after=2)
+    assert r1.run(corpus, _stage) == 2
+
+    alias_df = alias_table(spark)
+    mentions = mentions_from_triples(r1.read_output(), id_cols=("url", "sent_id"))
+    mapping = resolve_canonical_cc(mentions, alias_df, surface_col="surface")
+    resumed_nodes = build_nodes(
+        mentions.withColumn("surface_norm", normalize_surface(F.col("surface"))).join(
+            F.broadcast(mapping), "surface_norm"
+        )
+    )
+
+    single_nodes, _ = kg_from_pages(
+        corpus, alias_df, canonicalize=True, use_stored_text=True
+    )
+
+    def rows(nodes):
+        return {
+            (r.entity_id, r.canonical, tuple(r.surface_forms), r.n_mentions)
+            for r in nodes.select(
+                "entity_id", "canonical", "surface_forms", "n_mentions"
+            ).collect()
+        }
+
+    got, want = rows(resumed_nodes), rows(single_nodes)
+    assert got == want and len(got) > 0
+    # the typo clusters survived the bucketed path too
+    canons = {c for _e, c, _s, _n in got}
+    assert "quixote" in canons and "acmecorpx" not in canons
