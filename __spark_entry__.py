@@ -649,6 +649,22 @@ def q_minhash_dedup_against_base(spark, sf_dir):
     )
 
 
+_MIXTURE_RATES = {"src0": 1000000, "src1": 500000, "src2": 120000, "src3": 0}
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic per-source mixture sampling (parts-per-million rates,
+    md5 threshold — same stability class as hash_split): keep all of src0,
+    half of src1, 12% of src2, none of src3, 25% default for the rest."""
+    from posextract_spark.operators.mldata import sample_mixture
+
+    return sample_mixture(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        _MIXTURE_RATES,
+        default_rate_e6=250000,
+    )
+
+
 def q_kg_edges_incremental(spark, sf_dir):
     """Batch-incremental graph maintenance: the pages corpus is split into
     two disjoint snapshots by url hash, each built into an edge aggregate
@@ -871,6 +887,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_domain": q_cap_per_domain,
         "kg_edges_incremental": q_kg_edges_incremental,
         "minhash_dedup_against_base": q_minhash_dedup_against_base,
+        "sample_mixture": q_sample_mixture,
     }
 
 
@@ -971,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_pairs": MINHASH_BAND_PAIRS_SQL,
         "minhash_dedup_survivors": MINHASH_DEDUP_SURVIVORS_SQL,
         "minhash_dedup_against_base": _dedup.MINHASH_DEDUP_AGAINST_BASE_SQL,
+        "sample_mixture": _mldata.sample_mixture_sql(_MIXTURE_RATES, default_rate_e6=250000),
         "simhash": SIMHASH_SQL,
         "ngram_jaccard_stats": NGRAM_JACCARD_STATS_SQL,
         "cosine_topk": cosine_topk_sql(k=10),

@@ -335,3 +335,42 @@ SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
 FROM m
 """
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates_e6: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate_e6: int = 0,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling — the curation step that
+    turns raw per-source volumes into a target training mixture ("keep 100%
+    of wiki, 12% of CC"): a doc survives iff
+    ``pmod(hash64(id), 1e6) < rates_e6[source]`` (integer parts-per-million,
+    engine-exact; unknown sources get ``default_rate_e6``).
+
+    Scan-side projection + filter: zero shuffle, zero state, and the SAME
+    stability properties as hash_split (a doc's fate never depends on any
+    other doc, so the sample is reproducible under repartitioning, appends,
+    retries, and incremental re-runs — rand()-based mixtures resample on
+    every run). The rates map is baked into the plan as a literal CASE
+    chain: fine for the dozens-of-sources regime mixtures live in; join a
+    broadcast rates dim instead if sources number in the millions."""
+    h = F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(1_000_000))
+    rate = F.lit(default_rate_e6)
+    for src_name, r in sorted(rates_e6.items()):
+        rate = F.when(F.col(source_col) == src_name, F.lit(int(r))).otherwise(rate)
+    return df.filter(h < rate)
+
+
+def sample_mixture_sql(rates_e6: dict[str, int], default_rate_e6: int = 0) -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(r)}" for s, r in sorted(rates_e6.items())
+    )
+    return f"""
+SELECT doc_id, source
+FROM documents
+WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000
+      < (CASE {cases} ELSE {default_rate_e6} END)
+"""

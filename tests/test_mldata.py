@@ -234,3 +234,34 @@ def test_shuffle_shards_is_a_partition_invariant_permutation(spark):
     assert {(r.doc_id, r.shard, r.pos) for r in rows} != {
         (r.doc_id, r.shard, r.pos) for r in other_seed
     }
+
+
+def test_sample_mixture_exact_rates_and_stability(spark):
+    """Python md5 mirror per source + partition invariance + scan-side
+    plan; a rate of 0 keeps nothing, 1e6 keeps everything."""
+    from posextract_spark.operators.mldata import sample_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {"src0": 1_000_000, "src1": 500_000, "src2": 0}
+    out = sample_mixture(docs.select("doc_id", "source"), rates, default_rate_e6=250_000)
+    plan = _plan(out)
+    assert "Exchange" not in plan and "Join" not in plan
+    got = {r.doc_id for r in out.collect()}
+    expected = set()
+    for r in docs.select("doc_id", "source").collect():
+        rate = rates.get(r.source, 250_000)
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 1_000_000
+        if h < rate:
+            expected.add(r.doc_id)
+    assert got == expected
+    src0 = {r.doc_id for r in docs.filter(F.col("source") == "src0").collect()}
+    assert src0 <= got  # rate 1e6 keeps all
+    src2 = {r.doc_id for r in docs.filter(F.col("source") == "src2").collect()}
+    assert not (src2 & got)  # rate 0 keeps none
+    reparted = {
+        r.doc_id
+        for r in sample_mixture(
+            docs.select("doc_id", "source").repartition(17), rates, default_rate_e6=250_000
+        ).collect()
+    }
+    assert got == reparted
