@@ -326,24 +326,69 @@ def minhash_dedup_survivors(
     with no near-dup candidates are their own singleton cluster (left join +
     coalesce, no shuffle beyond the CC rounds).
 
-    ``keys`` is persisted across the star-edge construction (r5 review):
+    LEAF CONTRACTION before CC (r6 — measured at sf1): the star edges
+    (member -> bucket-min) form a bipartite-ish graph whose member nodes
+    are leaves chained only through their mins, so CC does not need them:
+    for each member, connect the SET of bucket-mins it touches (a star
+    onto its smallest min), run CC over the MIN-GRAPH only — O(#buckets)
+    nodes instead of O(#docs) — and map each member to its smallest min's
+    component. Exactness: a component's smallest doc id is always itself
+    a bucket-min (its bucket's min is <= it and connected, hence equal),
+    so min-over-min-nodes == min-over-all-nodes, and contracting leaves
+    preserves connectivity between mins by construction. The dup-free
+    extreme costs nothing (every member is its own min -> empty min
+    graph). Measured (interleaved 3x3 A/B at 2M docs, contended box,
+    identical outputs): median 70.5s -> 47.6s (1.48x), min 56.5 -> 43.8s
+    — the wall-clock win is modest single-node because band-key hashing
+    dominates; the structural win is what matters at 10^12 docs: every
+    CC checkpoint round materializes a ~#buckets-node graph instead of
+    an O(#docs)-edge one (BENCH/BASELINE.md r6). Equality vs the
+    uncontracted star path and
+    the pair-join closure is pinned by tests/test_dedup_caps.py; the
+    recursive-CTE oracle is algorithm-independent.
+
+    ``keys`` is persisted across the bucket-min construction (r5 review):
     the groupBy bucket-min + join-back consumes the band-key frame TWICE,
     and without the persist each consumer re-plans the whole
-    scan -> shingle -> md5 -> minhash lineage (2 FileScans, 2x the hash
-    work — verified in the executed plan). connected_components_star is
-    eager (localCheckpoint + convergence checksums per round), so the
-    persist is released before returning; the output frame depends only
-    on checkpointed CC state."""
+    scan -> shingle -> md5 -> minhash lineage. ``per_member`` is
+    materialized via eager localCheckpoint: it feeds both the min-graph
+    edges (consumed inside the eager CC) and the final member mapping
+    (consumed lazily by the caller), and the checkpoint both avoids the
+    double scan+shuffle and lets the keys persist be released before
+    returning."""
     from posextract_spark.operators.canonicalize import connected_components_star
 
     keys = _band_keys(df, text_col, id_col, n_seeds, band_size).persist()
     try:
-        comps = connected_components_star(_star_edges(keys, id_col))
+        mins = keys.groupBy("band", "band_key").agg(F.min(id_col).alias("_min"))
+        per_member = (
+            keys.join(mins, ["band", "band_key"])
+            .groupBy(id_col)
+            .agg(
+                F.min("_min").alias("_m0"),
+                F.collect_set("_min").alias("_ms"),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         keys.unpersist()
+    min_edges = (
+        per_member.select(F.explode("_ms").alias("src"), F.col("_m0").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    comps = connected_components_star(min_edges)
+    member_comp = (
+        per_member.join(
+            comps.withColumnRenamed("node", "_m0"), "_m0", "left"
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col("_m0")).alias("component"),
+        )
+    )
     return (
         df.select(F.col(id_col))
-        .join(comps.withColumnRenamed("node", id_col), id_col, "left")
+        .join(member_comp, id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),

@@ -135,6 +135,28 @@ def main() -> None:
         lambda: decontaminate(docs, docs.filter(F.col("doc_id") % 29 == 0)).count(),
     )
 
+    # r6 operators at the same 2M-doc scale
+    from posextract_spark.operators.dedup import minhash_dedup_against_base
+    from posextract_spark.operators.mldata import shuffle_shards
+    from posextract_spark.operators.textops import dedup_paragraphs_global
+
+    timed(
+        "dedup_paragraphs_global",
+        lambda: dedup_paragraphs_global(docs).agg(F.sum("n_dropped")).collect()[0][0],
+    )
+    timed(
+        "minhash_dedup_against_base",
+        lambda: minhash_dedup_against_base(
+            docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+        )
+        .agg(F.sum("is_new"))
+        .collect()[0][0],
+    )
+    timed(
+        "shuffle_shards",
+        lambda: shuffle_shards(docs, n_shards=256).agg(F.max("pos")).collect()[0][0],
+    )
+
     stages = _stage_metrics(spark)
     hot = sorted(stages, key=lambda s: -(s["shuffle_read_mb"] + s["shuffle_write_mb"]))[:8]
     results["peak_shuffle_stages"] = hot
