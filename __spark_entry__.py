@@ -421,6 +421,42 @@ def q_kg_edges(spark, sf_dir):
     )
 
 
+def _kg_edge_list(spark, sf_dir):
+    """Directed entity-graph edge list (one row per extracted triple) the
+    graph-analytics queries run over: subject -> object."""
+    return _shared_triples(spark, sf_dir).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+
+
+def q_kg_degree_stats(spark, sf_dir):
+    """Per-entity degree profile of the triple graph (hub detection):
+    distinct-neighbor degrees + edge-row weights, one shuffle
+    (operators/graph_analytics.degree_stats)."""
+    from posextract_spark.operators.graph_analytics import degree_stats
+
+    return degree_stats(_kg_edge_list(spark, sf_dir))
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Per-entity triangle counts + integer clustering coefficient via the
+    degree-ordered wedge join (skew-bounded O(m^1.5) — see
+    operators/graph_analytics.triangle_counts)."""
+    from posextract_spark.operators.graph_analytics import triangle_counts
+
+    return triangle_counts(_kg_edge_list(spark, sf_dir))
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """3-iteration fixed-point integer PageRank over the entity graph —
+    the oracle unrolls the SAME integer arithmetic as DuckDB CTEs, so an
+    *iterative* algorithm carries a hard hash signal
+    (operators/graph_analytics.pagerank)."""
+    from posextract_spark.operators.graph_analytics import pagerank
+
+    return pagerank(_kg_edge_list(spark, sf_dir), n_iters=3)
+
+
 def q_kg_nodes(spark, sf_dir):
     """Node table: canonical surface (lower) + deterministic entity id +
     mention count, from subject and object mentions. Triples persisted:
@@ -843,13 +879,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
-        "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
+        "kg_degree_stats": q_kg_degree_stats,
+        "kg_triangles": q_kg_triangles,
+        "kg_pagerank": q_kg_pagerank,
         "entity_link": q_entity_link,
         "entity_link_scored": q_entity_link_scored,
-        "connected_components": q_connected_components,
         "connected_components_star": q_connected_components_star,
         "kg_pages_pipeline": q_kg_pages_pipeline,
         "kg_nodes_canonical": q_kg_nodes_canonical,
@@ -857,7 +894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syntax_check": q_syntax_check,
         "tag_sentence": q_tag_sentence,
         "stratified_take": q_stratified_take,
-        "sample_n": q_sample_n,
         "salted_doc_counts": q_salted_doc_counts,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
@@ -873,12 +909,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a hard local correctness signal every round. Rotation choices (r6):
     the two generic TPC-H-style demos (not SURVEY §2 operators), plus
     sample_fraction (P8 keeps sample_n + stratified_take rows) and
-    ivf_topk_kmeans (IVF keeps assign/topk/assign_kmeans rows)."""
+    ivf_topk_kmeans (IVF keeps assign/topk/assign_kmeans rows). r6 late
+    rotations making room for the graph-analytics trio: sample_n (P8 keeps
+    stratified_take), connected_components (the star variant — the scale
+    path — keeps the CC row; both share _CC_ORACLE_SQL), media_resize
+    (media keeps image/audio/frame_sample rows)."""
     return {
         "sample_fraction": q_sample_fraction,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "events_by_type_day": q_events_by_type_day,
         "revenue_by_nation": q_revenue_by_nation,
+        "sample_n": q_sample_n,
+        "connected_components": q_connected_components,
+        "media_resize": q_media_resize,
         # r6 additions land here first (queries() is pinned at the
         # driver's 50-entry cap); rotate them in when something rotates out
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -912,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         NGRAM_JACCARD_STATS_SQL,
         SIMHASH_SQL,
     )
+    from posextract_spark.operators import graph_analytics as _ga
     from posextract_spark.operators.pairs import SVO_ADJ_NOUN_SQL, SVO_SUBJ_VERB_SQL
     from posextract_spark.operators.similarity import (
         IVF_ASSIGN_SQL,
@@ -953,6 +997,10 @@ def oracle_sql() -> dict[str, str]:
         parse_posrule_text(_POSRULE_TEXT),
         cols={"SUBJECT": "subject", "VERB": "verb", "PREDICATE": "object"},
     )
+
+    # directed entity edge list the graph-analytics mirrors compose over
+    # (matches _kg_edge_list)
+    _KG_EDGE_VIEW = ", kg_e AS (SELECT subject AS src, object AS dst FROM svo_triples)"
 
     return {
         "svo_triples": SVO_TRIPLES_CTE + "SELECT doc_id, subject, verb, object FROM svo_triples",
@@ -1012,6 +1060,16 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT doc_id) AS n_docs FROM svo_triples "
             "GROUP BY subject, verb, object"
         ),
+        # graph analytics compose on the same triples CTE via a src/dst
+        # edge view; the mirrors are generated by the operator module so
+        # the integer arithmetic cannot drift from the Spark side
+        "kg_degree_stats": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.degree_stats_sql("kg_e"),
+        "kg_triangles": SVO_TRIPLES_CTE + _KG_EDGE_VIEW + _ga.triangle_counts_sql("kg_e"),
+        "kg_pagerank": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.pagerank_sql("kg_e", n_iters=3),
         "kg_nodes": SVO_TRIPLES_CTE
         + (
             ", mentions AS (SELECT subject AS surface FROM svo_triples "

@@ -1,0 +1,351 @@
+"""Graph analytics over the materialized KG edge tables: degree stats,
+triangle counting, and fixed-point PageRank.
+
+These run *downstream* of graph materialization (operators/graph.py) — the
+analytics a KG consumer actually asks of a 10^12-document crawl graph:
+"which entities are hubs", "how clustered is the acquisition network",
+"rank hosts/entities by link authority". The reference has no graph stage
+at all (it stops at triple CSV output), so this module is pure Spark-first
+surface; node ids are kept generic (BIGINT entity ids or STRING surfaces /
+hosts both work).
+
+Scale design (the part that matters at 10^12 edges):
+- every primitive is a single map-side-combinable shuffle or a join whose
+  skew is *structurally* bounded (degree-ordered wedges), never an
+  unbounded hub fan-out;
+- triangle counting uses the degree-ordering trick (node-iterator of
+  Schank & Wagner / Suri & Vassilvitskii's MR formulation): each edge is
+  oriented from its lower-(degree, id) endpoint, so a node fans out only
+  to higher-ranked neighbors — max out-degree O(sqrt(m)) and total wedge
+  work O(m^1.5) even when a celebrity entity has 10^8 in-links;
+- PageRank is EXACT integer fixed-point (no float sums): rank mass is a
+  BIGINT at 1e12 scale, per-edge shares use integer floor division, so
+  results are independent of partitioning / aggregation order and
+  bit-identical across engines — the DuckDB oracle mirrors (pagerank_sql)
+  unroll the same arithmetic per iteration, giving the driver gate a hard
+  hash signal on an *iterative* algorithm (same pattern as the k-means
+  oracle, operators/similarity.py);
+- per-iteration localCheckpoint cuts lineage exactly like
+  operators/canonicalize.py's CC loops, keeping the plan O(1) per round
+  instead of O(rounds) deep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: PageRank fixed-point scale: total rank mass == PR_SCALE (1.0 ≡ 1e12).
+#: Chosen so rank * damping_e6 stays < 2^63 (1e12 * 1e6 = 1e18 < 9.2e18)
+#: while floor-division loss per node per iteration is < 1e-12 of mass.
+PR_SCALE = 10**12
+
+
+def degree_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Per-node degree profile of a directed edge list.
+
+    Returns (node, out_degree, in_degree, out_weight, in_weight):
+    *_degree counts DISTINCT neighbors in that direction; *_weight sums the
+    weight column (or counts edge rows when ``weight`` is None), so
+    parallel edges / multi-edge aggregates both work.
+
+    Shape: one unionAll (cheap, no shuffle) + ONE shuffle on node with
+    map-side partial aggregation. Head entities (10^8-mention celebrities)
+    land on one reducer but carry only counters — AQE splits the rest.
+    """
+    w = F.col(weight) if weight else F.lit(1).cast("long")
+    rows = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("peer"), F.lit(True).alias("is_out"), w.alias("w")
+    ).unionAll(
+        edges.select(
+            F.col(dst).alias("node"), F.col(src).alias("peer"), F.lit(False).alias("is_out"), w.alias("w")
+        )
+    )
+    return rows.groupBy("node").agg(
+        F.countDistinct(F.when(F.col("is_out"), F.col("peer"))).cast("long").alias("out_degree"),
+        F.countDistinct(F.when(~F.col("is_out"), F.col("peer"))).cast("long").alias("in_degree"),
+        F.coalesce(F.sum(F.when(F.col("is_out"), F.col("w"))), F.lit(0)).alias("out_weight"),
+        F.coalesce(F.sum(F.when(~F.col("is_out"), F.col("w"))), F.lit(0)).alias("in_weight"),
+    )
+
+
+def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonical simple undirected edge set (a < b, self-loops dropped,
+    duplicates and reverse duplicates collapsed). One shuffle (distinct)."""
+    return (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient over
+    the *undirected simple* graph of ``edges``.
+
+    Returns (node, degree, n_triangles, clustering_e6) where clustering_e6
+    = floor(2e6 * n_triangles / (degree * (degree - 1))) — integer
+    fixed-point so the value is engine-exact (no float division).
+
+    Algorithm (degree-ordered node-iterator):
+    1. degree(v) over the undirected simple graph (one shuffle);
+    2. orient every edge u->v iff (degree(u), u) < (degree(v), v) — a total
+       order, ties broken by node id;
+    3. wedges: self-join oriented edges on their source — because sources
+       only point "up" the order, a hub of true degree D fans out to at most
+       O(sqrt m) higher-ranked peers, so wedge volume is O(m^1.5) worst
+       case, NOT O(sum deg^2);
+    4. close wedges against the oriented edge set (join, no explosion);
+    5. credit each triangle to its 3 corners (explode by 3, constant).
+
+    All joins key on node ids; AQE skew-join covers residual imbalance.
+    """
+    und = undirected_edges(edges, src, dst).persist()
+    try:
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        # rank = (degree, node) as a comparable struct; orientation u -> v
+        # strictly increasing in rank
+        da = deg.select(F.col("node").alias("a"), F.struct("degree", "node").alias("rank_a"))
+        db = deg.select(F.col("node").alias("b"), F.struct("degree", "node").alias("rank_b"))
+        oriented = (
+            und.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(F.col("rank_a") < F.col("rank_b"), F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(F.col("rank_a") < F.col("rank_b"), F.col("b")).otherwise(F.col("a")).alias("v"),
+                F.when(F.col("rank_a") < F.col("rank_b"), F.col("rank_b")).otherwise(F.col("rank_a")).alias("rank_v"),
+            )
+        ).persist()
+        # wedges (u; v, w) with rank_v < rank_w — each unordered pair once
+        e1 = oriented.select(F.col("u"), F.col("v"), F.col("rank_v"))
+        e2 = oriented.select(F.col("u"), F.col("v").alias("w"), F.col("rank_v").alias("rank_w"))
+        wedges = e1.join(e2, "u").filter(F.col("rank_v") < F.col("rank_w"))
+        closed = wedges.join(
+            oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+            ["v", "w"],
+        )
+        corners = (
+            closed.select(F.col("u").alias("node"))
+            .unionAll(closed.select(F.col("v").alias("node")))
+            .unionAll(closed.select(F.col("w").alias("node")))
+        )
+        tri = corners.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        out = (
+            deg.join(tri, "node", "left")
+            .select(
+                "node",
+                "degree",
+                F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+                F.when(
+                    F.col("degree") >= 2,
+                    F.expr("(2000000 * coalesce(n_triangles, 0)) div (degree * (degree - 1))"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("clustering_e6"),
+            )
+        )
+        # materialize before unpersisting the two intermediates the plan
+        # still references (localCheckpoint is eager)
+        return out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+        try:
+            oriented.unpersist()
+        except NameError:
+            pass
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+    damping_e6: int = 850_000,
+) -> DataFrame:
+    """Fixed-point integer PageRank over the DISTINCT directed simple edge
+    set of ``edges`` (self-loops dropped). Returns (node, rank_e12 BIGINT)
+    with total mass PR_SCALE (minus deterministic floor loss + dangling
+    leak — the standard 'mass lost to dangling nodes' simplification,
+    acceptable for ranking and exactly mirrored by the oracle).
+
+    Per iteration (all integer arithmetic, engine-exact):
+        share(u->·) = (rank(u) * damping_e6) div (1_000_000 * out_deg(u))
+        rank'(v)    = teleport + sum over in-neighbors u of share(u)
+        teleport    = ((1_000_000 - damping_e6) * PR_SCALE) div (1_000_000 * N)
+
+    Scale shape per iteration: one join ranks⋈edges on src (ranks is
+    node-sized, edges corpus-sized — sort-merge or AQE-broadcast when ranks
+    is small), one map-side-combinable groupBy(dst), one node-sized left
+    join for teleport. localCheckpoint per round cuts lineage. Hot dst
+    nodes (celebrity entities) receive many shares but aggregate to one
+    BIGINT — partial aggregation absorbs the skew. The only driver-side
+    scalar is N = node count.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = nodes.count()
+        if n == 0:
+            return nodes.select("node", F.lit(0).cast("long").alias("rank_e12"))
+        init = PR_SCALE // n
+        teleport = ((1_000_000 - damping_e6) * PR_SCALE) // (1_000_000 * n)
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outd"))
+
+        ranks = nodes.select("node", F.lit(init).cast("long").alias("r"))
+        for _ in range(n_iters):
+            inflow = (
+                e.join(outdeg, "src")
+                .join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"(r * {damping_e6}) div (1000000 * outd)").alias("share"),
+                )
+                .groupBy("node")
+                .agg(F.sum("share").alias("inflow"))
+            )
+            ranks = (
+                nodes.join(inflow, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(teleport).cast("long") + F.coalesce(F.col("inflow"), F.lit(0))).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select("node", F.col("r").alias("rank_e12"))
+    finally:
+        e.unpersist()
+
+
+# --- DuckDB oracle mirrors ---------------------------------------------------
+
+
+def degree_stats_sql(edges_rel: str, src: str = "src", dst: str = "dst", weight: str | None = None) -> str:
+    """SQL suffix computing degree_stats over relation ``edges_rel``
+    (a CTE name or subquery). Compose after a WITH chain."""
+    w = weight if weight else "1"
+    return f"""
+, _deg_rows AS (
+  SELECT {src} AS node, {dst} AS peer, TRUE AS is_out, CAST({w} AS BIGINT) AS w FROM {edges_rel}
+  UNION ALL
+  SELECT {dst} AS node, {src} AS peer, FALSE AS is_out, CAST({w} AS BIGINT) AS w FROM {edges_rel}
+)
+SELECT node,
+       CAST(count(DISTINCT CASE WHEN is_out THEN peer END) AS BIGINT) AS out_degree,
+       CAST(count(DISTINCT CASE WHEN NOT is_out THEN peer END) AS BIGINT) AS in_degree,
+       CAST(COALESCE(sum(CASE WHEN is_out THEN w END), 0) AS BIGINT) AS out_weight,
+       CAST(COALESCE(sum(CASE WHEN NOT is_out THEN w END), 0) AS BIGINT) AS in_weight
+FROM _deg_rows GROUP BY node"""
+
+
+def triangle_counts_sql(edges_rel: str, src: str = "src", dst: str = "dst") -> str:
+    """SQL suffix computing triangle_counts over ``edges_rel``. Mirrors the
+    degree-ordered orientation exactly — (degree, node) tuple comparison is
+    identical in DuckDB and Spark for BIGINT/ASCII-string node ids."""
+    return f"""
+, _und AS (
+  SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+  FROM {edges_rel} WHERE {src} <> {dst}
+),
+_deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM _und UNION ALL SELECT b FROM _und)
+  GROUP BY node
+),
+_oriented AS (
+  SELECT CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN db.degree ELSE da.degree END AS dv,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.b ELSE u.a END AS vid
+  FROM _und u
+  JOIN _deg da ON da.node = u.a
+  JOIN _deg db ON db.node = u.b
+),
+_closed AS (
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM _oriented e1
+  JOIN _oriented e2 ON e2.u = e1.u AND (e1.dv, e1.vid) < (e2.dv, e2.vid)
+  JOIN _oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+_tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT u AS node FROM _closed UNION ALL SELECT v FROM _closed
+        UNION ALL SELECT w FROM _closed)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN (2000000 * COALESCE(t.n_triangles, 0)) // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_e6
+FROM _deg d LEFT JOIN _tri t ON t.node = d.node"""
+
+
+def pagerank_sql(
+    edges_rel: str,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+    damping_e6: int = 850_000,
+) -> str:
+    """SQL suffix: unrolled fixed-point PageRank over ``edges_rel`` —
+    iteration k becomes CTEs _prc{k}/_pr{k} with the same integer floor
+    arithmetic as pagerank() (DuckDB // == Spark div on positive BIGINTs).
+    N-dependent constants (init/teleport) are computed in-SQL from _prn so
+    the oracle needs no driver-side count."""
+    parts = [
+        f"""
+, _pre AS (
+  SELECT DISTINCT {src} AS src, {dst} AS dst FROM {edges_rel} WHERE {src} <> {dst}
+),
+_prnodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM _pre UNION ALL SELECT dst FROM _pre)
+),
+_prn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM _prnodes),
+_prout AS (SELECT src, CAST(count(*) AS BIGINT) AS outd FROM _pre GROUP BY src),
+_pr0 AS (
+  SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS r FROM _prnodes, _prn
+)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""
+, _prc{k} AS (
+  SELECT e.dst AS node,
+         CAST(sum((r.r * {damping_e6}) // (1000000 * o.outd)) AS BIGINT) AS inflow
+  FROM _pre e JOIN _prout o ON o.src = e.src JOIN _pr{k - 1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+_pr{k} AS (
+  SELECT n.node,
+         CAST(((1000000 - {damping_e6}) * {PR_SCALE}) // (1000000 * (SELECT n FROM _prn))
+              + COALESCE(c.inflow, 0) AS BIGINT) AS r
+  FROM _prnodes n LEFT JOIN _prc{k} c ON c.node = n.node
+)"""
+        )
+    parts.append(f"\nSELECT node, r AS rank_e12 FROM _pr{n_iters}")
+    return "".join(parts)

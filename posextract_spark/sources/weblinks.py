@@ -1,0 +1,112 @@
+"""Synthetic Common-Crawl-style corpus WITH outlinks (anchor tags), for the
+web-link-graph operators (operators/weblinks.py).
+
+Separate from sources/pages.py on purpose: the pages corpus pins the
+byte-identical HTML->text contract (north_rule) and its goldens must not
+move; this corpus instead pins the html->outlink extraction contract. Same
+(url, warc_ts, html, text, lang) schema as the input_hint, deterministic
+(seed + row index), generated distributed via mapInPandas.
+
+The anchor mix deliberately exercises the filter semantics: absolute
+http/https targets (kept), uppercase host (lowercased), explicit port /
+query / fragment (host extraction stops at :/?#), plus relative, mailto:,
+javascript:, fragment-only and protocol-relative targets (all dropped by
+the ^https?:// keep-filter — case-sensitive, matching Spark rlike).
+
+``replay_host_edges`` recomputes the expected (src_host, dst_host, weight)
+aggregate driver-side with Python ``re`` over the same generated HTML — the
+generator-replay oracle pattern (oracles.py) that gives the driver gate a
+hard hash signal on the whole extract->aggregate path.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+from datetime import timedelta
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from posextract_spark.sources.pages import _EPOCH, PAGES_SCHEMA
+
+HOSTS = [f"host{j}.test" for j in range(12)]
+
+#: href value patterns; {h} = target host, {i} = page index, {j} = anchor no.
+_LINK_MAKERS = [
+    "https://{h}/page/{i}-{j}",
+    "http://{h}/p/{j}",
+    "https://{h}:8443/deep/{i}?ref=synth#frag",
+    "https://{H}/CASE/{j}",  # uppercase host -> lowercased by extraction
+    "/relative/{j}",  # dropped
+    "mailto:crawl@{h}",  # dropped
+    "javascript:void(0)",  # dropped
+    "#section-{j}",  # dropped
+    "//{h}/protocol-relative",  # dropped (no scheme)
+]
+
+
+def gen_linked_page(i: int, seed: int = 42) -> dict:
+    rng = random.Random(f"{seed}:links:{i}")
+    src_host = HOSTS[i % len(HOSTS)]
+    anchors: List[str] = []
+    for j in range(rng.randint(2, 7)):
+        maker = rng.choice(_LINK_MAKERS)
+        h = rng.choice(HOSTS)
+        href = maker.format(h=h, H=h.upper(), i=i, j=j)
+        anchors.append(f'<a href="{href}">anchor {j}</a>')
+    html = (
+        f"<html><head><title>Linked page {i}</title></head><body>"
+        f"<p>outlink stub page {i} on {src_host}.</p>"
+        + "".join(anchors)
+        + "</body></html>"
+    )
+    return {
+        "url": f"https://{src_host}/p/{i}",
+        "warc_ts": _EPOCH + timedelta(seconds=i),
+        "html": html.encode("utf-8"),
+        "text": f"outlink stub page {i} on {src_host}.",
+        "lang": "en",
+    }
+
+
+def linked_pages(
+    spark: SparkSession, n: int, seed: int = 42, n_partitions: int = 8
+) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([gen_linked_page(int(i), seed) for i in pdf["id"]])
+
+    return spark.range(n).repartition(n_partitions).mapInPandas(gen, PAGES_SCHEMA)
+
+
+# --- driver-side replay (oracle) ---------------------------------------------
+
+_HREF_RE = re.compile(r'href="([^"]*)"')
+_ABS_RE = re.compile(r"^https?://")
+_HOST_RE = re.compile(r"^https?://([^/:?#]+)")
+
+
+def replay_links(n: int, seed: int = 42) -> List[Tuple[str, str]]:
+    """Expected (src_host, dst_host) rows — one per KEPT anchor occurrence,
+    mirroring operators/weblinks.extract_links semantics exactly."""
+    out: List[Tuple[str, str]] = []
+    for i in range(n):
+        page = gen_linked_page(i, seed)
+        src_host = _HOST_RE.match(page["url"]).group(1).lower()
+        for target in _HREF_RE.findall(page["html"].decode("utf-8")):
+            if not _ABS_RE.match(target):
+                continue
+            m = _HOST_RE.match(target)
+            if not m:
+                continue
+            out.append((src_host, m.group(1).lower()))
+    return out
+
+
+def replay_host_edges(n: int, seed: int = 42) -> List[Tuple[str, str, int]]:
+    """Expected host_graph aggregate: (src_host, dst_host, weight) sorted."""
+    weights = Counter(replay_links(n, seed))
+    return [(s, d, w) for (s, d), w in sorted(weights.items())]

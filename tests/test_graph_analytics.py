@@ -1,0 +1,181 @@
+"""Graph analytics (operators/graph_analytics.py): brute-force Python
+mirrors + DuckDB-oracle parity + adversarial shapes (hub star, clique,
+string node ids, parallel/reverse/self edges)."""
+
+import itertools
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from posextract_spark.operators import graph_analytics as ga
+
+
+def _duck(pdf: pd.DataFrame, sql_suffix: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("edges", pdf)
+    out = con.execute("WITH edges_base AS (SELECT * FROM edges)" + sql_suffix).df()
+    con.close()
+    return out
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_frame_match(sdf, pdf_expected: pd.DataFrame):
+    got = _norm(sdf.toPandas())
+    want = _norm(pdf_expected)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+# --- pure-Python mirrors -----------------------------------------------------
+
+
+def brute_triangles(edges):
+    """edges: iterable of (a, b). Returns {node: (degree, n_triangles)}."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for v, w, x in itertools.combinations(sorted(adj), 3):
+        if w in adj[v] and x in adj[v] and x in adj[w]:
+            tri[v] += 1
+            tri[w] += 1
+            tri[x] += 1
+    return {v: (len(adj[v]), tri[v]) for v in adj}
+
+
+def brute_pagerank(edges, n_iters=3, damping_e6=850_000):
+    """Integer fixed-point mirror of ga.pagerank (same floor arithmetic)."""
+    e = {(a, b) for a, b in edges if a != b}
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    outd = {}
+    for a, _ in e:
+        outd[a] = outd.get(a, 0) + 1
+    init = ga.PR_SCALE // n
+    teleport = ((1_000_000 - damping_e6) * ga.PR_SCALE) // (1_000_000 * n)
+    r = {v: init for v in nodes}
+    for _ in range(n_iters):
+        inflow = {v: 0 for v in nodes}
+        for a, b in e:
+            inflow[b] += (r[a] * damping_e6) // (1_000_000 * outd[a])
+        r = {v: teleport + inflow[v] for v in nodes}
+    return r
+
+
+# --- fixtures ----------------------------------------------------------------
+
+TRIANGLE_PLUS_TAIL = [  # K3 on 1,2,3 plus a tail and noise
+    (1, 2), (2, 3), (3, 1),
+    (3, 4),
+    (2, 1),  # reverse duplicate
+    (4, 4),  # self loop
+    (1, 2),  # parallel duplicate
+]
+
+
+def test_degree_stats_exact(spark):
+    e = spark.createDataFrame(pd.DataFrame(TRIANGLE_PLUS_TAIL, columns=["src", "dst"]))
+    got = {r["node"]: r.asDict() for r in ga.degree_stats(e).collect()}
+    # node 1: out->2 (x2), in<-3, in<-2
+    assert got[1]["out_degree"] == 1 and got[1]["in_degree"] == 2
+    assert got[1]["out_weight"] == 2 and got[1]["in_weight"] == 2
+    # node 4: self loop counts both directions on itself + in from 3
+    assert got[4]["out_degree"] == 1 and got[4]["in_degree"] == 2
+    # weighted variant sums the weight column instead of row counts
+    we = spark.createDataFrame(pd.DataFrame([(1, 2, 10), (3, 1, 5)], columns=["src", "dst", "w"]))
+    wg = {r["node"]: r.asDict() for r in ga.degree_stats(we, weight="w").collect()}
+    assert wg[1]["out_weight"] == 10 and wg[1]["in_weight"] == 5
+    assert wg[2]["in_weight"] == 10 and wg[2]["out_weight"] == 0
+
+
+def test_triangles_known_graph(spark):
+    e = spark.createDataFrame(pd.DataFrame(TRIANGLE_PLUS_TAIL, columns=["src", "dst"]))
+    got = {r["node"]: r.asDict() for r in ga.triangle_counts(e).collect()}
+    want = brute_triangles(TRIANGLE_PLUS_TAIL)
+    assert set(got) == set(want)
+    for v, (deg, tri) in want.items():
+        assert got[v]["degree"] == deg, v
+        assert got[v]["n_triangles"] == tri, v
+    # clustering: node 3 has degree 3, 1 triangle -> floor(2e6*1/6)
+    assert got[3]["clustering_e6"] == 2_000_000 // 6
+    assert got[4]["clustering_e6"] == 0  # degree 1
+
+
+def test_triangles_clique_and_star(spark):
+    # K5 clique: every node in C(4,2)=6 triangles, clustering 1.0
+    clique = list(itertools.combinations(range(5), 2))
+    # star hub 100 with 20 leaves: zero triangles everywhere
+    star = [(100, 200 + i) for i in range(20)]
+    e = spark.createDataFrame(pd.DataFrame(clique + star, columns=["src", "dst"]))
+    got = {r["node"]: r.asDict() for r in ga.triangle_counts(e).collect()}
+    for v in range(5):
+        assert got[v]["n_triangles"] == 6
+        assert got[v]["clustering_e6"] == 1_000_000
+    assert got[100]["n_triangles"] == 0 and got[100]["degree"] == 20
+    assert got[200]["clustering_e6"] == 0
+
+
+def test_triangles_string_nodes(spark):
+    # entity-surface node ids: ordering ties broken by string compare
+    edges = [("acme", "zorin"), ("zorin", "bolt"), ("bolt", "acme"), ("acme", "hooli")]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["n_triangles"] for r in ga.triangle_counts(e).collect()}
+    assert got == {"acme": 1, "zorin": 1, "bolt": 1, "hooli": 0}
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # directed 4-cycle: perfectly symmetric -> every rank identical, mass
+    # conserved exactly (out_deg=1 everywhere, no dangling)
+    cyc = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    e = spark.createDataFrame(pd.DataFrame(cyc, columns=["src", "dst"]))
+    rows = ga.pagerank(e, n_iters=4).collect()
+    vals = {r["rank_e12"] for r in rows}
+    assert len(vals) == 1
+    want = brute_pagerank(cyc, n_iters=4)
+    assert {r["node"]: r["rank_e12"] for r in rows} == want
+
+
+def test_pagerank_hub_matches_mirror(spark):
+    # all leaves point at a hub; hub points at one leaf — skewed in-degree
+    edges = [(i, 999) for i in range(1, 30)] + [(999, 1)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["rank_e12"] for r in ga.pagerank(e, n_iters=3).collect()}
+    want = brute_pagerank(edges, n_iters=3)
+    assert got == want
+    assert got[999] == max(got.values())  # the hub dominates
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_random_graph_parity_spark_python_duckdb(spark, seed):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(0, 25), rng.randrange(0, 25)) for _ in range(90)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    e = spark.createDataFrame(pdf)
+
+    tri = ga.triangle_counts(e)
+    want_tri = brute_triangles(edges)
+    got_tri = {r["node"]: (r["degree"], r["n_triangles"]) for r in tri.collect()}
+    assert got_tri == want_tri
+    _assert_frame_match(tri, _duck(pdf, ga.triangle_counts_sql("edges_base")))
+
+    pr = ga.pagerank(e, n_iters=3)
+    assert {r["node"]: r["rank_e12"] for r in pr.collect()} == brute_pagerank(edges)
+    _assert_frame_match(pr, _duck(pdf, ga.pagerank_sql("edges_base", n_iters=3)))
+
+    _assert_frame_match(ga.degree_stats(e), _duck(pdf, ga.degree_stats_sql("edges_base")))
+
+
+def test_pagerank_empty_and_selfloop_only(spark):
+    e = spark.createDataFrame(pd.DataFrame([(7, 7)], columns=["src", "dst"]))
+    assert ga.pagerank(e).count() == 0
+    assert ga.triangle_counts(e).count() == 0
