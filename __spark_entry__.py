@@ -457,6 +457,30 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(_kg_edge_list(spark, sf_dir), n_iters=3)
 
 
+def q_host_link_graph(spark, sf_dir):
+    """Crawl link structure: deterministic linked-pages corpus -> native
+    regex outlink extraction -> host-level edge aggregate. All-Catalyst
+    (no Python in the hot path); oracle = generator replay
+    (oracles.host_link_graph_sql)."""
+    from posextract_spark.operators.weblinks import extract_links, host_graph
+    from posextract_spark.sources.weblinks import linked_pages
+
+    return host_graph(extract_links(linked_pages(spark, 300, seed=42)))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host authority: PageRank over the extracted host graph — the
+    composition a crawl pipeline actually runs (frontier prioritization /
+    quality prior). Oracle replays the edge list and unrolls the same
+    integer arithmetic (oracles.host_pagerank_sql)."""
+    from posextract_spark.operators.graph_analytics import pagerank
+    from posextract_spark.operators.weblinks import extract_links, host_graph
+    from posextract_spark.sources.weblinks import linked_pages
+
+    hg = host_graph(extract_links(linked_pages(spark, 300, seed=42)))
+    return pagerank(hg.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")), n_iters=3)
+
+
 def q_kg_nodes(spark, sf_dir):
     """Node table: canonical surface (lower) + deterministic entity id +
     mention count, from subject and object mentions. Triples persisted:
@@ -931,6 +955,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_incremental": q_kg_edges_incremental,
         "minhash_dedup_against_base": q_minhash_dedup_against_base,
         "sample_mixture": q_sample_mixture,
+        "host_link_graph": q_host_link_graph,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -1054,6 +1080,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes_canonical": _oracles.kg_pages_nodes_canonical_sql(),
         # incremental merge must equal the from-scratch build: SAME oracle
         "kg_edges_incremental": _oracles.kg_pages_edges_sql(),
+        "host_link_graph": _oracles.host_link_graph_sql(),
+        "host_pagerank": _oracles.host_pagerank_sql(),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

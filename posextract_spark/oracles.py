@@ -411,3 +411,34 @@ def media_frame_sample_sql(n: int = 120, seed: int = 42, every_k: int = 2) -> st
         rows.append((i, (n_frames + every_k - 1) // every_k))
     cols = [("media_id", "BIGINT"), ("n_frames_sampled", "BIGINT")]
     return _values_sql(rows, cols)
+
+
+# --- web link graph ----------------------------------------------------------
+
+
+def host_link_graph_sql(n: int = 300, seed: int = 42) -> str:
+    """Expected (src_host, dst_host, weight) for
+    __spark_entry__.q_host_link_graph: generator replay of the linked-pages
+    corpus + Python-re mirror of the extraction semantics
+    (sources/weblinks.replay_host_edges)."""
+    from posextract_spark.sources.weblinks import replay_host_edges
+
+    cols = [("src_host", "VARCHAR"), ("dst_host", "VARCHAR"), ("weight", "BIGINT")]
+    return _values_sql(replay_host_edges(n, seed), cols)
+
+
+def host_pagerank_sql(n: int = 300, seed: int = 42, n_iters: int = 3) -> str:
+    """Expected (node, rank_e12) for __spark_entry__.q_host_pagerank: the
+    replayed host edge list rendered as a VALUES CTE, then the SAME unrolled
+    integer PageRank mirror the kg_pagerank oracle uses
+    (operators/graph_analytics.pagerank_sql) — extraction and iteration are
+    both under the hash."""
+    from posextract_spark.operators.graph_analytics import pagerank_sql
+    from posextract_spark.sources.weblinks import replay_host_edges
+
+    edges = sorted({(s, d) for s, d, _ in replay_host_edges(n, seed)})
+    values = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    return (
+        f"WITH host_e(src, dst) AS (VALUES {values})"
+        + pagerank_sql("host_e", n_iters=n_iters)
+    )
