@@ -457,6 +457,16 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(_kg_edge_list(spark, sf_dir), n_iters=3)
 
 
+def q_dup_span_stats(spark, sf_dir):
+    """Cross-document duplicated-span profile (exact substring-dedup
+    signal, content-defined hash-anchored windows — operators/dedup.py):
+    per doc, how many sampled 4-token windows also occur in another
+    document."""
+    from posextract_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir), window=4, sample=2)
+
+
 def q_host_link_graph(spark, sf_dir):
     """Crawl link structure: deterministic linked-pages corpus -> native
     regex outlink extraction -> host-level edge aggregate. All-Catalyst
@@ -957,6 +967,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "host_link_graph": q_host_link_graph,
         "host_pagerank": q_host_pagerank,
+        "dup_span_stats": q_dup_span_stats,
     }
 
 
@@ -973,6 +984,7 @@ _CC_ORACLE_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from posextract_spark.operators import dedup as _dedup_mod
     from posextract_spark.operators.dedup import (
         EXACT_DEDUP_SQL,
         MINHASH_BAND_PAIRS_SQL,
@@ -1082,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_incremental": _oracles.kg_pages_edges_sql(),
         "host_link_graph": _oracles.host_link_graph_sql(),
         "host_pagerank": _oracles.host_pagerank_sql(),
+        "dup_span_stats": _dedup_mod.dup_span_stats_sql(window=4, sample=2),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

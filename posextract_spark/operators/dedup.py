@@ -641,3 +641,157 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 )
+
+
+# --- cross-document duplicate spans ------------------------------------------
+#
+# Exact substring-level dedup signal (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — suffix-array exact-substring
+# dedup, here reformulated as hash-anchored rolling windows so it runs as
+# two scans + one shuffle instead of a distributed suffix array):
+# boilerplate/licence blocks repeated across crawl pages inflate memorization
+# even when whole-document hashes differ. Every W-token window is hashed;
+# windows whose hash is ≡ 0 (mod sample) are KEPT — selection is
+# CONTENT-DEFINED (winnowing-style), so a given span is selected in either
+# every document that contains it or none: cross-document alignment can
+# never hide a duplicate (a fixed-stride sampler can — two docs sharing a
+# run at different parities sample disjoint offsets; caught by
+# tests/test_dup_spans.py::test_alignment_independence). A kept hash seen
+# in >= 2 DISTINCT documents marks a duplicated span.
+#
+# Cost shape: hashing is O(tokens) per doc either way (scan-side, cheap);
+# ``sample`` divides the SHUFFLE+join volume by S — the term that actually
+# binds at 10^12 docs. Detection of a duplicated run of length L >= W is
+# probabilistic in S: miss chance (1-1/S)^(L-W+1), e.g. S=4, L=2W=8 tokens
+# -> ~24%; boilerplate blocks (50+ tokens) are caught w.p. ~1.
+
+
+def dup_span_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    sample: int = 2,
+) -> DataFrame:
+    """(id, pos, h) — one row per KEPT window position; h = md5 of the
+    space-joined W-token span (full 128 bits kept: at the 10^12-doc design
+    point window counts reach ~10^13, where a 60-bit key would already
+    collide; 128-bit keeps false merges < 1e-12). sample=1 keeps every
+    window (exact mode).
+
+    Shape: pure scan-side — split once (materialize boundary), every span
+    sliced+hashed exactly once inside one array transform, the content-
+    defined keep-filter applied array-side, then ONE Generate explodes only
+    the kept windows. Documents shorter than ``window`` tokens emit no
+    rows (they cannot contain a duplicated span).
+    """
+    from posextract_spark.functions.boundary import materialize
+
+    if window < 1 or sample < 1:
+        raise ValueError("window and sample must be >= 1")
+    mat = materialize(
+        df.select(F.col(id_col), F.col(text_col)), __dsw=word_array(F.col(text_col))
+    )
+    words = F.col("__dsw")
+    n = F.size(words)
+    # guard: F.sequence(1, 0) DESCENDS (step defaults negative when
+    # start > stop) — empty array when the doc is too short
+    positions = F.when(
+        n >= F.lit(window),
+        F.sequence(F.lit(1), n - F.lit(window) + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    win = F.transform(
+        positions,
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(words, p, window))).alias("h"),
+        ),
+    )
+    if sample > 1:
+        win = F.filter(
+            win,
+            lambda w: F.conv(F.substring(w["h"], 1, 15), 16, 10).cast("bigint")
+            % F.lit(sample)
+            == 0,
+        )
+    return mat.select(F.col(id_col), F.explode(win).alias("_w")).select(
+        id_col, F.col("_w.pos").cast("int").alias("pos"), F.col("_w.h").alias("h")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    sample: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span profile: (id, n_windows, n_dup_windows,
+    dup_ratio_e6) over the content-defined window sample; a window is
+    duplicated iff its span hash occurs in >= 2 distinct documents; ratio
+    is integer fixed-point (engine-exact). Because selection is content-
+    defined, dup_ratio over the sample is an unbiased estimate of the true
+    duplicated-window ratio. Docs with no kept window are absent.
+
+    Scale shape: windows frame persisted across its two consumers (the
+    duplicate-hash aggregate and the join-back); ONE map-side-combinable
+    shuffle on h for the aggregate — a boilerplate span shared by 10^7
+    pages is a single counter, never a pair listing — then one shuffle
+    join back on h (AQE broadcasts the duplicate set when it is small,
+    skew-splits when a hash is hot) and one groupBy on the doc id.
+    Compose with a threshold filter for the C4-style 'drop docs that are
+    mostly boilerplate' policy (tests/test_dup_spans.py).
+    """
+    wins = dup_span_windows(df, text_col, id_col, window, sample).persist()
+    try:
+        dup_hashes = (
+            wins.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= 2)
+            .select("h", F.lit(1).alias("_dup"))
+        )
+        out = (
+            wins.join(dup_hashes, "h", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_windows"),
+                F.count("_dup").alias("n_dup_windows"),
+            )
+            .select(
+                id_col,
+                "n_windows",
+                "n_dup_windows",
+                F.expr("(1000000 * n_dup_windows) div n_windows").alias("dup_ratio_e6"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        wins.unpersist()
+
+
+def dup_span_stats_sql(window: int = 4, sample: int = 2) -> str:
+    """DuckDB mirror of dup_span_stats over the ``documents`` view.
+    ws[p : p+W-1] is 1-based INCLUSIVE slicing == Spark slice(ws, p, W);
+    the anchor filter mirrors conv(substring(md5,1,15),16,10) % sample."""
+    keep = (
+        f"AND ('0x' || substring(md5(array_to_string(ws[p : p + {window - 1}], ' ')), 1, 15))::BIGINT % {sample} = 0"
+        if sample > 1
+        else ""
+    )
+    return f"""
+WITH _dsw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+_wins AS (
+  SELECT doc_id, CAST(p AS INTEGER) AS pos,
+         md5(array_to_string(ws[p : p + {window - 1}], ' ')) AS h
+  FROM _dsw, unnest(generate_series(1, len(ws) - {window} + 1)) AS t(p)
+  WHERE len(ws) >= {window} {keep}
+),
+_dups AS (
+  SELECT h FROM _wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(d.h) AS BIGINT) AS n_dup_windows,
+       CAST((1000000 * count(d.h)) // count(*) AS BIGINT) AS dup_ratio_e6
+FROM _wins w LEFT JOIN _dups d ON w.h = d.h
+GROUP BY w.doc_id"""
