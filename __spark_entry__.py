@@ -457,6 +457,18 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(_kg_edge_list(spark, sf_dir), n_iters=3)
 
 
+def q_kg_kcore(spark, sf_dir):
+    """2-core of the entity graph — iterative degree-peeling keeps only
+    nodes in cyclically-connected structure (drops pendant mention
+    chains; the standard graph-cleanup pass before community/centrality
+    work). The oracle unrolls the same peel as MATERIALIZED DuckDB CTEs;
+    Spark runs to fixpoint, so the hash also pins convergence
+    (operators/graph_analytics.kcore)."""
+    from posextract_spark.operators.graph_analytics import kcore
+
+    return kcore(_kg_edge_list(spark, sf_dir), k=2)
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Cross-document duplicated-span profile (exact substring-dedup
     signal, content-defined hash-anchored windows — operators/dedup.py):
@@ -968,6 +980,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": q_host_link_graph,
         "host_pagerank": q_host_pagerank,
         "dup_span_stats": q_dup_span_stats,
+        "kg_kcore": q_kg_kcore,
     }
 
 
@@ -1111,6 +1124,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.pagerank_sql("kg_e", n_iters=3),
+        # rounds must cover the graph's peel depth (the gate fails loudly
+        # if not — see kcore_sql); measured depth at sf0.01 is 1 (the
+        # template-entity graph is small and dense: its 2-core is reached
+        # in one peel), so 16 is generous headroom, and extra rounds are
+        # near-free once the per-round CTEs are MATERIALIZED
+        "kg_kcore": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.kcore_sql("kg_e", k=2, rounds=16),
         "kg_nodes": SVO_TRIPLES_CTE
         + (
             ", mentions AS (SELECT subject AS surface FROM svo_triples "

@@ -349,3 +349,109 @@ _pr{k} AS (
         )
     parts.append(f"\nSELECT node, r AS rank_e12 FROM _pr{n_iters}")
     return "".join(parts)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core of the undirected simple graph of ``edges``: iteratively
+    peel nodes of degree < k until none remain. Returns (node, core_degree)
+    for surviving nodes — every core_degree >= k.
+
+    The k-core is a UNIQUE subgraph (peeling is confluent: removal order
+    cannot change the fixpoint), so running to convergence here matches the
+    unrolled kcore_sql mirror exactly once the mirror's round count covers
+    the peel depth — the oracle gate thereby also pins the convergence.
+
+    Scale shape per round (exactly TWO jobs — the loop is driver-latency
+    bound on small graphs and shuffle bound at 10^12 edges): one
+    map-side-combinable degree groupBy feeding two semi-joins against the
+    survivor node set (AQE broadcasts it once most of the graph peels),
+    then an eager localCheckpoint that both cuts lineage and makes the
+    convergence probe — an edge count over the checkpointed partitions —
+    cheap. Edge removal is the only mutation, so an unchanged edge count IS
+    the fixpoint (a same-size subset is the same set). Rounds needed =
+    peel depth (<= diameter-ish in practice, bounded by max_iter).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = undirected_edges(edges, src, dst)
+    e = (
+        und.select(F.col("a"), F.col("b"))
+        .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        ok = deg.filter(F.col("degree") >= k).select("a")
+        e = (
+            e.join(ok, "a", "semi")
+            .join(ok.withColumnRenamed("a", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e.count()
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    return (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("a").alias("node"), "core_degree")
+    )
+
+
+def kcore_sql(
+    edges_rel: str,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+) -> str:
+    """SQL suffix mirroring kcore(): ``rounds`` unrolled peel rounds over
+    ``edges_rel``. Must cover the graph's peel depth — if it does not, the
+    mirror retains under-degree nodes and the gate hash FAILS, which is the
+    desired loud signal to raise ``rounds``.
+
+    Every round CTE is ``AS MATERIALIZED``: each `_kc{i}` is referenced
+    three times by round i+1 (degree agg + both endpoint joins), so
+    DuckDB's default inlining re-evaluates the whole chain ~3^rounds times
+    — measured at ~6 MINUTES for rounds=8 on a 70-edge graph, vs
+    milliseconds materialized. DuckDB-dialect only (like the other *_sql
+    mirrors); never fed to Spark."""
+    parts = [
+        f"""
+, _kcund AS MATERIALIZED (
+    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+    FROM {edges_rel} WHERE {src} <> {dst}),
+_kc0 AS MATERIALIZED (
+  SELECT a, b FROM _kcund
+  UNION ALL
+  SELECT b, a FROM _kcund
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+, _kcd{i} AS (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM _kc{i - 1} GROUP BY a),
+_kcok{i} AS MATERIALIZED (SELECT a FROM _kcd{i} WHERE degree >= {k}),
+_kc{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM _kc{i - 1} e
+  JOIN _kcok{i} x ON x.a = e.a
+  JOIN _kcok{i} y ON y.a = e.b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM _kc{rounds} GROUP BY a HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)

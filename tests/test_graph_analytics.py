@@ -179,3 +179,86 @@ def test_pagerank_empty_and_selfloop_only(spark):
     e = spark.createDataFrame(pd.DataFrame([(7, 7)], columns=["src", "dst"]))
     assert ga.pagerank(e).count() == 0
     assert ga.triangle_counts(e).count() == 0
+
+
+# --- k-core ------------------------------------------------------------------
+
+
+def brute_kcore(edges, k):
+    """Peel-to-fixpoint mirror over the undirected simple graph.
+
+    Returns {node: core_degree} for the surviving k-core."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        doomed = {v for v, ns in adj.items() if len(ns) < k}
+        if not doomed:
+            break
+        for v in doomed:
+            for w in adj[v]:
+                adj[w].discard(v)
+            del adj[v]
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_kcore_clique_with_tails(spark):
+    # K4 core survives k=2/k=3; the pendant chain 3-10-11-12 peels entirely
+    clique = list(itertools.combinations(range(4), 2))
+    chain = [(3, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(pd.DataFrame(clique + chain, columns=["src", "dst"]))
+    got2 = {r["node"]: r["core_degree"] for r in ga.kcore(e, k=2).collect()}
+    assert got2 == {0: 3, 1: 3, 2: 3, 3: 3}
+    got3 = {r["node"]: r["core_degree"] for r in ga.kcore(e, k=3).collect()}
+    assert got3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert ga.kcore(e, k=4).count() == 0  # K4 has max degree 3
+
+
+def test_kcore_cycle_is_its_own_2core(spark):
+    # a cycle never peels at k=2 (every node keeps degree exactly 2)
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    e = spark.createDataFrame(pd.DataFrame(cyc, columns=["src", "dst"]))
+    got = {r["node"]: r["core_degree"] for r in ga.kcore(e, k=2).collect()}
+    assert got == {i: 2 for i in range(6)}
+    assert ga.kcore(e, k=3).count() == 0
+
+
+def test_kcore_deep_peel_cascade(spark):
+    # pendant path into a triangle: peel depth == path length, so the
+    # loop must iterate (not converge in 1 round); mirrors must agree
+    path = [(i, i + 1) for i in range(4)]  # 0-1-2-3-4
+    tri = [(4, 11), (11, 12), (12, 4)]
+    edges = path + tri
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    core = ga.kcore(e, k=2)
+    got = {r["node"]: r["core_degree"] for r in core.collect()}
+    assert got == brute_kcore(edges, 2) == {4: 2, 11: 2, 12: 2}
+    # SQL mirror needs rounds >= peel depth (4 here)
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    _assert_frame_match(core, _duck(pdf, ga.kcore_sql("edges_base", k=2, rounds=4)))
+
+
+@pytest.mark.parametrize("seed,k", [(11, 2), (23, 3)])
+def test_kcore_random_parity_spark_python_duckdb(spark, seed, k):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(0, 25), rng.randrange(0, 25)) for _ in range(70)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    e = spark.createDataFrame(pdf)
+    core = ga.kcore(e, k=k)
+    assert {r["node"]: r["core_degree"] for r in core.collect()} == brute_kcore(edges, k)
+    _assert_frame_match(core, _duck(pdf, ga.kcore_sql("edges_base", k=k, rounds=8)))
+
+
+def test_kcore_string_nodes_and_degenerate(spark):
+    edges = [("acme", "bolt"), ("bolt", "core"), ("core", "acme"), ("acme", "dud")]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["core_degree"] for r in ga.kcore(e, k=2).collect()}
+    assert got == {"acme": 2, "bolt": 2, "core": 2}
+    # self-loop-only graph has an empty simple graph -> empty core
+    solo = spark.createDataFrame(pd.DataFrame([(7, 7)], columns=["src", "dst"]))
+    assert ga.kcore(solo, k=1).count() == 0
+    with pytest.raises(ValueError):
+        ga.kcore(e, k=0)
