@@ -469,6 +469,21 @@ def q_kg_kcore(spark, sf_dir):
     return kcore(_kg_edge_list(spark, sf_dir), k=2)
 
 
+def q_kg_neighbor_jaccard(spark, sf_dir):
+    """Structural entity-merge candidates: shared-neighbor Jaccard over
+    the entity graph ("IBM" and "Big Blue" relate to the same entities
+    even when the strings don't match) — feeds the same CC clustering as
+    the string-coref edges. max_neighbor_degree=12 makes the hot-hub
+    wedge-drop branch carry oracle signal at sf0.01 (the template entity
+    graph is a 14-node near-clique with four degree-13 hubs)
+    (operators/graph_analytics.neighbor_jaccard)."""
+    from posextract_spark.operators.graph_analytics import neighbor_jaccard
+
+    return neighbor_jaccard(
+        _kg_edge_list(spark, sf_dir), min_common=1, max_neighbor_degree=12
+    )
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Cross-document duplicated-span profile (exact substring-dedup
     signal, content-defined hash-anchored windows — operators/dedup.py):
@@ -981,6 +996,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "dup_span_stats": q_dup_span_stats,
         "kg_kcore": q_kg_kcore,
+        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     }
 
 
@@ -1132,6 +1148,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.kcore_sql("kg_e", k=2, rounds=16),
+        "kg_neighbor_jaccard": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.neighbor_jaccard_sql("kg_e", min_common=1, max_neighbor_degree=12),
         "kg_nodes": SVO_TRIPLES_CTE
         + (
             ", mentions AS (SELECT subject AS surface FROM svo_triples "

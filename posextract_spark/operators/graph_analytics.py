@@ -455,3 +455,121 @@ SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
 FROM _kc{rounds} GROUP BY a HAVING count(*) >= {k}"""
     )
     return "".join(parts)
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    min_jaccard_e6: int = 0,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Shared-neighbor Jaccard similarity between node pairs of the
+    undirected simple graph — the structural entity-merge signal: two
+    surface forms that are really the same entity relate to the same
+    other entities, so their neighborhoods overlap even when their
+    strings do not ("IBM" vs "Big Blue"). Feeds the same CC machinery as
+    the string-similarity coref edges (operators/canonicalize.py).
+
+    Returns (a, b, common, degree_a, degree_b, jaccard_e6) for unordered
+    pairs a < b with at least ``min_common`` shared neighbors, where
+    jaccard_e6 = floor(1e6 * common / (degree_a + degree_b - common)) —
+    integer fixed-point, engine-exact, no float division.
+
+    Scale shape: pairs are generated per *shared neighbor* (wedge
+    self-join keyed on the neighbor), so total work is
+    sum_n C(degree(n), 2) — quadratic in the degree of the hottest
+    common neighbor, the same hub blow-up every co-occurrence join has.
+    ``max_neighbor_degree`` bounds it: wedges through neighbors with
+    degree > cap are dropped BEFORE the join (a degree filter, fully
+    deterministic — no sampling), capping per-neighbor fan-out at
+    C(cap, 2). That is simultaneously the skew guard and an
+    Adamic-Adar-style quality heuristic: a neighbor shared with 10^6
+    others ("said", a celebrity hub) carries no merge signal, exactly
+    like an idf stop-word. With the cap, ``common`` (and so jaccard) is
+    a documented LOWER BOUND — degrees in the denominator stay the true
+    full degrees. Remaining shuffles: distinct, one degree groupBy, the
+    wedge join (keyed on neighbor id, AQE skew-split), one pair groupBy,
+    two degree joins keyed on pair endpoints.
+    """
+    und = undirected_edges(edges, src, dst)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).persist()
+    try:
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        wedge_src = adj
+        if max_neighbor_degree is not None:
+            hot = deg.filter(F.col("degree") > max_neighbor_degree).select(
+                F.col("node").alias("nbr")
+            )
+            wedge_src = adj.join(hot, "nbr", "anti")
+        left = wedge_src.select(F.col("nbr"), F.col("node").alias("a"))
+        right = wedge_src.select(F.col("nbr"), F.col("node").alias("b"))
+        common = (
+            left.join(right, "nbr")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("common"))
+            .filter(F.col("common") >= min_common)
+        )
+        out = (
+            common.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("degree_a")), "a")
+            .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("degree_b")), "b")
+            .withColumn(
+                "jaccard_e6",
+                F.floor(
+                    F.lit(1_000_000)
+                    * F.col("common")
+                    / (F.col("degree_a") + F.col("degree_b") - F.col("common"))
+                ).cast("long"),
+            )
+            .filter(F.col("jaccard_e6") >= min_jaccard_e6)
+            .select("a", "b", "common", "degree_a", "degree_b", "jaccard_e6")
+        )
+        # materialize before unpersisting the adjacency the plan still
+        # references three times (same lifecycle as triangle_counts)
+        return out.localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()
+
+
+def neighbor_jaccard_sql(
+    edges_rel: str,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    min_jaccard_e6: int = 0,
+    max_neighbor_degree: int | None = None,
+) -> str:
+    """SQL suffix mirroring neighbor_jaccard() (DuckDB dialect; adjacency
+    and degree CTEs MATERIALIZED — each is consumed 2-3 times)."""
+    hot_filter = (
+        f"JOIN _njd d ON d.node = adj.nbr AND d.degree <= {max_neighbor_degree}"
+        if max_neighbor_degree is not None
+        else ""
+    )
+    return f"""
+, _njund AS MATERIALIZED (
+    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+    FROM {edges_rel} WHERE {src} <> {dst}),
+_njadj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM _njund
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM _njund),
+_njd AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM _njadj GROUP BY node),
+_njw AS MATERIALIZED (
+  SELECT adj.nbr, adj.node FROM _njadj adj {hot_filter}),
+_njc AS (
+  SELECT l.node AS a, r.node AS b, CAST(count(*) AS BIGINT) AS common
+  FROM _njw l JOIN _njw r ON l.nbr = r.nbr AND l.node < r.node
+  GROUP BY l.node, r.node
+  HAVING count(*) >= {min_common})
+SELECT c.a, c.b, c.common, da.degree AS degree_a, db.degree AS degree_b,
+       CAST(floor(1000000 * c.common / (da.degree + db.degree - c.common)) AS BIGINT) AS jaccard_e6
+FROM _njc c
+JOIN _njd da ON da.node = c.a
+JOIN _njd db ON db.node = c.b
+WHERE floor(1000000 * c.common / (da.degree + db.degree - c.common)) >= {min_jaccard_e6}"""

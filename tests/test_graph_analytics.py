@@ -262,3 +262,102 @@ def test_kcore_string_nodes_and_degenerate(spark):
     assert ga.kcore(solo, k=1).count() == 0
     with pytest.raises(ValueError):
         ga.kcore(e, k=0)
+
+
+# --- neighbor Jaccard --------------------------------------------------------
+
+
+def brute_neighbor_jaccard(edges, min_common=1, min_jaccard_e6=0, cap=None):
+    """{(a, b): (common, da, db, jaccard_e6)} over the simple graph."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        shared = adj[a] & adj[b]
+        if cap is not None:
+            shared = {n for n in shared if len(adj[n]) <= cap}
+        common = len(shared)
+        if common < min_common:
+            continue
+        da, db = len(adj[a]), len(adj[b])
+        j = 1_000_000 * common // (da + db - common)
+        if j >= min_jaccard_e6:
+            out[(a, b)] = (common, da, db, j)
+    return out
+
+
+def _nj_dict(df):
+    return {
+        (r["a"], r["b"]): (r["common"], r["degree_a"], r["degree_b"], r["jaccard_e6"])
+        for r in df.collect()
+    }
+
+
+def test_neighbor_jaccard_twins_and_stranger(spark):
+    # x and y both link to {h1, h2, h3} (structural twins, jaccard=1.0
+    # since x,y not adjacent); z links only to h1
+    edges = [("x", "h1"), ("x", "h2"), ("x", "h3"),
+             ("y", "h1"), ("y", "h2"), ("y", "h3"),
+             ("z", "h1")]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _nj_dict(ga.neighbor_jaccard(e))
+    assert got == brute_neighbor_jaccard(edges)
+    assert got[("x", "y")] == (3, 3, 3, 1_000_000)
+    # z shares h1 with x: common=1, dz=1, dx=3 -> 1/3
+    assert got[("x", "z")] == (1, 3, 1, 333_333)
+
+
+def test_neighbor_jaccard_adjacent_pair_counts_neighbors_not_edge(spark):
+    # triangle a-b-c: a,b share ONLY c (the a-b edge itself is not a
+    # shared neighbor); jaccard = 1/(2+2-1) = 1/3
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _nj_dict(ga.neighbor_jaccard(e))
+    assert got == brute_neighbor_jaccard(edges)
+    assert got[("a", "b")] == (1, 2, 2, 333_333)
+
+
+def test_neighbor_jaccard_hub_cap_drops_stopword_neighbor(spark):
+    # h is a degree-4 hub shared by everyone; u,v ALSO share the quiet
+    # node q. With cap=3 the hub wedge is dropped: u,v keep common=1
+    # (via q, degrees stay full), pairs sharing ONLY h disappear.
+    edges = [("u", "h"), ("v", "h"), ("w", "h"), ("t", "h"),
+             ("u", "q"), ("v", "q")]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    uncapped = _nj_dict(ga.neighbor_jaccard(e))
+    assert uncapped == brute_neighbor_jaccard(edges)
+    assert uncapped[("u", "v")] == (2, 2, 2, 1_000_000)
+    capped = _nj_dict(ga.neighbor_jaccard(e, max_neighbor_degree=3))
+    assert capped == brute_neighbor_jaccard(edges, cap=3)
+    assert capped[("u", "v")] == (1, 2, 2, 333_333)  # lower bound, full degrees
+    assert ("t", "w") not in capped  # pair shared ONLY the hot hub
+
+
+@pytest.mark.parametrize("seed,cap", [(5, None), (17, 3)])
+def test_neighbor_jaccard_random_parity_spark_python_duckdb(spark, seed, cap):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(0, 18), rng.randrange(0, 18)) for _ in range(50)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    e = spark.createDataFrame(pdf)
+    nj = ga.neighbor_jaccard(e, min_common=1, max_neighbor_degree=cap)
+    assert _nj_dict(nj) == brute_neighbor_jaccard(edges, cap=cap)
+    _assert_frame_match(
+        nj, _duck(pdf, ga.neighbor_jaccard_sql("edges_base", max_neighbor_degree=cap))
+    )
+
+
+def test_neighbor_jaccard_thresholds_and_degenerate(spark):
+    edges = [("x", "h1"), ("x", "h2"), ("x", "h3"),
+             ("y", "h1"), ("y", "h2"), ("y", "h3"),
+             ("z", "h1")]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    strict = _nj_dict(ga.neighbor_jaccard(e, min_common=2))
+    assert set(strict) == {("x", "y"), ("h1", "h2"), ("h1", "h3"), ("h2", "h3")}
+    high = _nj_dict(ga.neighbor_jaccard(e, min_jaccard_e6=900_000))
+    assert set(high) == {("x", "y"), ("h2", "h3")}  # h2,h3 share exactly {x,y}
+    solo = spark.createDataFrame(pd.DataFrame([(7, 7)], columns=["src", "dst"]))
+    assert ga.neighbor_jaccard(solo).count() == 0
