@@ -484,6 +484,17 @@ def q_kg_neighbor_jaccard(spark, sf_dir):
     )
 
 
+def q_kg_communities(spark, sf_dir):
+    """Entity communities via deterministic synchronous label propagation
+    (4 fixed rounds, min-label ties — no coin flips, no async order
+    dependence). The oracle unrolls the identical rounds in DuckDB, so an
+    iterative community algorithm carries a hard hash signal
+    (operators/graph_analytics.label_propagation)."""
+    from posextract_spark.operators.graph_analytics import label_propagation
+
+    return label_propagation(_kg_edge_list(spark, sf_dir), n_iters=4)
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Cross-document duplicated-span profile (exact substring-dedup
     signal, content-defined hash-anchored windows — operators/dedup.py):
@@ -997,6 +1008,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        "kg_communities": q_kg_communities,
     }
 
 
@@ -1151,6 +1163,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_jaccard": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.neighbor_jaccard_sql("kg_e", min_common=1, max_neighbor_degree=12),
+        "kg_communities": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.label_propagation_sql("kg_e", n_iters=4),
         "kg_nodes": SVO_TRIPLES_CTE
         + (
             ", mentions AS (SELECT subject AS surface FROM svo_triples "

@@ -573,3 +573,95 @@ FROM _njc c
 JOIN _njd da ON da.node = c.a
 JOIN _njd db ON db.node = c.b
 WHERE floor(1000000 * c.common / (da.degree + db.degree - c.common)) >= {min_jaccard_e6}"""
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected simple graph: every node starts as its own label; each
+    round, every node adopts the most frequent label among its neighbors,
+    ties broken by MINIMUM label. Returns (node, label) after exactly
+    ``n_iters`` rounds.
+
+    Fully deterministic by construction — the classic LPA tie-coin-flip
+    and asynchronous-order dependence are both removed (sync rounds +
+    min-label ties), and the round count is FIXED, not run-to-quiescence:
+    synchronous LPA can 2-cycle (a star oscillates hub<->leaf labels), so
+    a convergence loop would never terminate on those graphs and, worse,
+    would not be mirrorable. Fixed rounds make the result a pure function
+    of (edges, n_iters) that label_propagation_sql unrolls round-by-round
+    — the oracle gate hashes an *iterative community algorithm* exactly
+    (same pattern as pagerank/kcore).
+
+    Scale shape per round: one join keyed on the neighbor id (labels
+    frame against adjacency — AQE skew-splits hub fan-in) + one
+    map-side-combinable (node, label) count + one struct-min agg per
+    node; localCheckpoint per round keeps the plan O(1) deep. Labels are
+    node ids (works for BIGINT entity ids and STRING surfaces alike).
+    """
+    und = undirected_edges(edges, src, dst)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint(eager=True)
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(n_iters):
+        nbr_labels = adj.join(
+            labels.select(F.col("node").alias("nbr"), F.col("label")), "nbr"
+        ).select("node", "label")
+        counts = nbr_labels.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("negc"), F.col("label").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_sql(
+    edges_rel: str,
+    n_iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """SQL suffix mirroring label_propagation(): ``n_iters`` unrolled
+    sync rounds (DuckDB dialect; window tie-break — mirror only, the
+    Spark side stays Window-free; per-round CTEs MATERIALIZED against
+    exponential re-inlining, see kcore_sql)."""
+    parts = [
+        f"""
+, _lpund AS MATERIALIZED (
+    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+    FROM {edges_rel} WHERE {src} <> {dst}),
+_lpadj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM _lpund
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM _lpund),
+_lp0 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS label FROM _lpadj)"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""
+, _lpc{i} AS (
+  SELECT adj.node, l.label, count(*) AS c
+  FROM _lpadj adj JOIN _lp{i - 1} l ON l.node = adj.nbr
+  GROUP BY adj.node, l.label),
+_lp{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM _lpc{i}) WHERE rn = 1)"""
+        )
+    parts.append(f"\nSELECT node, label FROM _lp{n_iters}")
+    return "".join(parts)

@@ -361,3 +361,75 @@ def test_neighbor_jaccard_thresholds_and_degenerate(spark):
     assert set(high) == {("x", "y"), ("h2", "h3")}  # h2,h3 share exactly {x,y}
     solo = spark.createDataFrame(pd.DataFrame([(7, 7)], columns=["src", "dst"]))
     assert ga.neighbor_jaccard(solo).count() == 0
+
+
+# --- label propagation -------------------------------------------------------
+
+
+def brute_lpa(edges, n_iters):
+    """Synchronous min-tie label propagation (exact operator semantics)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(n_iters):
+        new = {}
+        for v, ns in adj.items():
+            cnt = {}
+            for n in ns:
+                cnt[labels[n]] = cnt.get(labels[n], 0) + 1
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
+def _lpa_dict(df):
+    return {r["node"]: r["label"] for r in df.collect()}
+
+
+def test_label_propagation_barbell_two_communities(spark):
+    # two K4s joined by one bridge: sync LPA splits them at the bridge
+    cliqueA = list(itertools.combinations([0, 1, 2, 3], 2))
+    cliqueB = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = cliqueA + cliqueB + [(3, 10)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _lpa_dict(ga.label_propagation(e, n_iters=4))
+    assert got == brute_lpa(edges, 4)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_label_propagation_star_oscillates_deterministically(spark):
+    # sync LPA 2-cycles on a star (hub and leaves swap label families);
+    # fixed n_iters makes each phase exact and mirrorable — this test
+    # PINS the oscillation (a convergence loop would never terminate)
+    edges = [(0, 1), (0, 2), (0, 3)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    odd = _lpa_dict(ga.label_propagation(e, n_iters=3))
+    even = _lpa_dict(ga.label_propagation(e, n_iters=4))
+    assert odd == {0: 1, 1: 0, 2: 0, 3: 0} == brute_lpa(edges, 3)
+    assert even == {0: 0, 1: 1, 2: 1, 3: 1} == brute_lpa(edges, 4)
+
+
+@pytest.mark.parametrize("seed,iters", [(7, 3), (31, 5)])
+def test_label_propagation_random_parity_spark_python_duckdb(spark, seed, iters):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(0, 20), rng.randrange(0, 20)) for _ in range(55)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    e = spark.createDataFrame(pdf)
+    lp = ga.label_propagation(e, n_iters=iters)
+    assert _lpa_dict(lp) == brute_lpa(edges, iters)
+    _assert_frame_match(lp, _duck(pdf, ga.label_propagation_sql("edges_base", n_iters=iters)))
+
+
+def test_label_propagation_string_nodes_min_tie(spark):
+    # path x-y-z: every neighbor multiset is distinct labels only, so
+    # every round is pure min-tie-break over strings
+    edges = [("x", "y"), ("y", "z")]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _lpa_dict(ga.label_propagation(e, n_iters=2))
+    assert got == brute_lpa(edges, 2)
+    solo = spark.createDataFrame(pd.DataFrame([(7, 7)], columns=["src", "dst"]))
+    assert ga.label_propagation(solo, n_iters=2).count() == 0
