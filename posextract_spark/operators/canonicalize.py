@@ -290,6 +290,7 @@ def resolve_canonical_cc(
     coref_min_sim_e6: int = 500000,
     prefix_len: int = 2,
     max_block_width: int | None = None,
+    structural_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Full canonicalization (SURVEY §7.6, VERDICT r5 item 3): scored
     linking -> link + co-reference edges -> connected components -> one
@@ -302,6 +303,15 @@ def resolve_canonical_cc(
     name is the smallest anchor canonical in its component, or the smallest
     member surface for anchor-less clusters (typo families that match no
     dictionary entry). Surfaces in no edge at all stay their own canonical.
+
+    ``structural_edges`` (optional) is a third edge source for the SAME
+    component graph: (surface_a, surface_b) pairs of *normalized* surfaces
+    judged co-referent by graph context rather than by string shape —
+    typically graph_analytics.neighbor_jaccard over the mention graph,
+    thresholded ("IBM" / "Big Blue" share relational neighborhoods while
+    sharing no characters, so string coref can never merge them). Pairs
+    are hashed with the same portable_hash64 node namespace and unioned
+    into the CC input; None (default) leaves behavior exactly as before.
 
     Returns (surface_norm, canonical, entity_id, linked) — one row per
     distinct normalized surface; ``linked`` keeps the SCORER's dictionary
@@ -339,7 +349,16 @@ def resolve_canonical_cc(
         prefix_len=prefix_len,
         max_block_width=max_block_width,
     )
-    comps = connected_components_star(link_edges.unionAll(coref))
+    cc_in = link_edges.unionAll(coref)
+    if structural_edges is not None:
+        sa, sb = structural_edges.columns[:2]
+        cc_in = cc_in.unionAll(
+            structural_edges.select(
+                portable_hash64(F.col(sa)).alias("src"),
+                portable_hash64(F.col(sb)).alias("dst"),
+            )
+        )
+    comps = connected_components_star(cc_in)
 
     anchors = linked_rows.select(
         anchor_node.alias("node"), F.col("canonical")

@@ -141,3 +141,70 @@ def test_resolve_canonical_cc_no_edges_at_all(spark):
     out = {r.surface_norm: r for r in resolve_canonical_cc(surfaces, alias_df).collect()}
     assert out["factories"].canonical == "factories" and out["factories"].linked == 0
     assert out["mines"].canonical == "mines" and out["mines"].linked == 0
+
+
+def test_resolve_canonical_cc_structural_edges_merge_disjoint_strings(spark):
+    """structural_edges (graph-context co-reference, e.g. from
+    neighbor_jaccard over the mention graph) merge surfaces that share NO
+    characters: 'big blue' joins the 'ibm' anchor cluster, so the cluster
+    canonical comes from the dictionary anchor; without the edge it stays
+    an unlinked singleton."""
+    alias_df = spark.createDataFrame(
+        [("ibm", "ibm")], "surface_norm string, canonical string"
+    )
+    surfaces = spark.createDataFrame([("IBM",), ("Big Blue",)], "surface string")
+    base = {r.surface_norm: r for r in resolve_canonical_cc(surfaces, alias_df).collect()}
+    assert base["big blue"].canonical == "big blue" and base["big blue"].linked == 0
+
+    struct = spark.createDataFrame(
+        [("big blue", "ibm")], "a string, b string"
+    )
+    out = {
+        r.surface_norm: r
+        for r in resolve_canonical_cc(
+            surfaces, alias_df, structural_edges=struct
+        ).collect()
+    }
+    assert out["big blue"].canonical == "ibm"
+    assert out["big blue"].linked == 0  # the scorer's verdict is preserved
+    assert out["ibm"].canonical == "ibm" and out["ibm"].linked == 1
+    assert out["big blue"].entity_id == out["ibm"].entity_id == _hash64_py("ibm")
+
+
+def test_structural_edges_from_neighbor_jaccard_composition(spark):
+    """End-to-end structural coref: two alias-free surfaces with identical
+    relational neighborhoods in a tiny mention graph are proposed by
+    neighbor_jaccard and merged by resolve_canonical_cc; a third surface
+    with disjoint context stays separate."""
+    from posextract_spark.operators.graph_analytics import neighbor_jaccard
+
+    # 'widgetco' and 'the widget company' co-occur with the same partners
+    mention_edges = spark.createDataFrame(
+        [
+            ("widgetco", "acme"), ("widgetco", "zorin"), ("widgetco", "hooli"),
+            ("the widget company", "acme"), ("the widget company", "zorin"),
+            ("the widget company", "hooli"),
+            ("quixote", "windmill"),
+        ],
+        "src string, dst string",
+    )
+    # min_common=3: the widget pair shares all three partners; the
+    # partners themselves share only the two widget surfaces (a correct
+    # structural-twin signal, but not the one this test is about)
+    nj = neighbor_jaccard(mention_edges, min_common=3, min_jaccard_e6=900_000)
+    struct = nj.select("a", "b")
+    assert {(r.a, r.b) for r in struct.collect()} == {("the widget company", "widgetco")}
+
+    alias_df = spark.createDataFrame(
+        [("widgetco", "widgetco")], "surface_norm string, canonical string"
+    )
+    surfaces = spark.createDataFrame(
+        [("WidgetCo",), ("The Widget Company",), ("Quixote",)], "surface string"
+    )
+    out = {
+        r.surface_norm: r
+        for r in resolve_canonical_cc(surfaces, alias_df, structural_edges=struct).collect()
+    }
+    assert out["the widget company"].canonical == "widgetco"
+    assert out["widgetco"].canonical == "widgetco"
+    assert out["quixote"].canonical == "quixote"
