@@ -529,6 +529,28 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank(hg.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")), n_iters=3)
 
 
+def q_anchor_alias_mining(spark, sf_dir):
+    """Alias-dictionary mining from anchor text — aggregate the surface
+    forms the web uses to LINK to each host ("IBM"/"Big Blue" both anchor
+    to ibm.com) into the (surface -> entity) dictionary that bootstraps
+    entity linking with no hand-curated input. min_count=2 and
+    min_share_e6=60000 both genuinely cut rows on the 300-page corpus
+    (69 unthresholded -> 53 rows), so the thresholds carry oracle signal
+    (operators/weblinks.anchor_alias_candidates; oracle =
+    oracles.anchor_alias_sql generator replay)."""
+    from posextract_spark.operators.weblinks import (
+        anchor_alias_candidates,
+        extract_anchors,
+    )
+    from posextract_spark.sources.weblinks import linked_pages
+
+    return anchor_alias_candidates(
+        extract_anchors(linked_pages(spark, 300, seed=42)),
+        min_count=2,
+        min_share_e6=60_000,
+    )
+
+
 def q_kg_nodes(spark, sf_dir):
     """Node table: canonical surface (lower) + deterministic entity id +
     mention count, from subject and object mentions. Triples persisted:
@@ -1009,6 +1031,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
+        "anchor_alias_mining": q_anchor_alias_mining,
     }
 
 
@@ -1135,6 +1158,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_incremental": _oracles.kg_pages_edges_sql(),
         "host_link_graph": _oracles.host_link_graph_sql(),
         "host_pagerank": _oracles.host_pagerank_sql(),
+        "anchor_alias_mining": _oracles.anchor_alias_sql(
+            300, 42, min_count=2, min_share_e6=60_000
+        ),
         "dup_span_stats": _dedup_mod.dup_span_stats_sql(window=4, sample=2),
         "kg_edges": SVO_TRIPLES_CTE
         + (

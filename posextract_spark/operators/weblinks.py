@@ -66,3 +66,117 @@ def host_graph(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+#: full well-formed simple anchor element (href first attr, flat text body)
+ANCHOR_ELEM_PATTERN = r'<a href="[^"]*"[^>]*>[^<]*</a>'
+ANCHOR_TEXT_PATTERN = r">([^<]*)</a>"
+
+
+def extract_anchors(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, src_host, target, dst_host, anchor_text) — one row per
+    well-formed absolute http(s) anchor ELEMENT, keeping the human-visible
+    link text alongside the target.
+
+    Same keep/host semantics as extract_links, but matching whole
+    ``<a href="...">text</a>`` elements (href-first, flat text body) so
+    the text can be captured — regexp_extract_all returns a single group
+    per match, so element-then-two-extracts is the Catalyst-native way to
+    get both fields without Python. Still 100% codegen expressions: one
+    Generate per page, column pruning reaches the scan.
+    """
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    elems = pages.select(
+        F.col(url_col).alias("url"),
+        F.lower(F.regexp_extract(F.col(url_col), HOST_PATTERN, 1)).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(ANCHOR_ELEM_PATTERN), F.lit(0))
+        ).alias("elem"),
+    )
+    return (
+        elems.select(
+            "url",
+            "src_host",
+            F.regexp_extract(F.col("elem"), HREF_PATTERN, 1).alias("target"),
+            F.regexp_extract(F.col("elem"), ANCHOR_TEXT_PATTERN, 1).alias("anchor_text"),
+        )
+        .filter(F.col("target").rlike(ABS_PATTERN))
+        .select(
+            "url",
+            "src_host",
+            "target",
+            F.lower(F.regexp_extract(F.col("target"), HOST_PATTERN, 1)).alias("dst_host"),
+            "anchor_text",
+        )
+    )
+
+
+def anchor_alias_candidates(
+    anchors: DataFrame,
+    min_count: int = 1,
+    min_share_e6: int = 0,
+) -> DataFrame:
+    """Alias-dictionary mining from anchor text — the classic web-KG
+    bootstrap: the texts people use to LINK to a page are that entity's
+    surface forms ("IBM", "Big Blue" and "International Business Machines"
+    all anchor to ibm.com), so aggregating them yields the
+    (surface -> entity) dictionary operators/linking.py consumes, with no
+    hand-curated input.
+
+    Input: extract_anchors output. Returns
+    (dst_host, surface_norm, n_anchors, share_e6) — per linked host, each
+    distinct trimmed-lowercased anchor text with its occurrence count and
+    integer-fixed-point share of that host's total kept anchors (empty
+    texts dropped; both thresholds are dictionary-quality knobs:
+    min_count kills one-off anchor noise, min_share_e6 kills long-tail
+    junk like "click here" spread across hosts... which survives ONLY if
+    it dominates a host, which is itself signal the host has no name).
+
+    Scale shape: two map-side-combinable groupBys over the same anchor
+    frame — (dst_host, surface_norm) counts and dst_host totals — joined
+    on dst_host (broadcastable: one row per distinct linked host). No
+    Window, no Python; celebrity hosts (10^8 in-links) are plain counter
+    skew, AQE-split.
+    """
+    from posextract_spark.operators.linking import normalize_surface
+
+    kept = anchors.select(
+        "dst_host", normalize_surface(F.col("anchor_text")).alias("surface_norm")
+    ).filter(F.col("surface_norm") != "")
+    counts = kept.groupBy("dst_host", "surface_norm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors")
+    )
+    totals = kept.groupBy("dst_host").agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    return (
+        counts.join(F.broadcast(totals), "dst_host")
+        .withColumn(
+            "share_e6",
+            F.floor(F.lit(1_000_000) * F.col("n_anchors") / F.col("_total")).cast("long"),
+        )
+        .filter((F.col("n_anchors") >= min_count) & (F.col("share_e6") >= min_share_e6))
+        .select("dst_host", "surface_norm", "n_anchors", "share_e6")
+    )
+
+
+def alias_df_from_anchors(candidates: DataFrame, min_share_e6: int = 100_000) -> DataFrame:
+    """Shape mined candidates into the (surface_norm, canonical) broadcast
+    dictionary operators/linking.link_entities expects, canonical = the
+    linked host. A surface anchoring several hosts keeps its best row
+    (max share, ties to the MIN host string — struct-min on (-share,
+    host), no Window).
+    """
+    best = (
+        candidates.filter(F.col("share_e6") >= min_share_e6)
+        .groupBy("surface_norm")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("share_e6")).alias("neg_s"),
+                    F.col("dst_host").alias("h"),
+                )
+            ).alias("m")
+        )
+    )
+    return best.select("surface_norm", F.col("m.h").alias("canonical"))

@@ -442,3 +442,22 @@ def host_pagerank_sql(n: int = 300, seed: int = 42, n_iters: int = 3) -> str:
         f"WITH host_e(src, dst) AS (VALUES {values})"
         + pagerank_sql("host_e", n_iters=n_iters)
     )
+
+
+def anchor_alias_sql(
+    n: int = 300, seed: int = 42, min_count: int = 2, min_share_e6: int = 60_000
+) -> str:
+    """Expected (dst_host, surface_norm, n_anchors, share_e6) for
+    __spark_entry__.q_anchor_alias_mining: generator replay of the
+    linked-pages corpus + Python-re mirror of anchor-element extraction,
+    normalization, and the integer share arithmetic
+    (sources/weblinks.replay_anchor_alias)."""
+    from posextract_spark.sources.weblinks import replay_anchor_alias
+
+    cols = [
+        ("dst_host", "VARCHAR"),
+        ("surface_norm", "VARCHAR"),
+        ("n_anchors", "BIGINT"),
+        ("share_e6", "BIGINT"),
+    ]
+    return _values_sql(replay_anchor_alias(n, seed, min_count, min_share_e6), cols)

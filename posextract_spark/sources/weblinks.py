@@ -48,6 +48,28 @@ _LINK_MAKERS = [
 ]
 
 
+#: anchor-text templates; {name} = first label of the target host (the
+#: "entity" a link points at), mixing exact forms, variants that
+#: normalize together, and junk navigation anchors. Chosen by arithmetic
+#: index — NEVER by rng — so adding/altering texts cannot shift the rng
+#: stream the href replay oracles (replay_links et al.) depend on.
+_ANCHOR_TEXTS = [
+    "{name}",
+    "{name} Inc",
+    "The {name} Company",
+    "{NAME}",
+    "click here",
+    "read more",
+    "{name} homepage",
+]
+
+
+def _anchor_text(i: int, j: int, h: str) -> str:
+    name = h.split(".")[0]
+    tmpl = _ANCHOR_TEXTS[(i * 7 + 3 * j) % len(_ANCHOR_TEXTS)]
+    return tmpl.format(name=name, NAME=name.upper())
+
+
 def gen_linked_page(i: int, seed: int = 42) -> dict:
     rng = random.Random(f"{seed}:links:{i}")
     src_host = HOSTS[i % len(HOSTS)]
@@ -56,7 +78,7 @@ def gen_linked_page(i: int, seed: int = 42) -> dict:
         maker = rng.choice(_LINK_MAKERS)
         h = rng.choice(HOSTS)
         href = maker.format(h=h, H=h.upper(), i=i, j=j)
-        anchors.append(f'<a href="{href}">anchor {j}</a>')
+        anchors.append(f'<a href="{href}">{_anchor_text(i, j, h)}</a>')
     html = (
         f"<html><head><title>Linked page {i}</title></head><body>"
         f"<p>outlink stub page {i} on {src_host}.</p>"
@@ -110,3 +132,38 @@ def replay_host_edges(n: int, seed: int = 42) -> List[Tuple[str, str, int]]:
     """Expected host_graph aggregate: (src_host, dst_host, weight) sorted."""
     weights = Counter(replay_links(n, seed))
     return [(s, d, w) for (s, d), w in sorted(weights.items())]
+
+
+_ANCHOR_ELEM_RE = re.compile(r'<a href="[^"]*"[^>]*>[^<]*</a>')
+_ANCHOR_TEXT_RE = re.compile(r">([^<]*)</a>")
+
+
+def replay_anchor_alias(
+    n: int, seed: int = 42, min_count: int = 1, min_share_e6: int = 0
+) -> List[Tuple[str, str, int, int]]:
+    """Expected (dst_host, surface_norm, n_anchors, share_e6) rows sorted —
+    Python-re mirror of operators/weblinks.extract_anchors +
+    anchor_alias_candidates over the generated corpus."""
+    counts: Counter = Counter()
+    totals: Counter = Counter()
+    for i in range(n):
+        page = gen_linked_page(i, seed)
+        for elem in _ANCHOR_ELEM_RE.findall(page["html"].decode("utf-8")):
+            target = _HREF_RE.search(elem).group(1)
+            if not _ABS_RE.match(target):
+                continue
+            m = _HOST_RE.match(target)
+            if not m:
+                continue
+            dst_host = m.group(1).lower()
+            surface = _ANCHOR_TEXT_RE.search(elem).group(1).strip().lower()
+            if not surface:
+                continue
+            counts[(dst_host, surface)] += 1
+            totals[dst_host] += 1
+    out = []
+    for (host, surface), c in counts.items():
+        share = 1_000_000 * c // totals[host]
+        if c >= min_count and share >= min_share_e6:
+            out.append((host, surface, c, share))
+    return sorted(out)

@@ -108,3 +108,123 @@ def test_host_pagerank_composition(spark):
     # every host participates (the generator links across the full set)
     assert set(rows) == {f"host{j}.test" for j in range(12)}
     assert all(v > 0 for v in rows.values())
+
+
+# --- anchor-text alias mining ------------------------------------------------
+
+
+def _anchors_df(spark, html: str):
+    from posextract_spark.operators.weblinks import extract_anchors
+
+    df = spark.createDataFrame(
+        pd.DataFrame([_page("https://a.test/p", html)]), schema=PAGE_SCHEMA
+    )
+    return extract_anchors(df)
+
+
+def test_extract_anchors_text_and_filters(spark):
+    html = (
+        '<a href="https://b.test/x">Acme Corp</a>'
+        '<a href="https://b.test/y" rel="nofollow">ACME CORP</a>'
+        '<a href="/relative">Acme Corp</a>'  # dropped: relative target
+        '<a href="https://c.test/z"></a>'  # kept: empty text survives extraction
+        '<a href="mailto:x@b.test">Acme</a>'  # dropped
+    )
+    rows = {(r["dst_host"], r["anchor_text"]) for r in _anchors_df(spark, html).collect()}
+    assert rows == {
+        ("b.test", "Acme Corp"),
+        ("b.test", "ACME CORP"),
+        ("c.test", ""),
+    }
+
+
+def test_anchor_alias_candidates_normalize_share_thresholds(spark):
+    from posextract_spark.operators.weblinks import anchor_alias_candidates
+
+    html = (
+        '<a href="https://b.test/1">Acme Corp</a>'
+        '<a href="https://b.test/2">ACME CORP</a>'  # case-merges with above
+        '<a href="https://b.test/3"> acme corp </a>'  # trim-merges too
+        '<a href="https://b.test/4">click here</a>'
+        '<a href="https://c.test/1"></a>'  # empty text -> dropped entirely
+        '<a href="https://c.test/2">Zorin</a>'
+    )
+    cands = anchor_alias_candidates(_anchors_df(spark, html))
+    got = {
+        (r["dst_host"], r["surface_norm"]): (r["n_anchors"], r["share_e6"])
+        for r in cands.collect()
+    }
+    # b.test total = 4 kept anchors; acme corp 3/4, click here 1/4;
+    # c.test total = 1 (the empty-text anchor never reaches the totals)
+    assert got == {
+        ("b.test", "acme corp"): (3, 750_000),
+        ("b.test", "click here"): (1, 250_000),
+        ("c.test", "zorin"): (1, 1_000_000),
+    }
+    capped = anchor_alias_candidates(_anchors_df(spark, html), min_count=2)
+    assert {k for k in {(r["dst_host"], r["surface_norm"]) for r in capped.collect()}} == {
+        ("b.test", "acme corp")
+    }
+    shared = anchor_alias_candidates(_anchors_df(spark, html), min_share_e6=300_000)
+    assert {(r["dst_host"], r["surface_norm"]) for r in shared.collect()} == {
+        ("b.test", "acme corp"),
+        ("c.test", "zorin"),
+    }
+
+
+def test_anchor_alias_generator_replay_parity(spark):
+    from posextract_spark.operators.weblinks import (
+        anchor_alias_candidates,
+        extract_anchors,
+    )
+    from posextract_spark.sources.weblinks import replay_anchor_alias
+
+    n, seed = 90, 7
+    cands = anchor_alias_candidates(
+        extract_anchors(linked_pages(spark, n, seed=seed)), min_count=2
+    )
+    got = sorted(
+        (r["dst_host"], r["surface_norm"], r["n_anchors"], r["share_e6"])
+        for r in cands.collect()
+    )
+    assert got == replay_anchor_alias(n, seed=seed, min_count=2)
+
+
+def test_anchor_extraction_plan_is_native(spark):
+    from posextract_spark.operators.weblinks import (
+        anchor_alias_candidates,
+        extract_anchors,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame([_page("https://a.test/p", '<a href="https://b.test/x">B</a>')]),
+        schema=PAGE_SCHEMA,
+    )
+    plan = (
+        anchor_alias_candidates(extract_anchors(df))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_alias_df_from_anchors_best_row_and_linking_shape(spark):
+    from posextract_spark.operators.weblinks import alias_df_from_anchors
+
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("acme.com", "acme", 10, 500_000),
+                ("mirror.acme.com", "acme", 10, 500_000),  # tie -> min host
+                ("other.com", "acme", 2, 100_000),
+                ("zorin.io", "zorin", 9, 900_000),
+                ("spam.biz", "junk", 1, 50_000),  # below min_share -> out
+            ],
+            columns=["dst_host", "surface_norm", "n_anchors", "share_e6"],
+        )
+    )
+    got = {r["surface_norm"]: r["canonical"] for r in alias_df_from_anchors(cands).collect()}
+    assert got == {"acme": "acme.com", "zorin": "zorin.io"}
