@@ -551,6 +551,27 @@ def q_anchor_alias_mining(spark, sf_dir):
     )
 
 
+def q_host_pagerank_weighted(spark, sf_dir):
+    """Host authority with link multiplicity: weight-proportional integer
+    PageRank over the aggregated host graph — 200 links from one host
+    mean more than 1, which the unweighted variant deliberately ignores.
+    Oracle replays the weighted edge list and unrolls the same two-step
+    floor arithmetic (oracles.host_pagerank_weighted_sql)."""
+    from posextract_spark.operators.graph_analytics import pagerank_weighted
+    from posextract_spark.operators.weblinks import extract_links, host_graph
+    from posextract_spark.sources.weblinks import linked_pages
+
+    hg = host_graph(extract_links(linked_pages(spark, 300, seed=42)))
+    return pagerank_weighted(
+        hg.select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("weight"),
+        ),
+        n_iters=3,
+    )
+
+
 def q_kg_nodes(spark, sf_dir):
     """Node table: canonical surface (lower) + deterministic entity id +
     mention count, from subject and object mentions. Triples persisted:
@@ -1032,6 +1053,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
         "anchor_alias_mining": q_anchor_alias_mining,
+        "host_pagerank_weighted": q_host_pagerank_weighted,
     }
 
 
@@ -1161,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_alias_mining": _oracles.anchor_alias_sql(
             300, 42, min_count=2, min_share_e6=60_000
         ),
+        "host_pagerank_weighted": _oracles.host_pagerank_weighted_sql(300, 42, n_iters=3),
         "dup_span_stats": _dedup_mod.dup_span_stats_sql(window=4, sample=2),
         "kg_edges": SVO_TRIPLES_CTE
         + (

@@ -665,3 +665,132 @@ _lp{i} AS MATERIALIZED (
         )
     parts.append(f"\nSELECT node, label FROM _lp{n_iters}")
     return "".join(parts)
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    weight: str = "weight",
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+    damping_e6: int = 850_000,
+) -> DataFrame:
+    """Weight-proportional fixed-point integer PageRank: each source
+    spreads its rank over out-edges proportionally to edge weight (link
+    multiplicity from host_graph / kg edge weights), not uniformly.
+    Parallel input rows are first aggregated to (src, dst, sum weight);
+    self-loops dropped. Returns (node, rank_e12 BIGINT).
+
+    Integer arithmetic per iteration (engine-exact, mirrored by
+    pagerank_weighted_sql — note the FIXED two-step floor order, which is
+    part of the contract):
+        base(u)    = (rank(u) * damping_e6) div 1_000_000        [<= PR_SCALE]
+        contrib(u->v) = (base(u) * w(u,v)) div out_w(u)
+        rank'(v)   = teleport + sum contrib(u->v)
+
+    Overflow bound: base * w must stay < 2^63, i.e. per-edge weight below
+    ~9e6 at PR_SCALE=1e12 (a single host pair with >9M links). For
+    heavier multiplicities pre-bucket the weights (e.g. log-scale or
+    divide the whole src group by its gcd) — rank is scale-free per
+    source, so any per-src common factor is a no-op.
+
+    Scale shape is identical to pagerank(): one src-keyed join + one
+    combinable groupBy(dst) + one node-sized teleport join per iteration,
+    localCheckpoint per round.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = nodes.count()
+        if n == 0:
+            return nodes.select("node", F.lit(0).cast("long").alias("rank_e12"))
+        init = PR_SCALE // n
+        teleport = ((1_000_000 - damping_e6) * PR_SCALE) // (1_000_000 * n)
+        outw = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+
+        ranks = nodes.select("node", F.lit(init).cast("long").alias("r"))
+        for _ in range(n_iters):
+            inflow = (
+                e.join(outw, "src")
+                .join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(
+                        f"(((r * {damping_e6}) div 1000000) * w) div outw"
+                    ).alias("share"),
+                )
+                .groupBy("node")
+                .agg(F.sum("share").alias("inflow"))
+            )
+            ranks = (
+                nodes.join(inflow, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport).cast("long")
+                        + F.coalesce(F.col("inflow"), F.lit(0))
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select("node", F.col("r").alias("rank_e12"))
+    finally:
+        e.unpersist()
+
+
+def pagerank_weighted_sql(
+    edges_rel: str,
+    weight: str = "weight",
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 3,
+    damping_e6: int = 850_000,
+) -> str:
+    """SQL suffix mirroring pagerank_weighted() — same two-step floor
+    order per contribution (DuckDB // == Spark div on positive BIGINTs)."""
+    parts = [
+        f"""
+, _pwe AS MATERIALIZED (
+  SELECT {src} AS src, {dst} AS dst, CAST(sum({weight}) AS BIGINT) AS w
+  FROM {edges_rel} WHERE {src} <> {dst} GROUP BY {src}, {dst}
+),
+_pwnodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM _pwe UNION ALL SELECT dst FROM _pwe)
+),
+_pwn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM _pwnodes),
+_pwout AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM _pwe GROUP BY src),
+_pw0 AS (
+  SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS r FROM _pwnodes, _pwn
+)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(
+            f"""
+, _pwc{k} AS (
+  SELECT e.dst AS node,
+         CAST(sum((((r.r * {damping_e6}) // 1000000) * e.w) // o.outw) AS BIGINT) AS inflow
+  FROM _pwe e JOIN _pwout o ON o.src = e.src JOIN _pw{k - 1} r ON r.node = e.src
+  GROUP BY e.dst
+),
+_pw{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(((1000000 - {damping_e6}) * {PR_SCALE}) // (1000000 * (SELECT n FROM _pwn))
+              + COALESCE(c.inflow, 0) AS BIGINT) AS r
+  FROM _pwnodes n LEFT JOIN _pwc{k} c ON c.node = n.node
+)"""
+        )
+    parts.append(f"\nSELECT node, r AS rank_e12 FROM _pw{n_iters}")
+    return "".join(parts)

@@ -444,6 +444,23 @@ def host_pagerank_sql(n: int = 300, seed: int = 42, n_iters: int = 3) -> str:
     )
 
 
+def host_pagerank_weighted_sql(n: int = 300, seed: int = 42, n_iters: int = 3) -> str:
+    """Expected (node, rank_e12) for __spark_entry__.q_host_pagerank_weighted:
+    the replayed WEIGHTED host edges as a VALUES CTE + the unrolled
+    weight-proportional mirror (graph_analytics.pagerank_weighted_sql) —
+    extraction, weight aggregation, and iteration all under the hash."""
+    from posextract_spark.operators.graph_analytics import pagerank_weighted_sql
+    from posextract_spark.sources.weblinks import replay_host_edges
+
+    values = ", ".join(
+        f"('{s}', '{d}', {w})" for s, d, w in replay_host_edges(n, seed)
+    )
+    return (
+        f"WITH host_e(src, dst, weight) AS (VALUES {values})"
+        + pagerank_weighted_sql("host_e", n_iters=n_iters)
+    )
+
+
 def anchor_alias_sql(
     n: int = 300, seed: int = 42, min_count: int = 2, min_share_e6: int = 60_000
 ) -> str:

@@ -433,3 +433,72 @@ def test_label_propagation_string_nodes_min_tie(spark):
     assert got == brute_lpa(edges, 2)
     solo = spark.createDataFrame(pd.DataFrame([(7, 7)], columns=["src", "dst"]))
     assert ga.label_propagation(solo, n_iters=2).count() == 0
+
+
+# --- weighted pagerank -------------------------------------------------------
+
+
+def brute_pagerank_weighted(edges_w, n_iters=3, damping_e6=850_000):
+    """Integer mirror of ga.pagerank_weighted (same two-step floor order).
+
+    edges_w: iterable of (src, dst, w) — parallel rows summed."""
+    agg = {}
+    for a, b, w in edges_w:
+        if a == b:
+            continue
+        agg[(a, b)] = agg.get((a, b), 0) + w
+    nodes = sorted({a for a, _ in agg} | {b for _, b in agg})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    outw = {}
+    for (a, _), w in agg.items():
+        outw[a] = outw.get(a, 0) + w
+    init = ga.PR_SCALE // n
+    teleport = ((1_000_000 - damping_e6) * ga.PR_SCALE) // (1_000_000 * n)
+    r = {v: init for v in nodes}
+    for _ in range(n_iters):
+        inflow = {v: 0 for v in nodes}
+        for (a, b), w in agg.items():
+            inflow[b] += ((r[a] * damping_e6) // 1_000_000) * w // outw[a]
+        r = {v: teleport + inflow[v] for v in nodes}
+    return r
+
+
+def test_pagerank_weighted_skew_dominates(spark):
+    # two structurally identical sinks; 9x heavier in-weight must rank higher
+    edges = [(0, 1, 9), (0, 2, 1), (3, 1, 9), (3, 2, 1), (1, 0, 1), (2, 0, 1)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst", "weight"]))
+    got = {r["node"]: r["rank_e12"] for r in ga.pagerank_weighted(e, n_iters=3).collect()}
+    assert got == brute_pagerank_weighted(edges)
+    assert got[1] > got[2]
+
+
+def test_pagerank_weighted_parallel_rows_sum(spark):
+    # duplicate (src,dst) rows aggregate before ranking: 3x(0->1,w=3) == 0->1,w=9
+    dup = [(0, 1, 3), (0, 1, 3), (0, 1, 3), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    one = [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    e_dup = spark.createDataFrame(pd.DataFrame(dup, columns=["src", "dst", "weight"]))
+    e_one = spark.createDataFrame(pd.DataFrame(one, columns=["src", "dst", "weight"]))
+    got_dup = {r["node"]: r["rank_e12"] for r in ga.pagerank_weighted(e_dup).collect()}
+    got_one = {r["node"]: r["rank_e12"] for r in ga.pagerank_weighted(e_one).collect()}
+    assert got_dup == got_one == brute_pagerank_weighted(dup)
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_pagerank_weighted_random_parity_spark_python_duckdb(spark, seed):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(0, 15), rng.randrange(0, 15), rng.randrange(1, 50))
+        for _ in range(60)
+    ]
+    pdf = pd.DataFrame(edges, columns=["src", "dst", "weight"])
+    e = spark.createDataFrame(pdf)
+    pr = ga.pagerank_weighted(e, n_iters=3)
+    assert {r["node"]: r["rank_e12"] for r in pr.collect()} == brute_pagerank_weighted(edges)
+    _assert_frame_match(pr, _duck(pdf, ga.pagerank_weighted_sql("edges_base", n_iters=3)))
+
+
+def test_pagerank_weighted_selfloop_only_empty(spark):
+    e = spark.createDataFrame(pd.DataFrame([(7, 7, 5)], columns=["src", "dst", "weight"]))
+    assert ga.pagerank_weighted(e).count() == 0
