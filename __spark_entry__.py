@@ -495,6 +495,25 @@ def q_kg_communities(spark, sf_dir):
     return label_propagation(_kg_edge_list(spark, sf_dir), n_iters=4)
 
 
+def q_kg_khop(spark, sf_dir):
+    """Ego-network extraction: BFS hop distance (min over seeds, <= 2)
+    from the seed set {entities starting with 's'} over the entity graph
+    — the "everything within 2 hops of these entities" query a KG
+    consumer runs; seeds are predicate-derived so the query is meaningful
+    at every SF (operators/graph_analytics.khop_nodes; oracle = unrolled
+    BFS layers)."""
+    from posextract_spark.operators.graph_analytics import khop_nodes
+
+    edges = _kg_edge_list(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node").startswith("s"))
+        .distinct()
+    )
+    return khop_nodes(edges, seeds, k=2)
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Cross-document duplicated-span profile (exact substring-dedup
     signal, content-defined hash-anchored windows — operators/dedup.py):
@@ -1054,6 +1073,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "anchor_alias_mining": q_anchor_alias_mining,
         "host_pagerank_weighted": q_host_pagerank_weighted,
+        "kg_khop": q_kg_khop,
     }
 
 
@@ -1215,6 +1235,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.label_propagation_sql("kg_e", n_iters=4),
+        "kg_khop": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.khop_sql(
+            "kg_e",
+            "SELECT src AS node FROM kg_e WHERE src LIKE 's%' "
+            "UNION SELECT dst FROM kg_e WHERE dst LIKE 's%'",
+            k=2,
+        ),
         "kg_nodes": SVO_TRIPLES_CTE
         + (
             ", mentions AS (SELECT subject AS surface FROM svo_triples "

@@ -794,3 +794,95 @@ _pw{k} AS MATERIALIZED (
         )
     parts.append(f"\nSELECT node, r AS rank_e12 FROM _pw{n_iters}")
     return "".join(parts)
+
+
+def khop_nodes(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BFS distance from a seed set over the undirected simple graph:
+    returns (node, hop BIGINT) for every node within ``k`` hops of any
+    seed (hop = minimum distance, seeds themselves at 0). The ego-network
+    primitive a KG consumer actually runs — "everything within 2 hops of
+    these entities" — and the node set to semi-join the edge table
+    against for subgraph extraction. Seeds outside the graph are kept at
+    hop 0 (they are part of the requested ego set).
+
+    ``seeds``: one-column DataFrame of node ids (any column name).
+
+    Scale shape per round: one join of the FRONTIER (only the newest
+    layer, not the whole visited set) against the adjacency — frontier
+    size is bounded by the layer, so later rounds don't rescan earlier
+    layers; one distinct; one anti-join against visited. localCheckpoint
+    per round. Exactly k rounds (early-exits when a frontier drains).
+    """
+    und = undirected_edges(edges, src, dst)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    ).localCheckpoint(eager=True)
+    seed_col = seeds.columns[0]
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for i in range(1, k + 1):
+        nxt = (
+            adj.join(frontier, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.head(1):
+            break
+        visited = visited.unionAll(
+            nxt.withColumn("hop", F.lit(i).cast("long"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def khop_sql(
+    edges_rel: str,
+    seeds_sql: str,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """SQL suffix mirroring khop_nodes(): ``k`` unrolled BFS layers.
+    ``seeds_sql`` is a SELECT yielding one column named node (DuckDB
+    dialect; layer CTEs MATERIALIZED, see kcore_sql)."""
+    parts = [
+        f"""
+, _khund AS MATERIALIZED (
+    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+    FROM {edges_rel} WHERE {src} <> {dst}),
+_khadj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM _khund
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM _khund),
+_khd0 AS MATERIALIZED (
+  SELECT DISTINCT node, CAST(0 AS BIGINT) AS hop FROM ({seeds_sql})),
+_khf0 AS MATERIALIZED (SELECT node FROM _khd0)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+, _khn{i} AS MATERIALIZED (
+  SELECT DISTINCT adj.nbr AS node
+  FROM _khadj adj JOIN _khf{i - 1} f ON f.node = adj.node
+  WHERE adj.nbr NOT IN (SELECT node FROM _khd{i - 1})),
+_khd{i} AS MATERIALIZED (
+  SELECT node, hop FROM _khd{i - 1}
+  UNION ALL
+  SELECT node, CAST({i} AS BIGINT) AS hop FROM _khn{i}),
+_khf{i} AS MATERIALIZED (SELECT node FROM _khn{i})"""
+        )
+    parts.append(f"\nSELECT node, hop FROM _khd{k}")
+    return "".join(parts)

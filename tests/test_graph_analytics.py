@@ -502,3 +502,90 @@ def test_pagerank_weighted_random_parity_spark_python_duckdb(spark, seed):
 def test_pagerank_weighted_selfloop_only_empty(spark):
     e = spark.createDataFrame(pd.DataFrame([(7, 7, 5)], columns=["src", "dst", "weight"]))
     assert ga.pagerank_weighted(e).count() == 0
+
+
+# --- k-hop BFS ---------------------------------------------------------------
+
+
+def brute_khop(edges, seeds, k):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for i in range(1, k + 1):
+        nxt = set()
+        for v in frontier:
+            for n in adj.get(v, ()):
+                if n not in dist:
+                    nxt.add(n)
+        for n in nxt:
+            dist[n] = i
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def _khop_dict(df):
+    return {r["node"]: r["hop"] for r in df.collect()}
+
+
+def _seeds_df(spark, vals, typ="bigint"):
+    return spark.createDataFrame([(v,) for v in vals], f"node {typ}")
+
+
+def test_khop_chain_layers(spark):
+    # path 0-1-2-3-4-5, seed {0}: hop == index, cut at k
+    edges = [(i, i + 1) for i in range(5)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _khop_dict(ga.khop_nodes(e, _seeds_df(spark, [0]), k=3))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3} == brute_khop(edges, [0], 3)
+
+
+def test_khop_min_distance_multi_seed_and_offgraph(spark):
+    # two seeds meet in the middle: hop = min over seeds; a seed absent
+    # from the graph stays at hop 0; disconnected node never appears
+    edges = [(i, i + 1) for i in range(5)] + [(100, 101)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _khop_dict(ga.khop_nodes(e, _seeds_df(spark, [0, 4, 777]), k=2))
+    want = brute_khop(edges, [0, 4], 2)
+    want[777] = 0
+    assert got == want
+    assert got[2] == 2 and got[3] == 1
+    assert 100 not in got
+
+
+def test_khop_early_exit_on_drained_frontier(spark):
+    # triangle fully visited at hop 1; k=5 must not loop or re-add nodes
+    edges = [(1, 2), (2, 3), (3, 1)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _khop_dict(ga.khop_nodes(e, _seeds_df(spark, [1]), k=5))
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+@pytest.mark.parametrize("seed,k", [(3, 2), (19, 3)])
+def test_khop_random_parity_spark_python_duckdb(spark, seed, k):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(45)]
+    seeds = [0, 7]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    e = spark.createDataFrame(pdf)
+    kh = ga.khop_nodes(e, _seeds_df(spark, seeds), k=k)
+    want = brute_khop(edges, [s for s in seeds], k)
+    for s in seeds:
+        want.setdefault(s, 0)
+    assert _khop_dict(kh) == want
+    _assert_frame_match(
+        kh, _duck(pdf, ga.khop_sql("edges_base", "SELECT 0 AS node UNION ALL SELECT 7", k=k))
+    )
+
+
+def test_khop_string_nodes(spark):
+    edges = [("acme", "bolt"), ("bolt", "core"), ("core", "dud")]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = _khop_dict(ga.khop_nodes(e, _seeds_df(spark, ["acme"], typ="string"), k=2))
+    assert got == {"acme": 0, "bolt": 1, "core": 2}
