@@ -49,3 +49,54 @@ def test_pyfiles_zip_matches_working_tree():
     assert not missing, f"not in zip (run tools/make_pyfiles.py): {missing}"
     assert not stale, f"zip content stale (run tools/make_pyfiles.py): {stale}"
     assert not ghosts, f"zip ships modules absent from the tree: {ghosts}"
+
+
+def test_spark_submit_pyfiles_e2e(tmp_path):
+    """The north rule's literal deployment path, actually executed:
+    ``spark-submit --py-files dist/posextract_spark.zip job.py`` from a
+    directory where the repo is NOT importable, with PYTHONPATH stripped —
+    the zip is the ONLY way the driver and the mapInPandas executors can
+    import posextract_spark. The job runs the linked-pages generator
+    (mapInPandas => executor-side package import) through link extraction
+    and host aggregation, so a broken or incomplete zip fails loudly."""
+    import shutil
+    import subprocess
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    zpath = os.path.join(REPO, "dist", "posextract_spark.zip")
+    if not os.path.exists(zpath):
+        pytest.skip("dist zip not built (run tools/make_pyfiles.py)")
+
+    job = tmp_path / "job.py"
+    job.write_text(
+        """
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from posextract_spark.sources.weblinks import linked_pages
+from posextract_spark.operators.weblinks import extract_links, host_graph
+
+n = host_graph(extract_links(linked_pages(spark, 30, seed=42))).count()
+assert n > 0, n
+print("PYFILES_E2E_OK", n)
+spark.stop()
+"""
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [spark_submit, "--py-files", zpath, str(job)],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "PYFILES_E2E_OK" in proc.stdout, (proc.stdout, proc.stderr[-2000:])
