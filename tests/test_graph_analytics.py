@@ -589,3 +589,51 @@ def test_khop_string_nodes(spark):
     e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
     got = _khop_dict(ga.khop_nodes(e, _seeds_df(spark, ["acme"], typ="string"), k=2))
     assert got == {"acme": 0, "bolt": 1, "core": 2}
+
+
+# --- hypothesis sweeps over arbitrary graph shapes ---------------------------
+# (same low-example Spark-property pattern as
+# test_properties.test_cc_star_equals_label_propagation)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=1, max_size=35
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_EDGES)
+def test_graph_family_matches_brute_on_any_shape(spark, edge_list):
+    """On ANY hypothesis graph (self-loops, multi-components, stars,
+    cycles, duplicates), the iterative Spark operators equal their pure
+    peel/BFS/propagation mirrors — convergence, tie-breaks, and caps
+    included."""
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    assert {
+        r["node"]: r["core_degree"] for r in ga.kcore(e, k=2).collect()
+    } == brute_kcore(edge_list, 2)
+    assert _lpa_dict(ga.label_propagation(e, n_iters=3)) == brute_lpa(edge_list, 3)
+    assert _nj_dict(ga.neighbor_jaccard(e, max_neighbor_degree=4)) == (
+        brute_neighbor_jaccard(edge_list, cap=4)
+    )
+    got_kh = _khop_dict(ga.khop_nodes(e, _seeds_df(spark, [0]), k=2))
+    want_kh = brute_khop(edge_list, [0], 2)
+    want_kh.setdefault(0, 0)  # off-graph seed stays at hop 0
+    assert got_kh == want_kh
+
+
+_WEDGES = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12), st.integers(1, 9)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_WEDGES)
+def test_pagerank_weighted_matches_brute_on_any_shape(spark, edges_w):
+    e = spark.createDataFrame(edges_w, "src long, dst long, weight long")
+    got = {r["node"]: r["rank_e12"] for r in ga.pagerank_weighted(e, n_iters=2).collect()}
+    assert got == brute_pagerank_weighted(edges_w, n_iters=2)
