@@ -554,7 +554,7 @@ def q_anchor_alias_mining(spark, sf_dir):
     to ibm.com) into the (surface -> entity) dictionary that bootstraps
     entity linking with no hand-curated input. min_count=2 and
     min_share_e6=60000 both genuinely cut rows on the 300-page corpus
-    (69 unthresholded -> 53 rows), so the thresholds carry oracle signal
+    (72 unthresholded -> 66 rows), so the thresholds carry oracle signal
     (operators/weblinks.anchor_alias_candidates; oracle =
     oracles.anchor_alias_sql generator replay)."""
     from posextract_spark.operators.weblinks import (

@@ -84,6 +84,32 @@ def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
     )
 
 
+def adjacency(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, nbr) adjacency of the undirected simple graph — every edge
+    in both directions. The shared entry point of the iterative operators
+    (kcore / neighbor_jaccard / label_propagation / khop_nodes), so the
+    Spark-side graph definition cannot drift between them (the SQL
+    mirrors share _und_adj_sql for the same reason)."""
+    und = undirected_edges(edges, src, dst)
+    return und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+
+
+def _und_adj_sql(edges_rel: str, prefix: str, src: str, dst: str) -> str:
+    """Shared DuckDB CTE prefix mirroring adjacency(): ``{prefix}und`` =
+    canonical simple undirected edges, ``{prefix}adj`` = (node, nbr) both
+    directions. MATERIALIZED — both are multi-consumed downstream."""
+    return f"""
+, {prefix}und AS MATERIALIZED (
+    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+    FROM {edges_rel} WHERE {src} <> {dst}),
+{prefix}adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM {prefix}und
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM {prefix}und)"""
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",
@@ -379,33 +405,38 @@ def kcore(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    und = undirected_edges(edges, src, dst)
-    e = (
-        und.select(F.col("a"), F.col("b"))
-        .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint(eager=True)
-    )
+    e = adjacency(edges, src, dst).localCheckpoint(eager=True)
     n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
-        if n_edges == 0:
+        if converged:
             break
-        deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("degree"))
-        ok = deg.filter(F.col("degree") >= k).select("a")
+        deg = e.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        ok = deg.filter(F.col("degree") >= k).select("node")
         e = (
-            e.join(ok, "a", "semi")
-            .join(ok.withColumnRenamed("a", "b"), "b", "semi")
-            .select("a", "b")
+            e.join(ok, "node", "semi")
+            .join(ok.withColumnRenamed("node", "nbr"), "nbr", "semi")
+            .select("node", "nbr")
             .localCheckpoint(eager=True)
         )
         n2 = e.count()
-        if n2 == n_edges:
-            break
+        if n2 == n_edges or n2 == 0:
+            converged = True
         n_edges = n2
+    if not converged:
+        # a silent partial peel would REPORT non-core nodes as core
+        # members (their residual degree is >= k mid-peel) — fail loudly
+        # instead; peel depth can be O(n) on path graphs, so callers with
+        # deep pendant chains must raise max_iter
+        raise RuntimeError(
+            f"kcore did not reach the peel fixpoint in max_iter={max_iter} "
+            f"rounds ({n_edges} directed edges remain); raise max_iter"
+        )
     return (
-        e.groupBy("a")
+        e.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .filter(F.col("core_degree") >= k)
-        .select(F.col("a").alias("node"), "core_degree")
+        .select("node", "core_degree")
     )
 
 
@@ -428,15 +459,8 @@ def kcore_sql(
     milliseconds materialized. DuckDB-dialect only (like the other *_sql
     mirrors); never fed to Spark."""
     parts = [
-        f"""
-, _kcund AS MATERIALIZED (
-    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
-    FROM {edges_rel} WHERE {src} <> {dst}),
-_kc0 AS MATERIALIZED (
-  SELECT a, b FROM _kcund
-  UNION ALL
-  SELECT b, a FROM _kcund
-)"""
+        _und_adj_sql(edges_rel, "_kc", src, dst),
+        ",\n_kc0 AS (SELECT node AS a, nbr AS b FROM _kcadj)",
     ]
     for i in range(1, rounds + 1):
         parts.append(
@@ -519,10 +543,12 @@ def neighbor_jaccard(
             .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("degree_b")), "b")
             .withColumn(
                 "jaccard_e6",
-                F.floor(
-                    F.lit(1_000_000)
-                    * F.col("common")
-                    / (F.col("degree_a") + F.col("degree_b") - F.col("common"))
+                # integer div, NOT `/` + floor: Spark `/` on longs is
+                # double division, which can floor differently from exact
+                # integer division past 2^53 (same rule as triangle_counts
+                # / pagerank — the mirror uses DuckDB `//`)
+                F.expr(
+                    "(1000000 * common) div (degree_a + degree_b - common)"
                 ).cast("long"),
             )
             .filter(F.col("jaccard_e6") >= min_jaccard_e6)
@@ -550,14 +576,7 @@ def neighbor_jaccard_sql(
         if max_neighbor_degree is not None
         else ""
     )
-    return f"""
-, _njund AS MATERIALIZED (
-    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
-    FROM {edges_rel} WHERE {src} <> {dst}),
-_njadj AS MATERIALIZED (
-  SELECT a AS node, b AS nbr FROM _njund
-  UNION ALL
-  SELECT b AS node, a AS nbr FROM _njund),
+    return _und_adj_sql(edges_rel, "_nj", src, dst) + f""",
 _njd AS MATERIALIZED (
   SELECT node, CAST(count(*) AS BIGINT) AS degree FROM _njadj GROUP BY node),
 _njw AS MATERIALIZED (
@@ -568,11 +587,11 @@ _njc AS (
   GROUP BY l.node, r.node
   HAVING count(*) >= {min_common})
 SELECT c.a, c.b, c.common, da.degree AS degree_a, db.degree AS degree_b,
-       CAST(floor(1000000 * c.common / (da.degree + db.degree - c.common)) AS BIGINT) AS jaccard_e6
+       CAST((1000000 * c.common) // (da.degree + db.degree - c.common) AS BIGINT) AS jaccard_e6
 FROM _njc c
 JOIN _njd da ON da.node = c.a
 JOIN _njd db ON db.node = c.b
-WHERE floor(1000000 * c.common / (da.degree + db.degree - c.common)) >= {min_jaccard_e6}"""
+WHERE (1000000 * c.common) // (da.degree + db.degree - c.common) >= {min_jaccard_e6}"""
 
 
 def label_propagation(
@@ -639,16 +658,10 @@ def label_propagation_sql(
     Spark side stays Window-free; per-round CTEs MATERIALIZED against
     exponential re-inlining, see kcore_sql)."""
     parts = [
-        f"""
-, _lpund AS MATERIALIZED (
-    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
-    FROM {edges_rel} WHERE {src} <> {dst}),
-_lpadj AS MATERIALIZED (
-  SELECT a AS node, b AS nbr FROM _lpund
-  UNION ALL
-  SELECT b AS node, a AS nbr FROM _lpund),
+        _und_adj_sql(edges_rel, "_lp", src, dst),
+        """,
 _lp0 AS MATERIALIZED (
-  SELECT DISTINCT node, node AS label FROM _lpadj)"""
+  SELECT DISTINCT node, node AS label FROM _lpadj)""",
     ]
     for i in range(1, n_iters + 1):
         parts.append(
@@ -859,17 +872,11 @@ def khop_sql(
     ``seeds_sql`` is a SELECT yielding one column named node (DuckDB
     dialect; layer CTEs MATERIALIZED, see kcore_sql)."""
     parts = [
-        f"""
-, _khund AS MATERIALIZED (
-    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
-    FROM {edges_rel} WHERE {src} <> {dst}),
-_khadj AS MATERIALIZED (
-  SELECT a AS node, b AS nbr FROM _khund
-  UNION ALL
-  SELECT b AS node, a AS nbr FROM _khund),
+        _und_adj_sql(edges_rel, "_kh", src, dst),
+        f""",
 _khd0 AS MATERIALIZED (
   SELECT DISTINCT node, CAST(0 AS BIGINT) AS hop FROM ({seeds_sql})),
-_khf0 AS MATERIALIZED (SELECT node FROM _khd0)"""
+_khf0 AS MATERIALIZED (SELECT node FROM _khd0)""",
     ]
     for i in range(1, k + 1):
         parts.append(

@@ -136,9 +136,12 @@ def anchor_alias_candidates(
 
     Scale shape: two map-side-combinable groupBys over the same anchor
     frame — (dst_host, surface_norm) counts and dst_host totals — joined
-    on dst_host (broadcastable: one row per distinct linked host). No
-    Window, no Python; celebrity hosts (10^8 in-links) are plain counter
-    skew, AQE-split.
+    on dst_host. Deliberately NO broadcast hint: a web corpus has one
+    totals row per distinct LINKED HOST (hundreds of millions), far past
+    broadcast range — AQE picks broadcast itself when totals is actually
+    small (same rule as canonicalize.py's hint caveat). No Window, no
+    Python; celebrity hosts (10^8 in-links) are plain counter skew,
+    AQE-split.
     """
     from posextract_spark.operators.linking import normalize_surface
 
@@ -150,10 +153,12 @@ def anchor_alias_candidates(
     )
     totals = kept.groupBy("dst_host").agg(F.count(F.lit(1)).cast("long").alias("_total"))
     return (
-        counts.join(F.broadcast(totals), "dst_host")
+        counts.join(totals, "dst_host")
         .withColumn(
             "share_e6",
-            F.floor(F.lit(1_000_000) * F.col("n_anchors") / F.col("_total")).cast("long"),
+            # integer div, not `/` + floor — double division can floor
+            # differently from the replay mirror's exact `//` past 2^53
+            F.expr("(1000000 * n_anchors) div _total").cast("long"),
         )
         .filter((F.col("n_anchors") >= min_count) & (F.col("share_e6") >= min_share_e6))
         .select("dst_host", "surface_norm", "n_anchors", "share_e6")

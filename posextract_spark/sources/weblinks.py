@@ -66,7 +66,9 @@ _ANCHOR_TEXTS = [
 
 def _anchor_text(i: int, j: int, h: str) -> str:
     name = h.split(".")[0]
-    tmpl = _ANCHOR_TEXTS[(i * 7 + 3 * j) % len(_ANCHOR_TEXTS)]
+    # 5 and 3 are both coprime to len==7, so the template genuinely
+    # varies with BOTH page index and anchor position (i*7 would be dead)
+    tmpl = _ANCHOR_TEXTS[(i * 5 + 3 * j) % len(_ANCHOR_TEXTS)]
     return tmpl.format(name=name, NAME=name.upper())
 
 

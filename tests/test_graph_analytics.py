@@ -637,3 +637,15 @@ def test_pagerank_weighted_matches_brute_on_any_shape(spark, edges_w):
     e = spark.createDataFrame(edges_w, "src long, dst long, weight long")
     got = {r["node"]: r["rank_e12"] for r in ga.pagerank_weighted(e, n_iters=2).collect()}
     assert got == brute_pagerank_weighted(edges_w, n_iters=2)
+
+
+def test_kcore_raises_when_peel_depth_exceeds_max_iter(spark):
+    # a 12-node path needs ~6 peel rounds to empty at k=2; max_iter=2
+    # leaves a partial peel whose interior nodes still look like core
+    # members — the operator must refuse to return that silently
+    path = [(i, i + 1) for i in range(11)]
+    e = spark.createDataFrame(pd.DataFrame(path, columns=["src", "dst"]))
+    with pytest.raises(RuntimeError, match="max_iter"):
+        ga.kcore(e, k=2, max_iter=2)
+    # with enough rounds the same graph converges to the empty 2-core
+    assert ga.kcore(e, k=2, max_iter=10).count() == 0
