@@ -1,0 +1,216 @@
+"""Temporal operators over multi-capture web corpora.
+
+A Common-Crawl-style corpus (BASELINE.json input_hint: url, warc_ts,
+html, text, lang) captures the same url many times across crawls. The
+reference pipeline has no notion of time — it extracts from whatever
+rows it is given — so feeding it a raw multi-crawl corpus double-counts
+every re-captured page. These operators are the standard pre-extraction
+stage that fixes that: pick one capture per url (newest, or as-of a
+crawl window), measure content churn, and diff two crawl windows.
+
+Scale shape (all three): the only shuffle is a single groupBy on the
+url — the corpus' natural, collision-free key (10^12 distinct urls,
+no hot keys, AQE coalesces). Selection uses struct-max, which is
+map-side combinable (partial max per partition, one small struct per
+url crosses the wire — never the html payload), and a total order over
+(ts, fingerprint, payload...) so ties are deterministic engine-wide.
+No Window operator anywhere (a Window over url would sort whole
+partitions and cannot partial-aggregate; see round-5 survivors work).
+`snapshot_diff` joins two as-of frames on the SAME key their groupBys
+just partitioned by, so the join is exchange-free under AQE.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_fingerprint(pages: DataFrame, col: str = "text", out: str = "fp") -> DataFrame:
+    """md5 content fingerprint — the unit of 'did this page change'.
+
+    Computed scan-side (JVM codegen, no Python) so downstream temporal
+    ops never carry the page payload through a shuffle."""
+    return pages.withColumn(out, F.md5(F.col(col)))
+
+
+def latest_capture(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    payload: Sequence[str] = ("fp", "lang"),
+) -> DataFrame:
+    """Newest row per ``key``: deterministic max_by.
+
+    Output: key, ts, *payload, n_captures. Selection is
+    ``max(struct(ts, *payload))`` — a total order, so equal-timestamp
+    captures resolve identically on every executor and every run
+    (F.max_by is nondeterministic under ties; a Window would kill
+    partial aggregation). One shuffle, map-side combined.
+    """
+    s = F.max(F.struct(F.col(ts), *[F.col(c) for c in payload])).alias("_s")
+    agg = df.groupBy(key).agg(s, F.count(F.lit(1)).cast("long").alias("n_captures"))
+    cols = [F.col(key), F.col(f"_s.{ts}").alias(ts)]
+    cols += [F.col(f"_s.{c}").alias(c) for c in payload]
+    return agg.select(*cols, "n_captures")
+
+
+def crawl_window_snapshot(
+    df: DataFrame,
+    ts_start: Optional[str],
+    ts_end: str,
+    key: str = "url",
+    ts: str = "warc_ts",
+    payload: Sequence[str] = ("fp", "lang"),
+) -> DataFrame:
+    """State of the web in one crawl window: latest capture per url with
+    ``ts_start < warc_ts <= ts_end`` (ts_start None = as-of ts_end, i.e.
+    cumulative). The filter is a plain predicate on the scan — at real
+    scale warc_ts is the Iceberg partition column and this becomes
+    partition pruning, reading only the window's files."""
+    cond: Column = F.col(ts) <= F.lit(ts_end).cast("timestamp")
+    if ts_start is not None:
+        cond = cond & (F.col(ts) > F.lit(ts_start).cast("timestamp"))
+    return latest_capture(df.filter(cond), key=key, ts=ts, payload=payload)
+
+
+def crawl_churn(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    fingerprint: str = "fp",
+) -> DataFrame:
+    """Per-url capture/content-churn profile across all crawls.
+
+    Output: key, n_captures, n_versions (distinct fingerprints),
+    first_ts, last_ts, changed (n_versions > 1). Churn is defined on
+    content bytes, not crawl bookkeeping: a re-capture with identical
+    text is not a change. Single groupBy; count(DISTINCT fp) partials
+    as a per-partition distinct-set, fine because fingerprints per url
+    are tiny (<= captures per url)."""
+    return (
+        df.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+            F.countDistinct(fingerprint).cast("long").alias("n_versions"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts"),
+        )
+        .withColumn("changed", F.col("n_versions") > F.lit(1))
+    )
+
+
+def snapshot_diff(
+    df: DataFrame,
+    old_window: tuple,
+    new_window: tuple,
+    key: str = "url",
+    ts: str = "warc_ts",
+    fingerprint: str = "fp",
+) -> DataFrame:
+    """Diff two crawl windows: which urls were added / removed / changed
+    / stable between crawl A and crawl B.
+
+    ``old_window`` / ``new_window`` are (ts_start | None, ts_end)
+    bounds, each resolved to its latest-capture snapshot. Output: key,
+    status, old_fp, new_fp. Both snapshots hash-partition on the key
+    before the full-outer join, so the join itself reuses that
+    partitioning (no third shuffle); the url key is collision-free, so
+    there is no skew to salt."""
+    old = crawl_window_snapshot(
+        df, old_window[0], old_window[1], key=key, ts=ts, payload=(fingerprint,)
+    ).select(F.col(key), F.col(fingerprint).alias("old_fp"))
+    new = crawl_window_snapshot(
+        df, new_window[0], new_window[1], key=key, ts=ts, payload=(fingerprint,)
+    ).select(F.col(key), F.col(fingerprint).alias("new_fp"))
+    return old.join(new, key, "full_outer").select(
+        F.col(key),
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+        "old_fp",
+        "new_fp",
+    )
+
+
+# --- DuckDB mirrors (oracle side; never fed to Spark) -----------------
+
+
+def _captures_cte(values_sql: str) -> str:
+    """Input relation for the mirrors: one row per capture."""
+    return f"WITH caps(url, ts, fp, lang) AS ({values_sql})"
+
+
+def latest_capture_sql(values_sql: str) -> str:
+    """Mirror of latest_capture over a (url, ts, fp, lang) VALUES body.
+
+    Struct-max == ORDER BY every struct field DESC, take first — the
+    mirror pins the same (ts, fp, lang) tie order via row_number (the
+    no-Window rule binds the Spark side only; in DuckDB the window IS
+    the independent formulation)."""
+    return (
+        _captures_cte(values_sql)
+        + """
+, ranked AS (
+  SELECT url, CAST(ts AS TIMESTAMP) AS warc_ts, fp AS text_md5, lang,
+         row_number() OVER (PARTITION BY url ORDER BY ts DESC, fp DESC, lang DESC) AS rn,
+         CAST(count(*) OVER (PARTITION BY url) AS BIGINT) AS n_captures
+  FROM caps)
+SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts_str, text_md5, lang, n_captures
+FROM ranked WHERE rn = 1"""
+    )
+
+
+def crawl_churn_sql(values_sql: str) -> str:
+    """Mirror of crawl_churn: plain GROUP BY (counts CAST to BIGINT —
+    DuckDB HUGEINT pandas-ifies to float64 and fails the driver hash)."""
+    return (
+        _captures_cte(values_sql)
+        + """
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_versions,
+       strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       count(DISTINCT fp) > 1 AS changed
+FROM caps GROUP BY url"""
+    )
+
+
+def snapshot_diff_sql(
+    values_sql: str, old_window: tuple, new_window: tuple
+) -> str:
+    """Mirror of snapshot_diff: two windowed as-of CTEs + FULL OUTER
+    JOIN + the same CASE ladder."""
+
+    def snap(name: str, window: tuple) -> str:
+        start, end = window
+        lower = f"AND CAST(ts AS TIMESTAMP) > TIMESTAMP '{start}'" if start else ""
+        return f"""
+{name} AS (
+  SELECT url, fp FROM (
+    SELECT url, fp,
+           row_number() OVER (PARTITION BY url ORDER BY ts DESC, fp DESC, lang DESC) AS rn
+    FROM caps
+    WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '{end}' {lower}) t
+  WHERE rn = 1)"""
+
+    return (
+        _captures_cte(values_sql)
+        + ","
+        + snap("old_s", old_window)
+        + ","
+        + snap("new_s", new_window)
+        + """
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'stable' END AS status,
+       o.fp AS old_fp, n.fp AS new_fp
+FROM old_s o FULL OUTER JOIN new_s n ON o.url = n.url"""
+    )

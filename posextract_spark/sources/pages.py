@@ -142,6 +142,87 @@ def generate_pages(
     return spark.range(n).repartition(n_partitions).mapInPandas(gen, PAGES_SCHEMA)
 
 
+N_CRAWLS = 5
+
+
+def recrawl_captures(i: int, seed: int = 42, n_crawls: int = N_CRAWLS) -> List[dict]:
+    """All captures of url ``i`` across ``n_crawls`` weekly crawl
+    snapshots — the multi-capture corpus the temporal operators
+    (operators/temporal.py) run on. Deterministic per (seed, i): the url
+    first appears in crawl ``first_crawl`` (0..2), is re-captured in each
+    later crawl with p=0.7, and each re-capture bumps the content version
+    with p=0.4 (non-en pages keep constant text, so a version bump there
+    is NOT a content change — churn is defined on bytes, not on crawl
+    bookkeeping). Shared verbatim by the Spark generator and the oracle
+    replay; the operator under test is computed independently on each
+    side (DataFrame aggregation vs DuckDB SQL)."""
+    rng = random.Random(f"{seed}:rc:{i}")
+    r = rng.random()
+    lang = "en" if r < 0.85 else rng.choice(["de", "fr", "es"])
+    first_crawl = rng.randrange(3)
+    version = 0
+    rows: List[dict] = []
+    for c in range(n_crawls):
+        if c < first_crawl:
+            continue
+        if c > first_crawl:
+            if rng.random() >= 0.7:
+                continue
+            if rng.random() < 0.4:
+                version += 1
+        content_rng = random.Random(f"{seed}:rc:{i}:v{version}")
+        if lang == "en":
+            sentences = _gen_sentences(content_rng)
+        else:
+            sentences = [NON_EN_SENTENCES[lang]] * content_rng.randint(2, 4)
+        html = _gen_html(i, content_rng, sentences)
+        _, text = extract_text_pure(html)
+        rows.append(
+            {
+                "url": f"https://synth.test/rc/{seed}/{i}",
+                "warc_ts": _EPOCH + timedelta(days=7 * c, seconds=i),
+                "html": html.encode("utf-8"),
+                "text": text,
+                "lang": lang,
+            }
+        )
+    return rows
+
+
+def generate_recrawls(
+    spark: SparkSession, n: int, seed: int = 42, n_partitions: int = 32
+) -> DataFrame:
+    """Multi-capture pages corpus: ~2.6 captures per url over N_CRAWLS
+    weekly crawls (same schema as generate_pages). Distributed generation,
+    no driver bottleneck — url index space scales to any n."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [r for i in pdf["id"] for r in recrawl_captures(int(i), seed)]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return spark.range(n).repartition(n_partitions).mapInPandas(gen, PAGES_SCHEMA)
+
+
+def replay_recrawl_captures(n: int, seed: int = 42) -> List[Tuple[str, str, str, str]]:
+    """(url, ts 'yyyy-MM-dd HH:mm:ss', md5(text), lang) for every capture —
+    the oracle-side input relation for the temporal mirrors."""
+    import hashlib
+
+    out: List[Tuple[str, str, str, str]] = []
+    for i in range(n):
+        for row in recrawl_captures(i, seed):
+            out.append(
+                (
+                    row["url"],
+                    row["warc_ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                    hashlib.md5(row["text"].encode("utf-8")).hexdigest(),
+                    row["lang"],
+                )
+            )
+    return out
+
+
 #: Deterministic pages whose mention surfaces are NOT generator aliases —
 #: they exercise the scored-linking + co-reference-CC canonicalization path
 #: (SURVEY §7.6): 'AcmeCorpX' fuzzy-links to the dictionary (bigram Jaccard

@@ -1,0 +1,127 @@
+"""Temporal operators (operators/temporal.py): adversarial semantics on
+hand-built capture frames + plan-shape guards for the scale claims
+(single map-side-combined shuffle, no Window, payload never shuffled)."""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from posextract_spark.operators import temporal as T
+
+SCHEMA = "url string, warc_ts timestamp, fp string, lang string"
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "fp", "lang"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    return spark.createDataFrame(pdf, schema=SCHEMA)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+CAPS = [
+    # u1: three captures, one content change
+    ("u1", "2024-01-01", "aaa", "en"),
+    ("u1", "2024-01-08", "aaa", "en"),
+    ("u1", "2024-01-15", "bbb", "en"),
+    # u2: single capture
+    ("u2", "2024-01-01", "ccc", "de"),
+    # u3: recaptured, never changed
+    ("u3", "2024-01-01", "ddd", "en"),
+    ("u3", "2024-01-15", "ddd", "en"),
+]
+
+
+def test_latest_capture_picks_newest_and_counts(spark):
+    got = {
+        r["url"]: (r["warc_ts"], r["fp"], r["n_captures"])
+        for r in T.latest_capture(_df(spark, CAPS)).collect()
+    }
+    assert got == {
+        "u1": (_ts("2024-01-15"), "bbb", 3),
+        "u2": (_ts("2024-01-01"), "ccc", 1),
+        "u3": (_ts("2024-01-15"), "ddd", 2),
+    }
+
+
+def test_latest_capture_tie_breaks_deterministically(spark):
+    # same url, SAME timestamp, different payloads: struct-max must pick
+    # the lexicographically greatest (fp, lang) — not an arbitrary one
+    # (max_by under ties is partition-order-dependent; this is the reason
+    # the operator uses struct-max)
+    rows = [
+        ("u", "2024-01-01", "aaa", "en"),
+        ("u", "2024-01-01", "zzz", "de"),
+        ("u", "2024-01-01", "mmm", "fr"),
+    ]
+    for _ in range(3):
+        [r] = T.latest_capture(_df(spark, rows).repartition(4)).collect()
+        assert (r["fp"], r["lang"], r["n_captures"]) == ("zzz", "de", 3)
+
+
+def test_crawl_churn_is_content_defined(spark):
+    got = {
+        r["url"]: (r["n_captures"], r["n_versions"], r["changed"])
+        for r in T.crawl_churn(_df(spark, CAPS)).collect()
+    }
+    # u3 was re-captured but never changed bytes -> not churn
+    assert got == {"u1": (3, 2, True), "u2": (1, 1, False), "u3": (2, 1, False)}
+
+
+def test_snapshot_diff_all_statuses(spark):
+    rows = CAPS + [
+        # u4 appears only in the new window -> added
+        ("u4", "2024-01-15", "eee", "en"),
+        # u2 is only in the old window -> removed
+    ]
+    got = {
+        r["url"]: (r["status"], r["old_fp"], r["new_fp"])
+        for r in T.snapshot_diff(
+            _df(spark, rows),
+            (None, "2024-01-07 00:00:00"),
+            ("2024-01-07 00:00:00", "2024-01-21 00:00:00"),
+        ).collect()
+    }
+    assert got == {
+        "u1": ("changed", "aaa", "bbb"),
+        "u2": ("removed", "ccc", None),
+        "u3": ("stable", "ddd", "ddd"),
+        "u4": ("added", None, "eee"),
+    }
+
+
+def test_window_bounds_are_exclusive_inclusive(spark):
+    # (start, end]: a capture exactly AT start is excluded, AT end included
+    rows = [("u", "2024-01-07", "aaa", "en"), ("u", "2024-01-14", "bbb", "en")]
+    snap = T.crawl_window_snapshot(
+        _df(spark, rows), "2024-01-07 00:00:00", "2024-01-14 00:00:00"
+    )
+    [r] = snap.collect()
+    assert (r["fp"], r["n_captures"]) == ("bbb", 1)
+
+
+def test_latest_capture_plan_single_partial_shuffle_no_window(spark):
+    plan = (
+        T.latest_capture(_df(spark, CAPS))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # one shuffle on the url key
+    assert "Window" not in plan
+    assert "partial_max" in plan  # map-side combine carries structs, not rows
+
+
+def test_snapshot_diff_no_python_and_statuses_match_oracle_shape(spark):
+    df = T.snapshot_diff(
+        _df(spark, CAPS),
+        (None, "2024-01-07 00:00:00"),
+        ("2024-01-07 00:00:00", "2024-01-21 00:00:00"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Python" not in plan  # whole family stays JVM-side
