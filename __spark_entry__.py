@@ -974,6 +974,88 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+#: crawl-window bounds shared by q_web_snapshot_diff and its oracle —
+#: crawl 1 (day 7 + url-index seconds) vs crawl 4 (day 28); at n=160 all
+#: four statuses occur (47 added / 29 removed / 48 changed / 20 stable),
+#: so every CASE branch carries oracle signal
+_DIFF_OLD_WINDOW = ("2024-01-04 00:00:00", "2024-01-11 00:00:00")
+_DIFF_NEW_WINDOW = ("2024-01-25 00:00:00", "2024-02-01 00:00:00")
+
+
+def _recrawl_fp(spark):
+    from posextract_spark.operators.temporal import with_fingerprint
+    from posextract_spark.sources.pages import generate_recrawls
+
+    return with_fingerprint(generate_recrawls(spark, 160, seed=42))
+
+
+def q_web_latest_capture(spark, sf_dir):
+    """Newest capture per url over the multi-crawl corpus — the
+    pre-extraction dedup a Common-Crawl pipeline runs so re-captured
+    pages are counted once (operators/temporal.latest_capture:
+    deterministic struct-max, one map-side-combined shuffle, no Window).
+    Oracle = generator replay of the INPUT captures + independent DuckDB
+    row_number formulation (oracles.web_latest_capture_sql)."""
+    from posextract_spark.operators.temporal import latest_capture
+
+    lc = latest_capture(_recrawl_fp(spark))
+    return lc.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("fp").alias("text_md5"),
+        "lang",
+        "n_captures",
+    )
+
+
+def q_web_crawl_churn(spark, sf_dir):
+    """Per-url content-churn profile (capture count, distinct content
+    versions, first/last seen, changed flag) — churn is defined on text
+    bytes, so a re-capture with identical content is not a change
+    (operators/temporal.crawl_churn; at n=160: 100 changed / 60 not).
+    Oracle replays the captures and GROUP BYs in DuckDB."""
+    from posextract_spark.operators.temporal import crawl_churn
+
+    ch = crawl_churn(_recrawl_fp(spark))
+    return ch.select(
+        "url",
+        "n_captures",
+        "n_versions",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "changed",
+    )
+
+
+def q_web_snapshot_diff(spark, sf_dir):
+    """Crawl-over-crawl diff: latest capture per url inside two crawl
+    windows, full-outer joined into added/removed/changed/stable — the
+    churn feed an incremental KG build consumes (only 'added'+'changed'
+    urls re-enter extraction). Both snapshots partition on url before
+    the join, so AQE reuses the partitioning (no third shuffle)."""
+    from posextract_spark.operators.temporal import snapshot_diff
+
+    return snapshot_diff(_recrawl_fp(spark), _DIFF_OLD_WINDOW, _DIFF_NEW_WINDOW)
+
+
+def q_kg_metapaths(spark, sf_dir):
+    """2-hop relation-pattern mining over the triple graph: (pred_a,
+    pred_b) path counts with distinct endpoint pairs — the schema-level
+    rule-induction signal. max_mid_fanout=5800 genuinely drops hub mids
+    at sf0.01 (69231 -> 34287 paths: agg/data/spark excluded, part/table/
+    customer kept) and min_support=200 cuts 121 -> 116 rows, so both
+    thresholds carry oracle signal (operators/graph_analytics.
+    relation_metapaths; oracle = the independent _sql mirror)."""
+    from posextract_spark.operators.graph_analytics import relation_metapaths
+
+    edges = _shared_triples(spark, sf_dir).select(
+        F.col("subject").alias("src"),
+        F.col("verb").alias("predicate"),
+        F.col("object").alias("dst"),
+    )
+    return relation_metapaths(edges, max_mid_fanout=5800, min_support=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract exports — EXACTLY 50 entries (VERDICT r5 item 1: the
     round driver sweeps at most 50 queries in dict order; r5 exported 52
@@ -1074,6 +1156,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_alias_mining": q_anchor_alias_mining,
         "host_pagerank_weighted": q_host_pagerank_weighted,
         "kg_khop": q_kg_khop,
+        "web_latest_capture": q_web_latest_capture,
+        "web_crawl_churn": q_web_crawl_churn,
+        "web_snapshot_diff": q_web_snapshot_diff,
+        "kg_metapaths": q_kg_metapaths,
     }
 
 
@@ -1242,6 +1328,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT src AS node FROM kg_e WHERE src LIKE 's%' "
             "UNION SELECT dst FROM kg_e WHERE dst LIKE 's%'",
             k=2,
+        ),
+        "kg_metapaths": SVO_TRIPLES_CTE
+        + ", kg_p AS (SELECT subject AS src, verb AS predicate, object AS dst "
+        "FROM svo_triples)"
+        + _ga.relation_metapaths_sql("kg_p", max_mid_fanout=5800, min_support=200),
+        "web_latest_capture": _oracles.web_latest_capture_sql(160, 42),
+        "web_crawl_churn": _oracles.web_crawl_churn_sql(160, 42),
+        "web_snapshot_diff": _oracles.web_snapshot_diff_sql(
+            160, 42, _DIFF_OLD_WINDOW, _DIFF_NEW_WINDOW
         ),
         "kg_nodes": SVO_TRIPLES_CTE
         + (

@@ -893,3 +893,100 @@ _khf{i} AS MATERIALIZED (SELECT node FROM _khn{i})"""
         )
     parts.append(f"\nSELECT node, hop FROM _khd{k}")
     return "".join(parts)
+
+
+def relation_metapaths(
+    edges: DataFrame,
+    src: str = "src",
+    pred: str = "predicate",
+    dst: str = "dst",
+    max_mid_fanout: int | None = None,
+    min_support: int = 1,
+) -> DataFrame:
+    """2-hop relation-pattern mining: for every ordered predicate pair
+    (pred_a, pred_b), count path instances s -pred_a-> m -pred_b-> o with
+    o != s (no immediate backtracking), over the DISTINCT (s, p, o) edge
+    set. Output: pred_a, pred_b, n_paths, n_pairs (distinct (s, o)
+    endpoint pairs — n_paths >> n_pairs means the pattern is carried by
+    few entity pairs via many mids).
+
+    The schema-level signal a KG consumer mines for rule induction /
+    link prediction ("X acquired M, M owned O" => candidate 'controls'
+    edge).
+
+    Scale shape: ONE self-join shuffled on the mid node. The join
+    fan-out at mid m is in_deg(m) * out_deg(m) — a celebrity entity with
+    10^8 in-links and 10^5 out-links would alone emit 10^13 rows, so
+    ``max_mid_fanout`` drops paths THROUGH such hubs (m may still be an
+    endpoint) with a deterministic degree predicate, the same
+    contract-stable policy as neighbor_jaccard's max_neighbor_degree:
+    membership depends only on the graph, never on partitioning. The
+    degree frame is one extra map-side-combined shuffle; under the cap
+    the surviving fan-out is <= cap per mid, AQE splits what remains.
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(pred).alias("p"), F.col(dst).alias("d")
+    ).distinct()
+    if max_mid_fanout is not None:
+        deg = (
+            e.select(F.col("d").alias("node"), F.lit(1).alias("is_in"))
+            .unionAll(e.select(F.col("s").alias("node"), F.lit(0).alias("is_in")))
+            .groupBy("node")
+            .agg(
+                F.sum("is_in").cast("long").alias("in_deg"),
+                F.sum(1 - F.col("is_in")).cast("long").alias("out_deg"),
+            )
+        )
+        ok_mid = deg.filter(
+            F.col("in_deg") * F.col("out_deg") <= F.lit(max_mid_fanout)
+        ).select(F.col("node").alias("d"))
+        e1 = e.join(ok_mid, "d", "semi")
+    else:
+        e1 = e
+    e2 = e.select(
+        F.col("s").alias("m"), F.col("p").alias("p2"), F.col("d").alias("o")
+    )
+    paths = e1.join(e2, e1["d"] == e2["m"]).filter(F.col("o") != F.col("s"))
+    return (
+        paths.groupBy(F.col("p").alias("pred_a"), F.col("p2").alias("pred_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.countDistinct(F.col("s"), F.col("o")).cast("long").alias("n_pairs"),
+        )
+        .filter(F.col("n_paths") >= F.lit(min_support))
+    )
+
+
+def relation_metapaths_sql(
+    edges_rel: str,
+    src: str = "src",
+    pred: str = "predicate",
+    dst: str = "dst",
+    max_mid_fanout: int | None = None,
+    min_support: int = 1,
+) -> str:
+    """SQL suffix mirroring relation_metapaths() (DuckDB dialect)."""
+    mid_filter = ""
+    if max_mid_fanout is not None:
+        mid_filter = f"""
+, _mpdeg AS MATERIALIZED (
+  SELECT node, CAST(sum(is_in) AS BIGINT) AS in_deg,
+         CAST(sum(1 - is_in) AS BIGINT) AS out_deg
+  FROM (SELECT d AS node, 1 AS is_in FROM _mpe
+        UNION ALL SELECT s AS node, 0 AS is_in FROM _mpe)
+  GROUP BY node),
+_mpok AS MATERIALIZED (
+  SELECT node FROM _mpdeg WHERE in_deg * out_deg <= {max_mid_fanout})"""
+        e1 = "SELECT e.* FROM _mpe e WHERE e.d IN (SELECT node FROM _mpok)"
+    else:
+        e1 = "SELECT * FROM _mpe"
+    return f"""
+, _mpe AS MATERIALIZED (
+    SELECT DISTINCT {src} AS s, {pred} AS p, {dst} AS d FROM {edges_rel}){mid_filter},
+_mpe1 AS MATERIALIZED ({e1})
+SELECT e1.p AS pred_a, e2.p AS pred_b,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT (e1.s, e2.d)) AS BIGINT) AS n_pairs
+FROM _mpe1 e1 JOIN _mpe e2 ON e1.d = e2.s AND e2.d <> e1.s
+GROUP BY e1.p, e2.p
+HAVING count(*) >= {min_support}"""

@@ -478,3 +478,45 @@ def anchor_alias_sql(
         ("share_e6", "BIGINT"),
     ]
     return _values_sql(replay_anchor_alias(n, seed, min_count, min_share_e6), cols)
+
+
+def _recrawl_values_sql(n: int, seed: int) -> str:
+    """Replayed recrawl corpus as a (url, ts, fp, lang) SELECT body —
+    the shared input relation of the three temporal mirrors."""
+    from posextract_spark.sources.pages import replay_recrawl_captures
+
+    cols = [
+        ("url", "VARCHAR"),
+        ("ts", "VARCHAR"),
+        ("fp", "VARCHAR"),
+        ("lang", "VARCHAR"),
+    ]
+    return _values_sql(replay_recrawl_captures(n, seed), cols)
+
+
+def web_latest_capture_sql(n: int = 160, seed: int = 42) -> str:
+    """Expected (url, ts_str, text_md5, lang, n_captures) for
+    __spark_entry__.q_web_latest_capture: generator replay of the
+    recrawl corpus (input only) + an independent DuckDB formulation of
+    newest-capture selection (operators/temporal.latest_capture_sql)."""
+    from posextract_spark.operators.temporal import latest_capture_sql
+
+    return latest_capture_sql(_recrawl_values_sql(n, seed))
+
+
+def web_crawl_churn_sql(n: int = 160, seed: int = 42) -> str:
+    """Expected per-url churn profile for q_web_crawl_churn
+    (operators/temporal.crawl_churn_sql)."""
+    from posextract_spark.operators.temporal import crawl_churn_sql
+
+    return crawl_churn_sql(_recrawl_values_sql(n, seed))
+
+
+def web_snapshot_diff_sql(
+    n: int, seed: int, old_window: tuple, new_window: tuple
+) -> str:
+    """Expected (url, status, old_fp, new_fp) for q_web_snapshot_diff
+    (operators/temporal.snapshot_diff_sql)."""
+    from posextract_spark.operators.temporal import snapshot_diff_sql
+
+    return snapshot_diff_sql(_recrawl_values_sql(n, seed), old_window, new_window)

@@ -649,3 +649,88 @@ def test_kcore_raises_when_peel_depth_exceeds_max_iter(spark):
         ga.kcore(e, k=2, max_iter=2)
     # with enough rounds the same graph converges to the empty 2-core
     assert ga.kcore(e, k=2, max_iter=10).count() == 0
+
+
+# ---- relation_metapaths ------------------------------------------------
+
+MP_EDGES = [
+    # a -buys-> m -owns-> c  and  a -buys-> m -owns-> d  (one mid, two objects)
+    ("a", "buys", "m"),
+    ("m", "owns", "c"),
+    ("m", "owns", "d"),
+    # backtracking path x -p-> y -q-> x must NOT count
+    ("x", "p", "y"),
+    ("y", "q", "x"),
+    # duplicate edge row: instances are counted over DISTINCT (s,p,o)
+    ("a", "buys", "m"),
+    # second (buys, owns) support via a different mid
+    ("b", "buys", "n"),
+    ("n", "owns", "c"),
+]
+
+
+def _mp_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src", "predicate", "dst"])
+    )
+
+
+def test_relation_metapaths_counts_and_backtracking(spark):
+    got = {
+        (r["pred_a"], r["pred_b"]): (r["n_paths"], r["n_pairs"])
+        for r in ga.relation_metapaths(_mp_df(spark, MP_EDGES)).collect()
+    }
+    # (buys, owns): a-m-c, a-m-d, b-n-c = 3 paths over 3 distinct pairs;
+    # (p, q) / (q, p) are pure backtracking -> absent
+    assert got == {("buys", "owns"): (3, 3)}
+
+
+def test_relation_metapaths_npairs_lt_npaths_on_parallel_mids(spark):
+    rows = [
+        ("a", "buys", "m1"),
+        ("a", "buys", "m2"),
+        ("m1", "owns", "c"),
+        ("m2", "owns", "c"),
+    ]
+    [r] = ga.relation_metapaths(_mp_df(spark, rows)).collect()
+    assert (r["n_paths"], r["n_pairs"]) == (2, 1)  # two mids, one (a, c) pair
+
+
+def test_relation_metapaths_fanout_cap_drops_hub_mid(spark):
+    hub = [("s%d" % i, "in", "hub") for i in range(3)] + [
+        ("hub", "out", "o%d" % i) for i in range(3)
+    ]
+    quiet = [("q1", "in", "m"), ("m", "out", "q2")]
+    df = _mp_df(spark, hub + quiet)
+    uncapped = {
+        (r["pred_a"], r["pred_b"]): r["n_paths"]
+        for r in ga.relation_metapaths(df).collect()
+    }
+    assert uncapped == {("in", "out"): 10}  # 3*3 through hub + 1 through m
+    capped = {
+        (r["pred_a"], r["pred_b"]): r["n_paths"]
+        for r in ga.relation_metapaths(df, max_mid_fanout=4).collect()
+    }
+    assert capped == {("in", "out"): 1}  # hub fanout 9 > 4 -> only m survives
+
+
+def test_relation_metapaths_matches_duckdb_mirror_on_random_graphs(spark):
+    rng = random.Random(7)
+    preds = ["p", "q", "r"]
+    for trial in range(3):
+        rows = [
+            (
+                "n%d" % rng.randrange(8),
+                rng.choice(preds),
+                "n%d" % rng.randrange(8),
+            )
+            for _ in range(40)
+        ]
+        pdf = pd.DataFrame(rows, columns=["src", "predicate", "dst"])
+        cap = rng.choice([None, 3])
+        want = _duck(
+            pdf,
+            ga.relation_metapaths_sql("edges_base", max_mid_fanout=cap),
+        )
+        got = ga.relation_metapaths(_mp_df(spark, rows), max_mid_fanout=cap)
+        _assert_frame_match(got, want)
