@@ -1038,6 +1038,30 @@ def q_web_snapshot_diff(spark, sf_dir):
     return snapshot_diff(_recrawl_fp(spark), _DIFF_OLD_WINDOW, _DIFF_NEW_WINDOW)
 
 
+#: as-of bounds for the incremental recrawl build: crawl 1 vs crawl 4
+_RC_TS_OLD = "2024-01-10 00:00:00"
+_RC_TS_NEW = "2024-02-01 00:00:00"
+
+
+def q_kg_recrawl_incremental(spark, sf_dir):
+    """Incremental KG edge build over the multi-crawl corpus: re-extract
+    ONLY urls whose content appeared/changed since the crawl-1 snapshot,
+    retract changed urls' old triples (anti-join), keep the rest — then
+    aggregate edges. The oracle is a FROM-SCRATCH replay of the as-of-
+    crawl-4 snapshot (oracles.kg_recrawl_edges_sql), so the hash match
+    proves incremental == scratch, update/retract semantics included
+    (merge_edge_deltas is additive-only and cannot express this)."""
+    from posextract_spark.operators.graph import build_edges, link_triples
+    from posextract_spark.operators.temporal import incremental_triples
+    from posextract_spark.sources.pages import alias_table, generate_recrawls
+
+    pages = generate_recrawls(spark, 120, seed=42, n_partitions=8)
+    t = incremental_triples(pages, _RC_TS_OLD, _RC_TS_NEW)
+    return build_edges(link_triples(t, alias_table(spark)), source_col="url").select(
+        "src", "predicate", "dst", "weight"
+    )
+
+
 def q_kg_metapaths(spark, sf_dir):
     """2-hop relation-pattern mining over the triple graph: (pred_a,
     pred_b) path counts with distinct endpoint pairs — the schema-level
@@ -1160,6 +1184,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_churn": q_web_crawl_churn,
         "web_snapshot_diff": q_web_snapshot_diff,
         "kg_metapaths": q_kg_metapaths,
+        "kg_recrawl_incremental": q_kg_recrawl_incremental,
     }
 
 
@@ -1333,6 +1358,9 @@ def oracle_sql() -> dict[str, str]:
         + ", kg_p AS (SELECT subject AS src, verb AS predicate, object AS dst "
         "FROM svo_triples)"
         + _ga.relation_metapaths_sql("kg_p", max_mid_fanout=5800, min_support=200),
+        "kg_recrawl_incremental": _oracles.kg_recrawl_edges_sql(
+            120, 42, _RC_TS_NEW
+        ),
         "web_latest_capture": _oracles.web_latest_capture_sql(160, 42),
         "web_crawl_churn": _oracles.web_crawl_churn_sql(160, 42),
         "web_snapshot_diff": _oracles.web_snapshot_diff_sql(

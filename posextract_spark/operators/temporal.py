@@ -137,6 +137,65 @@ def snapshot_diff(
     )
 
 
+def incremental_triples(
+    pages: DataFrame,
+    ts_old: str,
+    ts_new: str,
+    base_triples: Optional[DataFrame] = None,
+    **extract_kwargs,
+) -> DataFrame:
+    """Per-url triples as-of ``ts_new``, re-extracting ONLY urls whose
+    content appeared or changed since ``ts_old`` — the incremental KG
+    build the north rule's crawl cadence implies (extraction is the
+    expensive stage; a weekly crawl changes a small fraction of 10^12
+    urls, so re-running it corpus-wide would waste almost all the work).
+
+    Correctness contract: the result is row-equivalent to extracting
+    from scratch over the as-of-``ts_new`` snapshot. Re-captures with
+    identical bytes are NOT dirty (fingerprint comparison, not
+    timestamps), and a changed url's OLD triples are retracted by the
+    anti-join — an additive edge merge (graph.merge_edge_deltas) cannot
+    express updates, which is exactly why this operator exists beside it.
+
+    ``base_triples``: the previous build's per-url triple table (what a
+    production pipeline has materialized already). When None, it is
+    computed from the old snapshot — the contract-scale stand-in.
+
+    Scale shape: snapshots are one struct-max shuffle each (payload
+    rides inside the max struct — one full row per url crosses the
+    wire, never the capture history); the dirty set is a same-key join
+    on url; extraction (the Python stage) runs over dirty urls only.
+    """
+    from posextract_spark.pipeline import pages_to_triples
+
+    # the corpus and the old snapshot are both multi-consumed subtrees
+    # (old -> base extraction + fp comparison; corpus -> both snapshots);
+    # Catalyst does not dedupe identical subtrees within one plan, so
+    # without a persist the source scan + md5 runs once PER REFERENCE
+    # (~4x; same lesson as kg_from_pages' triple fan-out)
+    fp = with_fingerprint(pages).persist()
+    payload = ("fp", "lang", "text", "html")
+    new = crawl_window_snapshot(fp, None, ts_new, payload=payload)
+    if base_triples is None:
+        old_snap = crawl_window_snapshot(fp, None, ts_old, payload=payload).persist()
+        base_triples = pages_to_triples(
+            old_snap.select("url", "warc_ts", "html", "text", "lang"),
+            **extract_kwargs,
+        )
+        old_fp = old_snap.select("url", F.col("fp").alias("old_fp"))
+    else:
+        old_fp = crawl_window_snapshot(fp, None, ts_old, payload=("fp",)).select(
+            "url", F.col("fp").alias("old_fp")
+        )
+    dirty = (
+        new.join(old_fp, "url", "left")
+        .filter(F.col("old_fp").isNull() | (F.col("old_fp") != F.col("fp")))
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+    kept = base_triples.join(dirty.select("url"), "url", "anti")
+    return kept.unionAll(pages_to_triples(dirty, **extract_kwargs))
+
+
 # --- DuckDB mirrors (oracle side; never fed to Spark) -----------------
 
 

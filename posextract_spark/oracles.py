@@ -520,3 +520,52 @@ def web_snapshot_diff_sql(
     from posextract_spark.operators.temporal import snapshot_diff_sql
 
     return snapshot_diff_sql(_recrawl_values_sql(n, seed), old_window, new_window)
+
+
+def kg_recrawl_edges_sql(
+    n: int = 120, seed: int = 42, ts_new: str = "2024-02-01 00:00:00"
+) -> str:
+    """Expected (src, predicate, dst, weight) for
+    __spark_entry__.q_kg_recrawl_incremental: a FROM-SCRATCH build over
+    the as-of-``ts_new`` snapshot of the recrawl corpus (latest capture
+    per url, en only, triples_for_sentence, exact alias linking). The
+    Spark side builds the same edges INCREMENTALLY (re-extracting only
+    dirty urls and retracting changed urls' old triples), so the hash
+    match proves incremental == scratch."""
+    import random  # noqa: F401  (parity with kg_pages_edges_sql imports)
+    from collections import Counter
+    from datetime import datetime, timezone
+
+    from posextract_spark.sources.pages import ENTITY_ALIASES, recrawl_captures
+
+    alias = {
+        surface.lower(): canonical
+        for canonical, surfaces in ENTITY_ALIASES.items()
+        for surface in surfaces
+    }
+
+    def entity_id(surface: str) -> int:
+        norm = surface.strip().lower()
+        return _portable_hash64_py(alias.get(norm, norm))
+
+    cutoff = datetime.fromisoformat(ts_new).replace(tzinfo=timezone.utc)
+    weights: Counter = Counter()
+    for i in range(n):
+        caps = [r for r in recrawl_captures(i, seed) if r["warc_ts"] <= cutoff]
+        if not caps:
+            continue
+        latest = max(caps, key=lambda r: r["warc_ts"])
+        if latest["lang"] != "en":
+            continue
+        for sentence in latest["_sentences"]:
+            for subj, verb, obj in triples_for_sentence(sentence):
+                weights[(entity_id(subj), verb, entity_id(obj))] += 1
+
+    rows = [(src, pred, dst, w) for (src, pred, dst), w in sorted(weights.items())]
+    cols = [
+        ("src", "BIGINT"),
+        ("predicate", "VARCHAR"),
+        ("dst", "BIGINT"),
+        ("weight", "BIGINT"),
+    ]
+    return _values_sql(rows, cols)

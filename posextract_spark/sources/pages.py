@@ -184,6 +184,11 @@ def recrawl_captures(i: int, seed: int = 42, n_crawls: int = N_CRAWLS) -> List[d
                 "html": html.encode("utf-8"),
                 "text": text,
                 "lang": lang,
+                # replay-only key (pd.DataFrame(columns=...) drops it from
+                # the Spark frame): the exact sentence list, so the
+                # incremental-KG oracle can apply triples_for_sentence
+                # without re-deriving sentences from html
+                "_sentences": sentences,
             }
         )
     return rows

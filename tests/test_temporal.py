@@ -125,3 +125,60 @@ def test_snapshot_diff_no_python_and_statuses_match_oracle_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Python" not in plan  # whole family stays JVM-side
+
+
+def test_incremental_triples_equals_scratch_and_only_extracts_dirty(spark):
+    from posextract_spark.operators.temporal import (
+        crawl_window_snapshot,
+        incremental_triples,
+        with_fingerprint,
+    )
+    from posextract_spark.pipeline import pages_to_triples
+    from posextract_spark.sources.pages import generate_recrawls
+
+    pages = generate_recrawls(spark, 60, seed=7, n_partitions=4)
+    ts_old, ts_new = "2024-01-10 00:00:00", "2024-02-01 00:00:00"
+
+    fp = with_fingerprint(pages)
+    payload = ("fp", "lang", "text", "html")
+    old = crawl_window_snapshot(fp, None, ts_old, payload=payload)
+    new = crawl_window_snapshot(fp, None, ts_new, payload=payload)
+    o = {r["url"]: r["fp"] for r in old.select("url", "fp").collect()}
+    n = {r["url"]: r["fp"] for r in new.select("url", "fp").collect()}
+    n_dirty = sum(1 for u, f in n.items() if o.get(u) != f)
+    # the scenario must exercise BOTH branches: some urls re-extracted,
+    # some carried over from the base build
+    assert 0 < n_dirty < len(n)
+
+    inc = incremental_triples(pages, ts_old, ts_new)
+    scratch = pages_to_triples(
+        new.select("url", "warc_ts", "html", "text", "lang")
+    )
+    cols = ["url", "subject", "verb", "object"]
+    got = sorted(map(tuple, inc.select(cols).collect()))
+    want = sorted(map(tuple, scratch.select(cols).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_incremental_triples_accepts_precomputed_base(spark):
+    from posextract_spark.operators.temporal import (
+        crawl_window_snapshot,
+        incremental_triples,
+        with_fingerprint,
+    )
+    from posextract_spark.pipeline import pages_to_triples
+    from posextract_spark.sources.pages import generate_recrawls
+
+    pages = generate_recrawls(spark, 40, seed=11, n_partitions=4)
+    ts_old, ts_new = "2024-01-10 00:00:00", "2024-02-01 00:00:00"
+    base = pages_to_triples(
+        crawl_window_snapshot(
+            with_fingerprint(pages), None, ts_old, payload=("fp", "lang", "text", "html")
+        ).select("url", "warc_ts", "html", "text", "lang")
+    )
+    via_base = incremental_triples(pages, ts_old, ts_new, base_triples=base)
+    recomputed = incremental_triples(pages, ts_old, ts_new)
+    cols = ["url", "subject", "verb", "object"]
+    assert sorted(map(tuple, via_base.select(cols).collect())) == sorted(
+        map(tuple, recomputed.select(cols).collect())
+    )
