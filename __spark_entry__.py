@@ -1062,6 +1062,50 @@ def q_kg_recrawl_incremental(spark, sf_dir):
     )
 
 
+def _kg_pred_edges(spark, sf_dir):
+    """(src, predicate, dst) predicate-edge view of the SVO triples —
+    shared by the relation-level queries (metapaths / fusion)."""
+    return _shared_triples(spark, sf_dir).select(
+        F.col("subject").alias("src"),
+        F.col("verb").alias("predicate"),
+        F.col("object").alias("dst"),
+    )
+
+
+def q_kg_relation_stats(spark, sf_dir):
+    """Per-predicate schema profile (functionality / inverse functionality
+    in integer fixed-point) — the signal that decides which relations the
+    fusion stage may collapse (operators/fusion.relation_stats)."""
+    from posextract_spark.operators.fusion import relation_stats
+
+    return relation_stats(_kg_pred_edges(spark, sf_dir))
+
+
+#: functionality gate for the fused-edges contract query: splits the sf0.01
+#: predicate vocabulary 6/11 (filter/group/merge/order/query/sort at
+#: >=149425 kept; batch/hash/join/scan/stream at <=144444 dropped), so the
+#: gate genuinely prunes predicates at contract scale
+_FUSE_MIN_FUNC_E6 = 145_000
+#: confidence floor: winners at contract scale span ~140k-1e6, so a 250k
+#: floor drops real rows without emptying the result
+_FUSE_MIN_CONF_E6 = 250_000
+
+
+def q_kg_fused_edges(spark, sf_dir):
+    """Knowledge fusion (truth discovery): majority-vote object per
+    (subject, predicate) for sufficiently functional predicates, with
+    deterministic min-object tie-break and an integer confidence score
+    (operators/fusion.fuse_functional_relations; oracle = the independent
+    window-formulation mirror fuse_functional_sql)."""
+    from posextract_spark.operators.fusion import fuse_functional_relations
+
+    return fuse_functional_relations(
+        _kg_pred_edges(spark, sf_dir),
+        min_functionality_e6=_FUSE_MIN_FUNC_E6,
+        min_confidence_e6=_FUSE_MIN_CONF_E6,
+    )
+
+
 def q_kg_metapaths(spark, sf_dir):
     """2-hop relation-pattern mining over the triple graph: (pred_a,
     pred_b) path counts with distinct endpoint pairs — the schema-level
@@ -1072,12 +1116,9 @@ def q_kg_metapaths(spark, sf_dir):
     relation_metapaths; oracle = the independent _sql mirror)."""
     from posextract_spark.operators.graph_analytics import relation_metapaths
 
-    edges = _shared_triples(spark, sf_dir).select(
-        F.col("subject").alias("src"),
-        F.col("verb").alias("predicate"),
-        F.col("object").alias("dst"),
+    return relation_metapaths(
+        _kg_pred_edges(spark, sf_dir), max_mid_fanout=5800, min_support=200
     )
-    return relation_metapaths(edges, max_mid_fanout=5800, min_support=200)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1185,6 +1226,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_snapshot_diff": q_web_snapshot_diff,
         "kg_metapaths": q_kg_metapaths,
         "kg_recrawl_incremental": q_kg_recrawl_incremental,
+        "kg_relation_stats": q_kg_relation_stats,
+        "kg_fused_edges": q_kg_fused_edges,
     }
 
 
@@ -1210,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         NGRAM_JACCARD_STATS_SQL,
         SIMHASH_SQL,
     )
+    from posextract_spark.operators import fusion as _fu
     from posextract_spark.operators import graph_analytics as _ga
     from posextract_spark.operators.pairs import SVO_ADJ_NOUN_SQL, SVO_SUBJ_VERB_SQL
     from posextract_spark.operators.similarity import (
@@ -1256,6 +1300,11 @@ def oracle_sql() -> dict[str, str]:
     # directed entity edge list the graph-analytics mirrors compose over
     # (matches _kg_edge_list)
     _KG_EDGE_VIEW = ", kg_e AS (SELECT subject AS src, object AS dst FROM svo_triples)"
+    # predicate-edge view (matches _kg_pred_edges)
+    _KG_PRED_VIEW = (
+        ", kg_p AS (SELECT subject AS src, verb AS predicate, object AS dst "
+        "FROM svo_triples)"
+    )
 
     return {
         "svo_triples": SVO_TRIPLES_CTE + "SELECT doc_id, subject, verb, object FROM svo_triples",
@@ -1355,9 +1404,18 @@ def oracle_sql() -> dict[str, str]:
             k=2,
         ),
         "kg_metapaths": SVO_TRIPLES_CTE
-        + ", kg_p AS (SELECT subject AS src, verb AS predicate, object AS dst "
-        "FROM svo_triples)"
+        + _KG_PRED_VIEW
         + _ga.relation_metapaths_sql("kg_p", max_mid_fanout=5800, min_support=200),
+        "kg_relation_stats": SVO_TRIPLES_CTE
+        + _KG_PRED_VIEW
+        + _fu.relation_stats_sql("kg_p"),
+        "kg_fused_edges": SVO_TRIPLES_CTE
+        + _KG_PRED_VIEW
+        + _fu.fuse_functional_sql(
+            "kg_p",
+            min_functionality_e6=_FUSE_MIN_FUNC_E6,
+            min_confidence_e6=_FUSE_MIN_CONF_E6,
+        ),
         "kg_recrawl_incremental": _oracles.kg_recrawl_edges_sql(
             120, 42, _RC_TS_NEW
         ),
