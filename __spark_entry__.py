@@ -1106,6 +1106,75 @@ def q_kg_fused_edges(spark, sf_dir):
     )
 
 
+def _kg_claims(spark, sf_dir):
+    """(source, src, predicate, dst) claim view of the SVO triples — each
+    document is one source asserting its extracted facts (the input shape
+    of the truth-discovery stage)."""
+    return _shared_triples(spark, sf_dir).select(
+        F.col("doc_id").alias("source"),
+        F.col("subject").alias("src"),
+        F.col("verb").alias("predicate"),
+        F.col("object").alias("dst"),
+    )
+
+
+#: 3 rounds = majority vote + two reliability refinements; fixed (never
+#: run-to-quiescence — weighted voting can 2-cycle, same as sync LPA)
+_TD_ROUNDS = 3
+
+
+def q_kg_truth_discovery(spark, sf_dir):
+    """Iterative source-reliability truth discovery over the per-document
+    claim view: round 1 is majority vote, rounds 2-3 reweight each document
+    by its agreement with the consensus (operators/fusion.truth_discovery;
+    oracle = the unrolled window-formulation mirror truth_discovery_sql)."""
+    from posextract_spark.operators.fusion import truth_discovery
+
+    return truth_discovery(_kg_claims(spark, sf_dir), rounds=_TD_ROUNDS)
+
+
+def q_kg_source_trust(spark, sf_dir):
+    """Per-document reliability after the final truth-discovery round —
+    the source-quality signal a crawler feeds back into scheduling
+    (operators/fusion.truth_discovery(return_trust=True); oracle =
+    source_trust_sql)."""
+    from posextract_spark.operators.fusion import truth_discovery
+
+    _, trust = truth_discovery(
+        _kg_claims(spark, sf_dir), rounds=_TD_ROUNDS, return_trust=True
+    )
+    return trust
+
+
+def q_kg_contested_facts(spark, sf_dir):
+    """Conflict detection: (subject, predicate) groups with >=2 distinct
+    objects, top-2 objects by support and the contention margin — the
+    review queue of a KG build (operators/fusion.contested_facts; oracle =
+    the window top-2 pivot mirror contested_facts_sql)."""
+    from posextract_spark.operators.fusion import contested_facts
+
+    return contested_facts(_kg_pred_edges(spark, sf_dir))
+
+
+def q_kg_random_walks(spark, sf_dir):
+    """Deterministic seeded random-walk corpus over the entity graph —
+    the DeepWalk-style sampling stage of KG-embedding training. At sf0.01
+    entity out-degrees are 13-14, so max_out_degree=8 genuinely prunes
+    adjacency (127 rows capped vs 130 uncapped, different hop choices) and
+    the contract exercises the capped branch
+    (operators/graph_analytics.random_walks; oracle = the unrolled
+    per-step window-argmin mirror random_walks_sql)."""
+    from posextract_spark.operators.graph_analytics import random_walks
+
+    return random_walks(
+        _kg_edge_list(spark, sf_dir),
+        walk_length=4,
+        walks_per_node=2,
+        seed=7,
+        max_out_degree=8,
+    )
+
+
 def q_kg_metapaths(spark, sf_dir):
     """2-hop relation-pattern mining over the triple graph: (pred_a,
     pred_b) path counts with distinct endpoint pairs — the schema-level
@@ -1228,6 +1297,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_recrawl_incremental": q_kg_recrawl_incremental,
         "kg_relation_stats": q_kg_relation_stats,
         "kg_fused_edges": q_kg_fused_edges,
+        "kg_truth_discovery": q_kg_truth_discovery,
+        "kg_source_trust": q_kg_source_trust,
+        "kg_contested_facts": q_kg_contested_facts,
+        "kg_random_walks": q_kg_random_walks,
     }
 
 
@@ -1304,6 +1377,11 @@ def oracle_sql() -> dict[str, str]:
     _KG_PRED_VIEW = (
         ", kg_p AS (SELECT subject AS src, verb AS predicate, object AS dst "
         "FROM svo_triples)"
+    )
+    # per-document claim view (matches _kg_claims)
+    _KG_CLAIM_VIEW = (
+        ", kg_c AS (SELECT doc_id AS source, subject AS src, "
+        "verb AS predicate, object AS dst FROM svo_triples)"
     )
 
     return {
@@ -1415,6 +1493,20 @@ def oracle_sql() -> dict[str, str]:
             "kg_p",
             min_functionality_e6=_FUSE_MIN_FUNC_E6,
             min_confidence_e6=_FUSE_MIN_CONF_E6,
+        ),
+        "kg_truth_discovery": SVO_TRIPLES_CTE
+        + _KG_CLAIM_VIEW
+        + _fu.truth_discovery_sql("kg_c", rounds=_TD_ROUNDS),
+        "kg_source_trust": SVO_TRIPLES_CTE
+        + _KG_CLAIM_VIEW
+        + _fu.source_trust_sql("kg_c", rounds=_TD_ROUNDS),
+        "kg_contested_facts": SVO_TRIPLES_CTE
+        + _KG_PRED_VIEW
+        + _fu.contested_facts_sql("kg_p"),
+        "kg_random_walks": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.random_walks_sql(
+            "kg_e", walk_length=4, walks_per_node=2, seed=7, max_out_degree=8
         ),
         "kg_recrawl_incremental": _oracles.kg_recrawl_edges_sql(
             120, 42, _RC_TS_NEW

@@ -16,6 +16,13 @@ object with a confidence score. Two operators:
   a threshold, pick the majority-vote object per (subject, predicate)
   (support = observation count; ties broken by MINIMUM object so the result
   is a pure function of the input), and emit support/total/confidence.
+- ``contested_facts``: conflict detection — (subject, predicate) groups
+  with >=2 distinct objects, top-2 objects by support and the contention
+  margin, all without a Window node.
+- ``truth_discovery``: iterative source-reliability weighted voting
+  (Accu/TruthFinder-lite) — majority vote is round 1; later rounds weight
+  each source by how often it agreed with the consensus, so one
+  authoritative page can overturn a mirror farm.
 
 Scale shape (the fusion path of a 10^12-triple build):
 - ``relation_stats``: one (src, predicate, dst) groupBy with map-side
@@ -148,6 +155,201 @@ def fuse_functional_relations(
     return fused
 
 
+def contested_facts(
+    triples: DataFrame,
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> DataFrame:
+    """Conflict detection: (src, predicate) groups asserting >=2 distinct
+    objects, with the top-2 objects by support and the contention margin.
+
+    Returns (src, predicate, n_objects, top_dst, top_support, runner_dst,
+    runner_support, margin_e6) where margin_e6 = floor(1e6 * runner_support
+    / top_support) — 1e6 means a dead heat, small values a clear winner.
+    Ordering inside a tie is by minimum object (same rule as fusion), so
+    top/runner are a pure function of the input.
+
+    Scale shape: two (src, predicate) struct-min aggregations (map-side
+    combinable) and one join back on the group key — no Window node, no
+    per-group collect, so a subject with millions of conflicting objects
+    costs two partial-agg passes, never a whole-partition sort.
+    """
+    cand = _edge_counts(triples, src, predicate, dst).withColumnRenamed(
+        "n_obs", "support"
+    )
+    top = (
+        cand.groupBy("src", "predicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+            F.min(
+                F.struct(
+                    (-F.col("support")).alias("negs"), F.col("dst").alias("d")
+                )
+            ).alias("m"),
+        )
+        .filter(F.col("n_objects") >= 2)
+        .select(
+            "src",
+            "predicate",
+            "n_objects",
+            F.col("m.d").alias("top_dst"),
+            (-F.col("m.negs")).cast("long").alias("top_support"),
+        )
+    )
+    runner = (
+        cand.join(top, ["src", "predicate"])
+        .filter(F.col("dst") != F.col("top_dst"))
+        .groupBy("src", "predicate")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("support")).alias("negs"), F.col("dst").alias("d")
+                )
+            ).alias("m")
+        )
+        .select(
+            "src",
+            "predicate",
+            F.col("m.d").alias("runner_dst"),
+            (-F.col("m.negs")).cast("long").alias("runner_support"),
+        )
+    )
+    return (
+        top.join(runner, ["src", "predicate"])
+        .withColumn(
+            "margin_e6",
+            F.expr("runner_support * 1000000 div top_support").cast("long"),
+        )
+    )
+
+
+def truth_discovery(
+    claims: DataFrame,
+    rounds: int = 3,
+    source: str = "source",
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+    return_trust: bool = False,
+):
+    """Iterative source-reliability truth discovery (Accu/TruthFinder-lite,
+    cf. Dong et al., VLDB'09; Li et al. "Truth Finding on the Deep Web").
+
+    Majority vote treats every page as equally reliable; on the web a
+    spammy mirror farm outvotes one authoritative page. This operator
+    alternates, for a FIXED number of rounds (fixed-point iteration —
+    run-to-quiescence can oscillate, same lesson as sync LPA):
+
+    1. fact scores: vote_e6(fact) = sum of trust_e6 over sources asserting
+       it; winner per (src, predicate) = max vote, ties by minimum dst.
+    2. source trust: trust_e6(source) = floor(1e6 * n_winning_claims /
+       n_claims) — sources that agree with the consensus gain weight.
+
+    Trust starts at 500000 for every source, so round 1 IS majority vote;
+    later rounds let reliable sources overturn it. All arithmetic is
+    integer fixed-point — the unrolled DuckDB mirror
+    (``truth_discovery_sql`` / ``source_trust_sql``) is engine-exact.
+
+    Returns the final-round winners (src, predicate, dst, n_sources,
+    vote_e6, total_e6, confidence_e6); with ``return_trust=True`` returns
+    ``(winners, trust)`` where trust = (source, n_claims, n_wins,
+    trust_e6) AFTER the final round (i.e. agreement with the returned
+    winners).
+
+    Scale shape (10^12 claims, 10^8 sources): the distinct claim set is
+    localCheckpointed once and re-read K+1 times; per round there are two
+    bounded shuffles over claim traffic (claims⋈trust on source — AQE
+    broadcasts trust while the source vocabulary is small — and the
+    (src, predicate, dst) vote groupBy, map-side combinable) plus one
+    claims⋈winners equi-join for the trust update; trust and winners are
+    localCheckpointed per round so lineage stays O(1), not O(rounds).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    c = (
+        claims.select(
+            F.col(source).alias("source"),
+            F.col(src).alias("src"),
+            F.col(predicate).alias("predicate"),
+            F.col(dst).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_claims = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_claims")
+    )
+    trust = n_claims.select(
+        "source", F.lit(500000).cast("long").alias("trust_e6")
+    ).localCheckpoint(eager=True)
+
+    winners = None
+    for _ in range(rounds):
+        scored = (
+            c.join(trust, "source")
+            .groupBy("src", "predicate", "dst")
+            .agg(
+                F.sum("trust_e6").cast("long").alias("vote_e6"),
+                F.count(F.lit(1)).cast("long").alias("n_sources"),
+            )
+        )
+        winners = (
+            scored.groupBy("src", "predicate")
+            .agg(
+                F.sum("vote_e6").cast("long").alias("total_e6"),
+                # (negv, d) is unique within the group (one row per dst),
+                # so ns/d ride along as never-compared payload
+                F.min(
+                    F.struct(
+                        (-F.col("vote_e6")).alias("negv"),
+                        F.col("dst").alias("d"),
+                        F.col("n_sources").alias("ns"),
+                    )
+                ).alias("m"),
+            )
+            .select(
+                "src",
+                "predicate",
+                F.col("m.d").alias("dst"),
+                F.col("m.ns").cast("long").alias("n_sources"),
+                (-F.col("m.negv")).cast("long").alias("vote_e6"),
+                "total_e6",
+            )
+            .localCheckpoint(eager=True)
+        )
+        wins = (
+            c.join(
+                winners.select("src", "predicate", "dst"),
+                ["src", "predicate", "dst"],
+            )
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_wins"))
+        )
+        trust = (
+            n_claims.join(wins, "source", "left")
+            .select(
+                "source",
+                "n_claims",
+                F.coalesce(F.col("n_wins"), F.lit(0)).cast("long").alias("n_wins"),
+                F.expr(
+                    "coalesce(n_wins, 0) * 1000000 div n_claims"
+                ).cast("long").alias("trust_e6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    facts = winners.withColumn(
+        "confidence_e6",
+        F.when(F.col("total_e6") == 0, F.lit(0))
+        .otherwise(F.expr("vote_e6 * 1000000 div total_e6"))
+        .cast("long"),
+    )
+    if return_trust:
+        return facts, trust
+    return facts
+
+
 # --- DuckDB mirrors (oracle side; never fed to Spark) -----------------------
 
 
@@ -171,6 +373,123 @@ SELECT predicate,
   CAST(count(DISTINCT src) * 1000000 // count(*) AS BIGINT) AS functionality_e6,
   CAST(count(DISTINCT dst) * 1000000 // count(*) AS BIGINT) AS inv_functionality_e6
 FROM _rs_edges GROUP BY predicate"""
+
+
+def contested_facts_sql(
+    triples_rel: str,
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> str:
+    """SQL suffix mirroring contested_facts() (window top-2 pivot — mirror
+    only, the Spark side stays Window-free)."""
+    return f"""
+, _cf_cand AS MATERIALIZED (
+  SELECT {src} AS src, {predicate} AS predicate, {dst} AS dst,
+         CAST(count(*) AS BIGINT) AS support
+  FROM {triples_rel} GROUP BY 1, 2, 3),
+_cf_ranked AS MATERIALIZED (
+  SELECT src, predicate, dst, support,
+         CAST(count(*) OVER (PARTITION BY src, predicate) AS BIGINT)
+           AS n_objects,
+         row_number() OVER (PARTITION BY src, predicate
+                            ORDER BY support DESC, dst ASC) AS rn
+  FROM _cf_cand)
+SELECT t.src, t.predicate, t.n_objects,
+       t.dst AS top_dst, t.support AS top_support,
+       r.dst AS runner_dst, r.support AS runner_support,
+       CAST(r.support * 1000000 // t.support AS BIGINT) AS margin_e6
+FROM _cf_ranked t
+JOIN _cf_ranked r ON r.src = t.src AND r.predicate = t.predicate
+WHERE t.rn = 1 AND r.rn = 2"""
+
+
+def _truth_discovery_chain(
+    claims_rel: str,
+    rounds: int,
+    source: str,
+    src: str,
+    predicate: str,
+    dst: str,
+) -> str:
+    """Shared unrolled CTE chain for the truth-discovery mirrors. Every
+    round-CTE is AS MATERIALIZED — DuckDB's default inlining re-evaluates
+    a CTE referenced k times per round ~k^rounds times (measured minutes
+    vs milliseconds on the kcore mirror)."""
+    parts = [
+        f"""
+, _td_claims AS MATERIALIZED (
+  SELECT DISTINCT {source} AS source, {src} AS src,
+         {predicate} AS predicate, {dst} AS dst
+  FROM {claims_rel}),
+_td_nclaims AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_claims
+  FROM _td_claims GROUP BY source),
+_td_trust_0 AS MATERIALIZED (
+  SELECT source, CAST(500000 AS BIGINT) AS trust_e6 FROM _td_nclaims)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+_td_scored_{r} AS MATERIALIZED (
+  SELECT c.src, c.predicate, c.dst,
+         CAST(sum(t.trust_e6) AS BIGINT) AS vote_e6,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM _td_claims c JOIN _td_trust_{r - 1} t USING (source)
+  GROUP BY 1, 2, 3),
+_td_win_{r} AS MATERIALIZED (
+  SELECT src, predicate, dst, n_sources, vote_e6, total_e6 FROM (
+    SELECT src, predicate, dst, n_sources, vote_e6,
+           CAST(sum(vote_e6) OVER (PARTITION BY src, predicate) AS BIGINT)
+             AS total_e6,
+           row_number() OVER (PARTITION BY src, predicate
+                              ORDER BY vote_e6 DESC, dst ASC) AS rn
+    FROM _td_scored_{r}) WHERE rn = 1),
+_td_trust_{r} AS MATERIALIZED (
+  SELECT n.source, n.n_claims,
+         CAST(coalesce(w.n_wins, 0) AS BIGINT) AS n_wins,
+         CAST(coalesce(w.n_wins, 0) * 1000000 // n.n_claims AS BIGINT)
+           AS trust_e6
+  FROM _td_nclaims n LEFT JOIN (
+    SELECT c.source, CAST(count(*) AS BIGINT) AS n_wins
+    FROM _td_claims c
+    JOIN _td_win_{r} v USING (src, predicate, dst)
+    GROUP BY c.source) w USING (source))"""
+        )
+    return "".join(parts)
+
+
+def truth_discovery_sql(
+    claims_rel: str,
+    rounds: int = 3,
+    source: str = "source",
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> str:
+    """SQL suffix mirroring truth_discovery()'s winners output."""
+    chain = _truth_discovery_chain(claims_rel, rounds, source, src, predicate, dst)
+    return f"""{chain}
+SELECT src, predicate, dst, n_sources, vote_e6, total_e6,
+       CAST(CASE WHEN total_e6 = 0 THEN 0
+                 ELSE vote_e6 * 1000000 // total_e6 END AS BIGINT)
+         AS confidence_e6
+FROM _td_win_{rounds}"""
+
+
+def source_trust_sql(
+    claims_rel: str,
+    rounds: int = 3,
+    source: str = "source",
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> str:
+    """SQL suffix mirroring truth_discovery(return_trust=True)'s trust
+    output (post-final-round source reliability)."""
+    chain = _truth_discovery_chain(claims_rel, rounds, source, src, predicate, dst)
+    return f"""{chain}
+SELECT source, n_claims, n_wins, trust_e6 FROM _td_trust_{rounds}"""
 
 
 def fuse_functional_sql(

@@ -990,3 +990,150 @@ SELECT e1.p AS pred_a, e2.p AS pred_b,
 FROM _mpe1 e1 JOIN _mpe e2 ON e1.d = e2.s AND e2.d <> e1.s
 GROUP BY e1.p, e2.p
 HAVING count(*) >= {min_support}"""
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+    max_out_degree: int | None = None,
+) -> DataFrame:
+    """Deterministic seeded random-walk corpus over a directed edge list —
+    the sampling stage of DeepWalk/node2vec-style KG embeddings (walks are
+    the "sentences" the embedding trainer consumes).
+
+    One walk of ``walk_length`` steps starts at every distinct source node,
+    ``walks_per_node`` times. The next hop from node u at step t of walk w
+    is the out-neighbor v minimizing ``md5(seed|w|t|u|v)`` — a
+    deterministic pseudo-random choice that is a pure function of
+    (data, seed), so stage retries reproduce it and the DuckDB mirror
+    (``random_walks_sql``) is engine-exact; ties on the 128-bit hash break
+    by minimum v. Walks that reach a node with no out-edges simply stop
+    (no padding rows). Self-loops are legal hops.
+
+    Returns (start, walk BIGINT, step BIGINT, node) in long format — one
+    row per visited position including step 0.
+
+    Scale shape: the adjacency is deduped and localCheckpointed ONCE and
+    re-read every step; each step is one equi-join frontier⋈adjacency on
+    the current node plus a (start, walk) struct-min aggregation
+    (map-side combinable, no Window). Per-step cost is
+    sum(out_degree(current node)) over walkers — a celebrity hub with 10^6
+    out-links costs 10^6 candidate rows per walker sitting on it, so
+    ``max_out_degree`` pre-prunes hub adjacency with the shared
+    deterministic hash cap (functions/capping.py: expected surviving
+    width = cap, exact below it); per-step localCheckpoint keeps lineage
+    O(1) in walk_length.
+    """
+    if walk_length < 1 or walks_per_node < 1:
+        raise ValueError("walk_length and walks_per_node must be >= 1")
+    adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    if max_out_degree is not None:
+        from posextract_spark.functions.capping import cap_bucket_width
+
+        adj = cap_bucket_width(adj, ["a"], "b", max_out_degree)
+    adj = adj.localCheckpoint(eager=True)
+
+    frontier = (
+        adj.select(F.col("a").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("walk"),
+        )
+        .select(
+            "start",
+            F.col("walk").cast("long").alias("walk"),
+            F.lit(0).cast("long").alias("step"),
+            F.col("start").alias("node"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = frontier
+    for t in range(1, walk_length + 1):
+        hop_hash = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(seed)),
+                F.col("walk").cast("string"),
+                F.lit(str(t)),
+                F.col("node"),
+                F.col("b"),
+            )
+        )
+        frontier = (
+            frontier.join(adj, F.col("node") == F.col("a"))
+            .groupBy("start", "walk")
+            .agg(
+                # (h, d) unique within the group up to md5 collisions;
+                # d breaks those too
+                F.min(F.struct(hop_hash.alias("h"), F.col("b").alias("d"))).alias("m")
+            )
+            .select(
+                "start",
+                "walk",
+                F.lit(t).cast("long").alias("step"),
+                F.col("m.d").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(frontier)
+    return out
+
+
+def random_walks_sql(
+    edges_rel: str,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+    max_out_degree: int | None = None,
+) -> str:
+    """SQL suffix mirroring random_walks() (DuckDB dialect; every step CTE
+    MATERIALIZED — each is read by the next step AND the final union)."""
+    from posextract_spark.functions.hashing import portable_hash64_sql
+
+    if max_out_degree is not None:
+        cap_hash = portable_hash64_sql("t.b")
+        adj = f"""
+, _rwadj0 AS MATERIALIZED (SELECT DISTINCT {src} AS a, {dst} AS b FROM {edges_rel}),
+_rwdeg AS MATERIALIZED (
+  SELECT a, CAST(count(*) AS BIGINT) AS n FROM _rwadj0 GROUP BY a),
+_rwadj AS MATERIALIZED (
+  SELECT t.a, t.b FROM _rwadj0 t JOIN _rwdeg d USING (a)
+  WHERE d.n <= {max_out_degree} OR ({cap_hash} % d.n) < {max_out_degree})"""
+    else:
+        adj = f"""
+, _rwadj AS MATERIALIZED (SELECT DISTINCT {src} AS a, {dst} AS b FROM {edges_rel})"""
+    walk_vals = ", ".join(f"({w})" for w in range(walks_per_node))
+    parts = [
+        adj,
+        f""",
+_rw0 AS MATERIALIZED (
+  SELECT s.start, CAST(w.walk AS BIGINT) AS walk, CAST(0 AS BIGINT) AS step,
+         s.start AS node
+  FROM (SELECT DISTINCT a AS start FROM _rwadj) s
+  CROSS JOIN (VALUES {walk_vals}) w(walk))""",
+    ]
+    for t in range(1, walk_length + 1):
+        parts.append(
+            f""",
+_rw{t} AS MATERIALIZED (
+  SELECT start, walk, CAST({t} AS BIGINT) AS step, node FROM (
+    SELECT f.start, f.walk, a.b AS node,
+           row_number() OVER (PARTITION BY f.start, f.walk
+             ORDER BY md5(concat_ws('|', '{seed}', CAST(f.walk AS VARCHAR),
+                                    '{t}', f.node, a.b)), a.b) AS rn
+    FROM _rw{t - 1} f JOIN _rwadj a ON a.a = f.node) WHERE rn = 1)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT start, walk, step, node FROM _rw{t}"
+        for t in range(walk_length + 1)
+    )
+    return "".join(parts) + "\n" + union

@@ -158,6 +158,162 @@ def _random_store(seed: int):
     ]
 
 
+# --- contested_facts ----------------------------------------------------------
+
+
+def brute_contested(rows):
+    from collections import Counter, defaultdict
+
+    obs = Counter(rows)
+    groups = defaultdict(dict)
+    for (s, p, d), n in obs.items():
+        groups[(s, p)][d] = n
+    out = []
+    for (s, p), dsts in groups.items():
+        if len(dsts) < 2:
+            continue
+        ranked = sorted(dsts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (td, ts), (rd, rs) = ranked[0], ranked[1]
+        out.append((s, p, len(dsts), td, ts, rd, rs, rs * 1_000_000 // ts))
+    return sorted(out)
+
+
+def test_contested_facts_handcrafted(spark):
+    out = fu.contested_facts(_store_df(spark))
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == brute_contested(STORE)
+    by_key = {(r[0], r[1]): r for r in rows}
+    # ada/born_in: london 3 vs paris 1 -> margin 333333
+    assert by_key[("ada", "born_in")][2:] == (2, "london", 3, "paris", 1, 333_333)
+    # cal's dead heat: top = min object on the tie
+    assert by_key[("cal", "born_in")][3:] == ("bern", 1, "zurich", 1, 1_000_000)
+    # bob/born_in has one object -> absent
+    assert ("bob", "born_in") not in by_key
+    # many-valued groups ARE reported (conflict detection ignores the
+    # functionality gate): ada/visited has 3 tied singleton objects
+    assert by_key[("ada", "visited")][3:] == ("kyiv", 1, "lima", 1, 1_000_000)
+
+
+# --- truth discovery ----------------------------------------------------------
+
+
+def brute_truth(quads, rounds):
+    """quads: iterable of (source, src, predicate, dst). Returns
+    (facts_sorted, trust_sorted) mirroring truth_discovery exactly."""
+    from collections import Counter, defaultdict
+
+    claims = set(quads)
+    sources = {q[0] for q in claims}
+    n_claims = Counter(q[0] for q in claims)
+    trust = {s: 500_000 for s in sources}
+    for _ in range(rounds):
+        votes = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+        for so, s, p, d in claims:
+            votes[(s, p)][d][0] += trust[so]
+            votes[(s, p)][d][1] += 1
+        winners = {}
+        for (s, p), dsts in votes.items():
+            total = sum(v for v, _ in dsts.values())
+            d, (vote, ns) = min(dsts.items(), key=lambda kv: (-kv[1][0], kv[0]))
+            winners[(s, p)] = (d, ns, vote, total)
+        wins = Counter()
+        for so, s, p, d in claims:
+            if winners[(s, p)][0] == d:
+                wins[so] += 1
+        trust = {so: wins[so] * 1_000_000 // n_claims[so] for so in sources}
+    facts = sorted(
+        (s, p, d, ns, vote, total, (0 if total == 0 else vote * 1_000_000 // total))
+        for (s, p), (d, ns, vote, total) in winners.items()
+    )
+    trust_rows = sorted((so, n_claims[so], wins[so], trust[so]) for so in sources)
+    return facts, trust_rows
+
+
+# Mirror-farm scenario: sources A and D are authoritative (agree with the
+# consensus on g1-g4); B, C, E are a low-quality farm that asserts 'b' for
+# gx plus junk elsewhere. Round 1 (= majority) elects 'b' for gx (3 votes
+# vs 2); after one trust update A+D (800k each) outweigh B+C+E (333,333
+# each) and 'a' overturns it.
+FARM = (
+    [("A", g, "p", "t") for g in ["g1", "g2", "g3", "g4"]]
+    + [("D", g, "p", "t") for g in ["g1", "g2", "g3", "g4"]]
+    + [("A", "gx", "p", "a"), ("D", "gx", "p", "a")]
+    + [("B", "gx", "p", "b"), ("B", "g1", "p", "u1"), ("B", "g2", "p", "u2")]
+    + [("C", "gx", "p", "b"), ("C", "g3", "p", "u3"), ("C", "g4", "p", "u4")]
+    + [("E", "gx", "p", "b"), ("E", "g1", "p", "u5"), ("E", "g2", "p", "u6")]
+)
+
+
+def _farm_df(spark):
+    return spark.createDataFrame(FARM, ["source", "src", "predicate", "dst"])
+
+
+def test_truth_discovery_overturns_majority(spark):
+    df = _farm_df(spark)
+    r1 = {(r["src"], r["predicate"]): r for r in fu.truth_discovery(df, rounds=1).collect()}
+    # round 1 IS majority vote: the farm wins gx 3:2
+    assert r1[("gx", "p")]["dst"] == "b"
+    assert (r1[("gx", "p")]["vote_e6"], r1[("gx", "p")]["total_e6"]) == (1_500_000, 2_500_000)
+
+    facts2, trust2 = fu.truth_discovery(df, rounds=2, return_trust=True)
+    r2 = {(r["src"], r["predicate"]): r for r in facts2.collect()}
+    # reliability flips it: a = 2 * 800000 = 1.6M > b = 3 * 333333
+    assert r2[("gx", "p")]["dst"] == "a"
+    assert r2[("gx", "p")]["vote_e6"] == 1_600_000
+    assert r2[("gx", "p")]["n_sources"] == 2
+    t2 = {r["source"]: r for r in trust2.collect()}
+    # after round 2 A and D win every claim; the farm wins none
+    assert t2["A"]["trust_e6"] == 1_000_000 and t2["A"]["n_wins"] == 5
+    assert t2["B"]["trust_e6"] == 0 and t2["B"]["n_claims"] == 3
+
+    want_facts, want_trust = brute_truth(FARM, 2)
+    assert sorted(tuple(r) for r in facts2.collect()) == want_facts
+    assert sorted(tuple(r) for r in trust2.collect()) == want_trust
+
+
+def test_truth_discovery_rejects_bad_rounds(spark):
+    with pytest.raises(ValueError):
+        fu.truth_discovery(_farm_df(spark), rounds=0)
+
+
+def _random_claims(seed: int):
+    rng = random.Random(seed * 31 + 7)
+    sources = [f"w{i}" for i in range(rng.randint(2, 6))]
+    subs = [f"s{i}" for i in range(rng.randint(2, 6))]
+    preds = [f"p{i}" for i in range(rng.randint(1, 3))]
+    objs = [f"o{i}" for i in range(rng.randint(2, 5))]
+    return [
+        (rng.choice(sources), rng.choice(subs), rng.choice(preds), rng.choice(objs))
+        for _ in range(rng.randint(6, 150))
+    ]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_truth_discovery_random_parity(spark, seed):
+    quads = _random_claims(seed)
+    rounds = random.Random(seed).choice([1, 2, 3])
+    pdf = pd.DataFrame(quads, columns=["source", "src", "predicate", "dst"])
+    sdf = spark.createDataFrame(pdf)
+
+    facts, trust = fu.truth_discovery(sdf, rounds=rounds, return_trust=True)
+    want_facts, want_trust = brute_truth(quads, rounds)
+    assert sorted(tuple(r) for r in facts.collect()) == want_facts
+    assert sorted(tuple(r) for r in trust.collect()) == want_trust
+
+    _assert_match(facts, _duck(pdf, fu.truth_discovery_sql("triples_base", rounds)))
+    _assert_match(trust, _duck(pdf, fu.source_trust_sql("triples_base", rounds)))
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_contested_random_parity(spark, seed):
+    rows = _random_store(seed)
+    pdf = pd.DataFrame(rows, columns=["src", "predicate", "dst"])
+    sdf = spark.createDataFrame(pdf)
+    out = fu.contested_facts(sdf)
+    assert sorted(tuple(r) for r in out.collect()) == brute_contested(rows)
+    _assert_match(out, _duck(pdf, fu.contested_facts_sql("triples_base")))
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
 def test_fusion_random_parity_spark_python_duckdb(spark, seed):
     rows = _random_store(seed)

@@ -734,3 +734,133 @@ def test_relation_metapaths_matches_duckdb_mirror_on_random_graphs(spark):
         )
         got = ga.relation_metapaths(_mp_df(spark, rows), max_mid_fanout=cap)
         _assert_frame_match(got, want)
+
+
+# --- random walks -------------------------------------------------------------
+
+
+def _md5_hex(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _portable_hash64(s: str) -> int:
+    return int(_md5_hex(s)[:15], 16)
+
+
+def brute_walks(edges, walk_length, walks_per_node, seed, cap=None):
+    """Pure-Python mirror of random_walks: (start, walk, step, node) rows."""
+    adj = {}
+    dedup = sorted(set(edges))
+    if cap is not None:
+        from collections import Counter
+
+        width = Counter(a for a, _ in dedup)
+        dedup = [
+            (a, b)
+            for a, b in dedup
+            if width[a] <= cap or _portable_hash64(b) % width[a] < cap
+        ]
+    for a, b in dedup:
+        adj.setdefault(a, []).append(b)
+    out = []
+    for start in sorted(adj):
+        for w in range(walks_per_node):
+            node = start
+            out.append((start, w, 0, node))
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(node)
+                if not nbrs:
+                    break
+                node = min(
+                    nbrs, key=lambda v: (_md5_hex(f"{seed}|{w}|{t}|{node}|{v}"), v)
+                )
+                out.append((start, w, t, node))
+    return sorted(out)
+
+
+def _walk_rows(sdf):
+    return sorted((r["start"], r["walk"], r["step"], r["node"]) for r in sdf.collect())
+
+
+def test_walks_deterministic_and_stop_at_sink(spark):
+    # b is a sink: walks from a stop after reaching it; c->c self-loop spins
+    edges = [("a", "b"), ("c", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = _walk_rows(ga.random_walks(df, walk_length=3, walks_per_node=1, seed=1))
+    assert got == brute_walks(edges, 3, 1, 1)
+    # a's walk: step0=a, step1=b (only neighbor), then stops
+    assert ("a", 0, 1, "b") in got and not any(
+        r[0] == "a" and r[2] >= 2 for r in got
+    )
+    # self-loop walk never stops
+    assert ("c", 0, 3, "c") in got
+
+
+def test_walks_choice_varies_by_walk_and_step(spark):
+    # star center with many leaves: different walk indices / steps hash to
+    # different leaves (the corpus isn't one repeated walk)
+    leaves = [f"v{i}" for i in range(12)]
+    edges = [("hub", v) for v in leaves] + [(v, "hub") for v in leaves]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = _walk_rows(ga.random_walks(df, walk_length=4, walks_per_node=3, seed=9))
+    assert got == brute_walks(edges, 4, 3, 9)
+    hub_hops = {(r[1], r[2]): r[3] for r in got if r[0] == "hub"}
+    # at least two distinct leaves chosen across (walk, step) slots
+    assert len(set(hub_hops.values()) - {"hub"}) >= 2
+
+
+def test_walks_rejects_bad_params(spark):
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        ga.random_walks(df, walk_length=0)
+    with pytest.raises(ValueError):
+        ga.random_walks(df, walks_per_node=0)
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_walks_random_parity_spark_python_duckdb(spark, seed):
+    rng = random.Random(seed * 13 + 1)
+    nodes = [f"n{i}" for i in range(rng.randint(3, 10))]
+    rows = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randint(4, 60))
+    ]
+    wl = rng.randint(1, 5)
+    wpn = rng.randint(1, 3)
+    cap = rng.choice([None, 2, 3])
+    pdf = pd.DataFrame(rows, columns=["src", "dst"])
+    sdf = spark.createDataFrame(pdf)
+    got = ga.random_walks(
+        sdf, walk_length=wl, walks_per_node=wpn, seed=seed, max_out_degree=cap
+    )
+    assert _walk_rows(got) == brute_walks(rows, wl, wpn, seed, cap)
+    want = _duck(
+        pdf,
+        ga.random_walks_sql(
+            "edges_base",
+            walk_length=wl,
+            walks_per_node=wpn,
+            seed=seed,
+            max_out_degree=cap,
+        ),
+    )
+    _assert_frame_match(got, want)
+
+
+def test_walks_cap_prunes_hub_choices(spark):
+    # hub with width 40 >> cap 5: the capped walk must pick from the
+    # deterministic surviving subset, and that subset is a strict subset
+    # (prefix 'leaf' chosen so the binomial draw keeps 4 of 40 — a 'w'
+    # prefix at cap 3 happened to keep ZERO, a legal but signal-free draw)
+    leaves = [f"leaf{i:02d}" for i in range(40)]
+    edges = [("hub", v) for v in leaves]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    survivors = {
+        b for b in leaves if _portable_hash64(b) % 40 < 5
+    }
+    assert 0 < len(survivors) < 40
+    got = _walk_rows(ga.random_walks(df, walk_length=1, walks_per_node=4, seed=5, max_out_degree=5))
+    assert got == brute_walks(edges, 1, 4, 5, cap=5)
+    picked = {r[3] for r in got if r[2] == 1}
+    assert picked <= survivors
