@@ -1175,6 +1175,20 @@ def q_kg_random_walks(spark, sf_dir):
     )
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic filtered negative sampling for KG-embedding training
+    (the label side of the embedding corpus; pairs with kg_random_walks).
+    At sf0.01 the entity graph is a dense near-clique, so the
+    filtered-positive anti-join genuinely fires: 1978 raw slots -> 924
+    emitted negatives (operators/mldata.kg_negative_samples; oracle = the
+    window-argmin + NOT EXISTS mirror kg_negative_samples_sql)."""
+    from posextract_spark.operators.mldata import kg_negative_samples
+
+    return kg_negative_samples(
+        _kg_pred_edges(spark, sf_dir), n_negatives=2, n_buckets=4, seed=13
+    )
+
+
 def q_kg_metapaths(spark, sf_dir):
     """2-hop relation-pattern mining over the triple graph: (pred_a,
     pred_b) path counts with distinct endpoint pairs — the schema-level
@@ -1301,6 +1315,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_source_trust": q_kg_source_trust,
         "kg_contested_facts": q_kg_contested_facts,
         "kg_random_walks": q_kg_random_walks,
+        "kg_negative_samples": q_kg_negative_samples,
     }
 
 
@@ -1507,6 +1522,11 @@ def oracle_sql() -> dict[str, str]:
         + _KG_EDGE_VIEW
         + _ga.random_walks_sql(
             "kg_e", walk_length=4, walks_per_node=2, seed=7, max_out_degree=8
+        ),
+        "kg_negative_samples": SVO_TRIPLES_CTE
+        + _KG_PRED_VIEW
+        + _mldata.kg_negative_samples_sql(
+            "kg_p", n_negatives=2, n_buckets=4, seed=13
         ),
         "kg_recrawl_incremental": _oracles.kg_recrawl_edges_sql(
             120, 42, _RC_TS_NEW

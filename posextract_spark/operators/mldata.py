@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from posextract_spark.functions.hashing import portable_hash64, word_array
+from posextract_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+    word_array,
+)
 
 
 def hash_split(
@@ -374,3 +378,154 @@ FROM documents
 WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000
       < (CASE {cases} ELSE {default_rate_e6} END)
 """
+
+
+def kg_negative_samples(
+    triples: DataFrame,
+    n_negatives: int = 2,
+    n_buckets: int = 64,
+    seed: int = 42,
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding training
+    (TransE-family): for each distinct triple (s, p, d) and negative slot
+    i < ``n_negatives``, corrupt the object to a pseudo-random entity and
+    drop corruptions that are themselves known positives (the standard
+    "filtered" setting, Bordes et al. NeurIPS'13).
+
+    The corrupt entity for (s, p, d, i) is chosen in two deterministic
+    hash steps so the result is a pure function of (data, seed) — stage
+    retries reproduce it and the DuckDB mirror
+    (``kg_negative_samples_sql``) is engine-exact:
+
+    1. bucket: the entity vocabulary (distinct src ∪ dst) is hashed into
+       ``n_buckets`` groups; slot i of triple t draws from bucket
+       ``portable_hash64(seed|s|p|d|i) % n_buckets``.
+    2. pick: within that bucket, the entity minimizing
+       ``md5(seed|s|p|d|i|e)`` (ties by minimum e).
+
+    A slot whose bucket is empty, or whose pick equals the true object or
+    collides with any known (s, p, ·) positive, emits nothing — expected
+    loss is |positives per (s,p)| / (|vocab| / n_buckets), negligible at
+    corpus scale and deterministic at any scale.
+
+    Returns (src, predicate, dst, neg_idx BIGINT, neg_dst).
+
+    Scale shape: candidate generation is ONE equi-join on bucket id —
+    each of the k·|triples| requests meets expected |vocab|/n_buckets
+    candidate entities, so ``n_buckets`` is the knob that bounds join
+    fan-out (size it ~|vocab|/64); the argmin is a map-side-combinable
+    struct-min groupBy (no Window), and the filtered-positive check is a
+    broadcast-or-shuffle left_anti equi-join on (s, p, candidate). The
+    vocabulary frame is localCheckpointed once and never re-derived.
+    """
+    if n_negatives < 1 or n_buckets < 1:
+        raise ValueError("n_negatives and n_buckets must be >= 1")
+    trip = (
+        triples.select(
+            F.col(src).alias("src"),
+            F.col(predicate).alias("predicate"),
+            F.col(dst).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        trip.select(F.col("src").alias("e"))
+        .unionAll(trip.select(F.col("dst").alias("e")))
+        .distinct()
+        .select("e", F.pmod(portable_hash64(F.col("e")), F.lit(n_buckets)).alias("bkt"))
+        .localCheckpoint(eager=True)
+    )
+    req = trip.select(
+        "src",
+        "predicate",
+        "dst",
+        F.explode(F.sequence(F.lit(0), F.lit(n_negatives - 1))).alias("neg_idx"),
+    ).select(
+        "src",
+        "predicate",
+        "dst",
+        F.col("neg_idx").cast("long").alias("neg_idx"),
+        F.pmod(
+            portable_hash64(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(seed)),
+                    F.col("src"),
+                    F.col("predicate"),
+                    F.col("dst"),
+                    F.col("neg_idx").cast("string"),
+                )
+            ),
+            F.lit(n_buckets),
+        ).alias("bkt"),
+    )
+    pick_hash = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(str(seed)),
+            F.col("src"),
+            F.col("predicate"),
+            F.col("dst"),
+            F.col("neg_idx").cast("string"),
+            F.col("e"),
+        )
+    )
+    negs = (
+        req.join(vocab, "bkt")
+        .groupBy("src", "predicate", "dst", "neg_idx")
+        .agg(F.min(F.struct(pick_hash.alias("h"), F.col("e").alias("c"))).alias("m"))
+        .select("src", "predicate", "dst", "neg_idx", F.col("m.c").alias("neg_dst"))
+    )
+    known = trip.select(
+        "src", "predicate", F.col("dst").alias("neg_dst")
+    )
+    return negs.join(known, ["src", "predicate", "neg_dst"], "left_anti").select(
+        "src", "predicate", "dst", "neg_idx", "neg_dst"
+    )
+
+
+def kg_negative_samples_sql(
+    triples_rel: str,
+    n_negatives: int = 2,
+    n_buckets: int = 64,
+    seed: int = 42,
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> str:
+    """SQL suffix mirroring kg_negative_samples() (DuckDB dialect)."""
+    req_hash = portable_hash64_sql(
+        f"concat_ws('|', '{seed}', t.src, t.predicate, t.dst, "
+        "CAST(i.neg_idx AS VARCHAR))"
+    )
+    idx_vals = ", ".join(f"({i})" for i in range(n_negatives))
+    return f"""
+, _ns_trip AS MATERIALIZED (
+  SELECT DISTINCT {src} AS src, {predicate} AS predicate, {dst} AS dst
+  FROM {triples_rel}),
+_ns_vocab AS MATERIALIZED (
+  SELECT e, ({portable_hash64_sql('e')} % {n_buckets}) AS bkt FROM (
+    SELECT DISTINCT src AS e FROM _ns_trip
+    UNION SELECT DISTINCT dst AS e FROM _ns_trip)),
+_ns_req AS MATERIALIZED (
+  SELECT t.src, t.predicate, t.dst, CAST(i.neg_idx AS BIGINT) AS neg_idx,
+         ({req_hash} % {n_buckets}) AS bkt
+  FROM _ns_trip t CROSS JOIN (VALUES {idx_vals}) i(neg_idx)),
+_ns_pick AS MATERIALIZED (
+  SELECT src, predicate, dst, neg_idx, e AS neg_dst FROM (
+    SELECT r.src, r.predicate, r.dst, r.neg_idx, v.e,
+           row_number() OVER (
+             PARTITION BY r.src, r.predicate, r.dst, r.neg_idx
+             ORDER BY md5(concat_ws('|', '{seed}', r.src, r.predicate,
+                                    r.dst, CAST(r.neg_idx AS VARCHAR), v.e)),
+                      v.e) AS rn
+    FROM _ns_req r JOIN _ns_vocab v USING (bkt)) WHERE rn = 1)
+SELECT p.src, p.predicate, p.dst, p.neg_idx, p.neg_dst
+FROM _ns_pick p
+WHERE NOT EXISTS (
+  SELECT 1 FROM _ns_trip k
+  WHERE k.src = p.src AND k.predicate = p.predicate AND k.dst = p.neg_dst)"""
