@@ -1062,6 +1062,50 @@ def q_kg_recrawl_incremental(spark, sf_dir):
     )
 
 
+#: fact-history crawl cutoffs: crawls 0-1, 0-2, all 5 (generator weeks
+#: 2024-01-01 .. 2024-01-29)
+_FH_CUTOFFS = (
+    "2024-01-10 00:00:00",
+    "2024-01-20 00:00:00",
+    "2024-02-01 00:00:00",
+)
+
+
+def q_kg_fact_history(spark, sf_dir):
+    """Temporal fact versioning over the recrawl corpus: the KG's winning
+    object per (subject, predicate) AS OF each crawl cutoff, with change
+    detection across cutoffs — the slowly-changing-dimension view a
+    weekly-recrawl KG needs ("when did the consensus flip"). Composes
+    crawl_window_snapshot x pages_to_triples x fact_history; at the
+    contract scale the corpus genuinely flips winners across cutoffs
+    (213 rows, 45 unchanged re-observations). Oracle = full generator
+    replay + pure-Python fact-history mirror
+    (oracles.kg_fact_history_sql)."""
+    from posextract_spark.operators.temporal import crawl_window_snapshot, fact_history
+    from posextract_spark.pipeline import pages_to_triples
+    from posextract_spark.sources.pages import generate_recrawls
+
+    pages = generate_recrawls(spark, 120, seed=42, n_partitions=8).persist()
+    claims = None
+    for cut in _FH_CUTOFFS:
+        snap = crawl_window_snapshot(
+            pages, None, cut, payload=("lang", "text", "html")
+        )
+        t = pages_to_triples(snap.select("url", "warc_ts", "html", "text", "lang"))
+        c = t.select(
+            F.col("subject").alias("src"),
+            F.col("verb").alias("predicate"),
+            F.lit(cut).alias("epoch"),
+            F.col("object").alias("dst"),
+        )
+        claims = c if claims is None else claims.unionAll(c)
+    out = fact_history(claims)
+    # fact_history eagerly localCheckpoints its winners frame, so the
+    # extraction lineage is already materialized — safe to release pages
+    pages.unpersist()
+    return out
+
+
 def _kg_pred_edges(spark, sf_dir):
     """(src, predicate, dst) predicate-edge view of the SVO triples —
     shared by the relation-level queries (metapaths / fusion)."""
@@ -1316,6 +1360,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_contested_facts": q_kg_contested_facts,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
+        "kg_fact_history": q_kg_fact_history,
     }
 
 
@@ -1531,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_recrawl_incremental": _oracles.kg_recrawl_edges_sql(
             120, 42, _RC_TS_NEW
         ),
+        "kg_fact_history": _oracles.kg_fact_history_sql(120, 42, _FH_CUTOFFS),
         "web_latest_capture": _oracles.web_latest_capture_sql(160, 42),
         "web_crawl_churn": _oracles.web_crawl_churn_sql(160, 42),
         "web_snapshot_diff": _oracles.web_snapshot_diff_sql(

@@ -273,3 +273,121 @@ SELECT COALESCE(o.url, n.url) AS url,
        o.fp AS old_fp, n.fp AS new_fp
 FROM old_s o FULL OUTER JOIN new_s n ON o.url = n.url"""
     )
+
+
+def fact_history(
+    claims: DataFrame,
+    epoch: str = "epoch",
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> DataFrame:
+    """Temporal fact versioning: the winning object per (src, predicate)
+    in each epoch, with change detection against the previous epoch the
+    fact was observed in — the slowly-changing-dimension view of a KG
+    built from weekly recrawls ("who is CEO of X *as of* crawl k, and
+    when did it change").
+
+    ``claims``: one row per extracted assertion with an orderable
+    ``epoch`` column (string cutoff label, date, crawl id — anything with
+    a total order). Winner per (src, predicate, epoch) is majority
+    support with minimum-dst tie-break (same rule as fusion, so the
+    result is a pure function of the input). ``prev_dst`` is the winner
+    at the LATEST EARLIER epoch where the same (src, predicate) was
+    observed (facts may skip epochs); ``changed`` is true on first
+    appearance and on any winner flip.
+
+    Returns (src, predicate, epoch, dst, support, prev_dst, changed).
+
+    Scale shape: one (src, predicate, epoch, dst) count shuffle + one
+    struct-min per (src, predicate, epoch) — both map-side combinable, no
+    Window. Predecessor lookup self-joins the WINNERS frame (already
+    collapsed to one row per fact per epoch) on (src, predicate) with an
+    epoch inequality — per-fact work is O(epochs^2) with epochs = crawl
+    count (dozens), never data-sized; the winners frame is
+    localCheckpointed so its lineage is evaluated once, not three times.
+    """
+    counts = claims.groupBy(
+        F.col(src).alias("src"),
+        F.col(predicate).alias("predicate"),
+        F.col(epoch).alias("epoch"),
+        F.col(dst).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("support"))
+    winners = (
+        counts.groupBy("src", "predicate", "epoch")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("support")).alias("negs"), F.col("dst").alias("d")
+                )
+            ).alias("m")
+        )
+        .select(
+            "src",
+            "predicate",
+            "epoch",
+            F.col("m.d").alias("dst"),
+            (-F.col("m.negs")).cast("long").alias("support"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev = (
+        winners.alias("cur")
+        .join(
+            winners.select(
+                F.col("src").alias("p_src"),
+                F.col("predicate").alias("p_predicate"),
+                F.col("epoch").alias("p_epoch"),
+                F.col("dst").alias("p_dst"),
+            ),
+            (F.col("cur.src") == F.col("p_src"))
+            & (F.col("cur.predicate") == F.col("p_predicate"))
+            & (F.col("p_epoch") < F.col("cur.epoch")),
+        )
+        .groupBy(
+            F.col("cur.src").alias("src"),
+            F.col("cur.predicate").alias("predicate"),
+            F.col("cur.epoch").alias("epoch"),
+        )
+        # (epoch, dst) unique per (src, predicate): dst is tie-free payload
+        .agg(F.max(F.struct(F.col("p_epoch"), F.col("p_dst"))).alias("pm"))
+        .select("src", "predicate", "epoch", F.col("pm.p_dst").alias("prev_dst"))
+    )
+    return (
+        winners.join(prev, ["src", "predicate", "epoch"], "left")
+        .withColumn(
+            "changed",
+            F.col("prev_dst").isNull() | (F.col("prev_dst") != F.col("dst")),
+        )
+        .select(
+            "src", "predicate", "epoch", "dst", "support", "prev_dst", "changed"
+        )
+    )
+
+
+def fact_history_sql(
+    claims_rel: str,
+    epoch: str = "epoch",
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> str:
+    """SQL suffix mirroring fact_history() (DuckDB dialect; lag window —
+    mirror only, the Spark side stays Window-free)."""
+    return f"""
+, _fh_cnt AS MATERIALIZED (
+  SELECT {src} AS src, {predicate} AS predicate, {epoch} AS epoch,
+         {dst} AS dst, CAST(count(*) AS BIGINT) AS support
+  FROM {claims_rel} GROUP BY 1, 2, 3, 4),
+_fh_w AS MATERIALIZED (
+  SELECT src, predicate, epoch, dst, support FROM (
+    SELECT src, predicate, epoch, dst, support,
+           row_number() OVER (PARTITION BY src, predicate, epoch
+                              ORDER BY support DESC, dst ASC) AS rn
+    FROM _fh_cnt) WHERE rn = 1)
+SELECT src, predicate, epoch, dst, support, prev_dst,
+       (prev_dst IS NULL OR prev_dst <> dst) AS changed
+FROM (
+  SELECT src, predicate, epoch, dst, support,
+         lag(dst) OVER (PARTITION BY src, predicate ORDER BY epoch) AS prev_dst
+  FROM _fh_w)"""

@@ -34,6 +34,10 @@ def _values_sql(
     """
 
     def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):  # before int: bool IS an int subclass
+            return "TRUE" if v else "FALSE"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         return str(int(v))
@@ -567,5 +571,67 @@ def kg_recrawl_edges_sql(
         ("predicate", "VARCHAR"),
         ("dst", "BIGINT"),
         ("weight", "BIGINT"),
+    ]
+    return _values_sql(rows, cols)
+
+
+def kg_fact_history_sql(
+    n: int = 120,
+    seed: int = 42,
+    cutoffs: tuple = (
+        "2024-01-10 00:00:00",
+        "2024-01-20 00:00:00",
+        "2024-02-01 00:00:00",
+    ),
+) -> str:
+    """Expected (src, predicate, epoch, dst, support, prev_dst, changed)
+    for __spark_entry__.q_kg_fact_history: per cutoff, replay the as-of
+    snapshot of the recrawl corpus (latest capture per url, en only —
+    same replay as kg_recrawl_edges_sql), count raw triple assertions,
+    then apply the fact_history rule (majority winner per fact per epoch,
+    min-dst ties, prev = winner at the latest earlier epoch observed,
+    changed on first appearance or flip) in pure Python."""
+    from collections import Counter, defaultdict
+    from datetime import datetime, timezone
+
+    from posextract_spark.sources.pages import recrawl_captures
+
+    winners: dict = {}
+    for cut in cutoffs:
+        cutoff = datetime.fromisoformat(cut).replace(tzinfo=timezone.utc)
+        cnt: Counter = Counter()
+        for i in range(n):
+            caps = [r for r in recrawl_captures(i, seed) if r["warc_ts"] <= cutoff]
+            if not caps:
+                continue
+            latest = max(caps, key=lambda r: r["warc_ts"])
+            if latest["lang"] != "en":
+                continue
+            for sentence in latest["_sentences"]:
+                for subj, verb, obj in triples_for_sentence(sentence):
+                    cnt[(subj, verb, obj)] += 1
+        groups: dict = defaultdict(dict)
+        for (s, p, d), c in cnt.items():
+            groups[(s, p)][d] = c
+        for (s, p), dsts in groups.items():
+            d, c = min(dsts.items(), key=lambda kv: (-kv[1], kv[0]))
+            winners[(s, p, cut)] = (d, c)
+
+    rows = []
+    for (s, p, e), (d, c) in winners.items():
+        earlier = [
+            e2 for (s2, p2, e2) in winners if s2 == s and p2 == p and e2 < e
+        ]
+        prev = winners[(s, p, max(earlier))][0] if earlier else None
+        rows.append((s, p, e, d, c, prev, prev is None or prev != d))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    cols = [
+        ("src", "VARCHAR"),
+        ("predicate", "VARCHAR"),
+        ("epoch", "VARCHAR"),
+        ("dst", "VARCHAR"),
+        ("support", "BIGINT"),
+        ("prev_dst", "VARCHAR"),
+        ("changed", "BOOLEAN"),
     ]
     return _values_sql(rows, cols)

@@ -182,3 +182,104 @@ def test_incremental_triples_accepts_precomputed_base(spark):
     assert sorted(map(tuple, via_base.select(cols).collect())) == sorted(
         map(tuple, recomputed.select(cols).collect())
     )
+
+
+# --- fact_history --------------------------------------------------------------
+
+
+def brute_fact_history(rows):
+    """rows: (src, predicate, epoch, dst) claim occurrences."""
+    from collections import Counter, defaultdict
+
+    cnt = Counter(rows)
+    winners = {}
+    by_fact_epoch = defaultdict(dict)
+    for (s, p, e, d), n in cnt.items():
+        by_fact_epoch[(s, p, e)][d] = n
+    for (s, p, e), dsts in by_fact_epoch.items():
+        d, n = min(dsts.items(), key=lambda kv: (-kv[1], kv[0]))
+        winners[(s, p, e)] = (d, n)
+    out = []
+    for (s, p, e), (d, n) in winners.items():
+        earlier = [e2 for (s2, p2, e2) in winners if s2 == s and p2 == p and e2 < e]
+        prev = winners[(s, p, max(earlier))][0] if earlier else None
+        out.append((s, p, e, d, n, prev, prev is None or prev != d))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2]))
+
+
+def _fh_rows(sdf):
+    return sorted(
+        (
+            (r["src"], r["predicate"], r["epoch"], r["dst"], r["support"],
+             r["prev_dst"], r["changed"])
+            for r in sdf.collect()
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+
+
+FH_CLAIMS = [
+    # acme/ceo: ada wins e1; bob overtakes in e2 (changed); absent in e3;
+    # returns UNCHANGED in e4 (prev looks back past the gap)
+    ("acme", "ceo", "e1", "ada"), ("acme", "ceo", "e1", "ada"),
+    ("acme", "ceo", "e1", "bob"),
+    ("acme", "ceo", "e2", "bob"), ("acme", "ceo", "e2", "bob"),
+    ("acme", "ceo", "e2", "ada"),
+    ("acme", "ceo", "e4", "bob"),
+    # acme/hq: tie in e1 -> min dst wins; same winner in e2 -> not changed
+    ("acme", "hq", "e1", "berlin"), ("acme", "hq", "e1", "austin"),
+    ("acme", "hq", "e2", "austin"),
+    # zorg/ceo: single epoch -> first appearance, changed
+    ("zorg", "ceo", "e2", "cal"),
+]
+
+
+def test_fact_history_semantics(spark):
+    df = spark.createDataFrame(FH_CLAIMS, ["src", "predicate", "epoch", "dst"])
+    got = _fh_rows(T.fact_history(df))
+    assert got == brute_fact_history(FH_CLAIMS)
+    by = {(r[0], r[1], r[2]): r for r in got}
+    assert by[("acme", "ceo", "e1")][3:] == ("ada", 2, None, True)
+    assert by[("acme", "ceo", "e2")][3:] == ("bob", 2, "ada", True)
+    # gap: e4's prev is e2's winner, unchanged
+    assert by[("acme", "ceo", "e4")][3:] == ("bob", 1, "bob", False)
+    # tie -> min dst, then stable
+    assert by[("acme", "hq", "e1")][3] == "austin"
+    assert by[("acme", "hq", "e2")][3:] == ("austin", 1, "austin", False)
+    assert by[("zorg", "ceo", "e2")][5:] == (None, True)
+
+
+def test_fact_history_duckdb_parity_random(spark):
+    import random
+
+    import duckdb
+
+    for seed in (5, 6, 7):
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.choice(["s1", "s2", "s3"]),
+                rng.choice(["p1", "p2"]),
+                rng.choice(["e1", "e2", "e3", "e4"]),
+                rng.choice(["a", "b", "c"]),
+            )
+            for _ in range(rng.randint(4, 80))
+        ]
+        pdf = pd.DataFrame(rows, columns=["src", "predicate", "epoch", "dst"])
+        sdf = spark.createDataFrame(pdf)
+        got = T.fact_history(sdf)
+        assert _fh_rows(got) == brute_fact_history(rows)
+        con = duckdb.connect()
+        con.register("claims", pdf)
+        want = con.execute(
+            "WITH claims_base AS (SELECT * FROM claims)"
+            + T.fact_history_sql("claims_base")
+        ).df()
+        con.close()
+        gpd = got.toPandas()
+        for frame in (gpd, want):
+            frame.sort_values(["src", "predicate", "epoch"], inplace=True)
+            frame.reset_index(drop=True, inplace=True)
+        pd.testing.assert_frame_equal(
+            gpd[sorted(gpd.columns)], want[sorted(want.columns)], check_dtype=True
+        )
