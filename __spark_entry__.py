@@ -1233,6 +1233,23 @@ def q_kg_negative_samples(spark, sf_dir):
     )
 
 
+def q_kg_predicate_similarity(spark, sf_dir):
+    """Relation-synonym mining: Jaccard of distinct (subject, object) pair
+    sets between predicates — the ontology-alignment signal that merges
+    *acquired*/*bought*-style relations. At sf0.01 all thresholds carry
+    oracle signal: max_pair_fanout=8 prunes the 8 hottest pairs (fanout
+    9-10 of the 11-predicate vocabulary), and the 340k jaccard floor cuts
+    55 -> 28 rows (operators/fusion.predicate_similarity; oracle = the
+    independent _sql mirror)."""
+    from posextract_spark.operators.fusion import predicate_similarity
+
+    return predicate_similarity(
+        _kg_pred_edges(spark, sf_dir),
+        min_jaccard_e6=340_000,
+        max_pair_fanout=8,
+    )
+
+
 def q_kg_metapaths(spark, sf_dir):
     """2-hop relation-pattern mining over the triple graph: (pred_a,
     pred_b) path counts with distinct endpoint pairs — the schema-level
@@ -1361,6 +1378,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_fact_history": q_kg_fact_history,
+        "kg_predicate_similarity": q_kg_predicate_similarity,
     }
 
 
@@ -1563,6 +1581,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_contested_facts": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW
         + _fu.contested_facts_sql("kg_p"),
+        "kg_predicate_similarity": SVO_TRIPLES_CTE
+        + _KG_PRED_VIEW
+        + _fu.predicate_similarity_sql(
+            "kg_p", min_jaccard_e6=340_000, max_pair_fanout=8
+        ),
         "kg_random_walks": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.random_walks_sql(

@@ -526,3 +526,115 @@ _ff_win AS (
 SELECT src, predicate, dst, support, total,
        CAST(support * 1000000 // total AS BIGINT) AS confidence_e6
 FROM _ff_win WHERE rn = 1 AND {having}TRUE"""
+
+
+def predicate_similarity(
+    triples: DataFrame,
+    min_common: int = 1,
+    min_jaccard_e6: int = 0,
+    max_pair_fanout: int | None = None,
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> DataFrame:
+    """Relation-synonym mining: Jaccard overlap of the distinct
+    (subject, object) pair sets of every two predicates — the signal that
+    says *acquired* and *bought* are the same relation and should merge in
+    the induced schema (ontology alignment, PARIS-style, Suchanek et al.
+    VLDB'12).
+
+    Returns (pred_a, pred_b, common, n_a, n_b, jaccard_e6) with
+    pred_a < pred_b, common = |pairs(a) ∩ pairs(b)|, n_* the predicates'
+    distinct-pair counts, jaccard_e6 = floor(1e6 * common /
+    (n_a + n_b - common)). Rows below ``min_common`` / ``min_jaccard_e6``
+    are dropped.
+
+    ``max_pair_fanout`` drops (subject, object) pairs asserted under MORE
+    than that many distinct predicates before the wedge join — a generic
+    pair like (company, thing) appearing under hundreds of predicates
+    contributes fanout^2 wedges. The filter is deterministic in the data;
+    ``common`` becomes a lower bound for the affected predicate pairs
+    while n_a/n_b stay exact (same honest-cap semantics as
+    graph_analytics.neighbor_jaccard's degree filter).
+
+    Scale shape: one distinct on (predicate, s, o); a per-pair fanout
+    count (map-side combinable); the wedge self-join keyed on (s, o)
+    whose per-key width is the pair's predicate fanout — bounded by the
+    cap, so wedge work is O(pairs * cap^2); the predicate-size dim is
+    vocabulary-sized and broadcasts.
+    """
+    ps = triples.select(
+        F.col(predicate).alias("p"),
+        F.col(src).alias("s"),
+        F.col(dst).alias("o"),
+    ).distinct()
+    if max_pair_fanout is not None:
+        fanout = ps.groupBy("s", "o").agg(
+            F.count(F.lit(1)).cast("long").alias("_w")
+        )
+        ps = (
+            ps.join(fanout, ["s", "o"])
+            .filter(F.col("_w") <= F.lit(max_pair_fanout))
+            .drop("_w")
+        )
+    sizes = ps.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    left = ps.select(F.col("p").alias("pred_a"), "s", "o")
+    right = ps.select(F.col("p").alias("pred_b"), "s", "o")
+    common = (
+        left.join(right, ["s", "o"])
+        .filter(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= F.lit(min_common))
+    )
+    sa = sizes.select(F.col("p").alias("pred_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("p").alias("pred_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "pred_a")
+        .join(F.broadcast(sb), "pred_b")
+        .withColumn(
+            "jaccard_e6",
+            F.expr("common * 1000000 div (n_a + n_b - common)").cast("long"),
+        )
+        .filter(F.col("jaccard_e6") >= F.lit(min_jaccard_e6))
+        .select("pred_a", "pred_b", "common", "n_a", "n_b", "jaccard_e6")
+    )
+
+
+def predicate_similarity_sql(
+    triples_rel: str,
+    min_common: int = 1,
+    min_jaccard_e6: int = 0,
+    max_pair_fanout: int | None = None,
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> str:
+    """SQL suffix mirroring predicate_similarity() (DuckDB dialect)."""
+    if max_pair_fanout is not None:
+        filt = f"""
+, _psw AS MATERIALIZED (
+  SELECT s, o, CAST(count(*) AS BIGINT) AS w FROM _ps0 GROUP BY s, o),
+_ps AS MATERIALIZED (
+  SELECT t.p, t.s, t.o FROM _ps0 t JOIN _psw w USING (s, o)
+  WHERE w.w <= {max_pair_fanout})"""
+    else:
+        filt = """
+, _ps AS MATERIALIZED (SELECT p, s, o FROM _ps0)"""
+    return f"""
+, _ps0 AS MATERIALIZED (
+  SELECT DISTINCT {predicate} AS p, {src} AS s, {dst} AS o
+  FROM {triples_rel}){filt},
+_psn AS MATERIALIZED (
+  SELECT p, CAST(count(*) AS BIGINT) AS n FROM _ps GROUP BY p),
+_psc AS (
+  SELECT l.p AS pred_a, r.p AS pred_b, CAST(count(*) AS BIGINT) AS common
+  FROM _ps l JOIN _ps r ON l.s = r.s AND l.o = r.o AND l.p < r.p
+  GROUP BY l.p, r.p
+  HAVING count(*) >= {min_common})
+SELECT c.pred_a, c.pred_b, c.common, a.n AS n_a, b.n AS n_b,
+       CAST(c.common * 1000000 // (a.n + b.n - c.common) AS BIGINT) AS jaccard_e6
+FROM _psc c
+JOIN _psn a ON a.p = c.pred_a
+JOIN _psn b ON b.p = c.pred_b
+WHERE c.common * 1000000 // (a.n + b.n - c.common) >= {min_jaccard_e6}"""

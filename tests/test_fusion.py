@@ -329,3 +329,103 @@ def test_fusion_random_parity_spark_python_duckdb(spark, seed):
     _assert_match(fused, duck)
     got = sorted(tuple(r) for r in fused.collect())
     assert got == brute_fuse(rows, thr)
+
+
+# --- predicate similarity -------------------------------------------------------
+
+
+def brute_pred_sim(rows, min_common=1, min_jaccard_e6=0, cap=None):
+    from collections import Counter, defaultdict
+
+    ps = sorted({(p, s, o) for s, p, o in rows})
+    if cap is not None:
+        fan = Counter((s, o) for _, s, o in ps)
+        ps = [(p, s, o) for p, s, o in ps if fan[(s, o)] <= cap]
+    pairs_of = defaultdict(set)
+    for p, s, o in ps:
+        pairs_of[p].add((s, o))
+    out = []
+    preds = sorted(pairs_of)
+    for i, a in enumerate(preds):
+        for b in preds[i + 1:]:
+            common = len(pairs_of[a] & pairs_of[b])
+            if common < min_common:
+                continue
+            na, nb = len(pairs_of[a]), len(pairs_of[b])
+            j = common * 1_000_000 // (na + nb - common)
+            if j >= min_jaccard_e6:
+                out.append((a, b, common, na, nb, j))
+    return sorted(out)
+
+
+def _ps_rows(sdf):
+    return sorted(tuple(r) for r in sdf.collect())
+
+
+def test_predicate_similarity_synonyms(spark):
+    rows = [
+        # acquired and bought connect the same 3 pairs -> jaccard 1.0
+        ("acme", "acquired", "zorg"), ("acme", "bought", "zorg"),
+        ("beta", "acquired", "gamma"), ("beta", "bought", "gamma"),
+        ("delta", "acquired", "eps"), ("delta", "bought", "eps"),
+        # visited shares nothing
+        ("acme", "visited", "paris"),
+        # partial overlap: sold shares 1 of its 2 pairs with acquired
+        ("acme", "sold", "zorg"), ("beta", "sold", "theta"),
+    ]
+    df = spark.createDataFrame(rows, ["src", "predicate", "dst"])
+    got = _ps_rows(fu.predicate_similarity(df))
+    assert got == brute_pred_sim(rows)
+    by = {(r[0], r[1]): r for r in got}
+    assert by[("acquired", "bought")][2:] == (3, 3, 3, 1_000_000)
+    assert by[("acquired", "sold")][2:] == (1, 3, 2, 250_000)
+    assert ("acquired", "visited") not in by
+    # thresholds prune
+    got2 = _ps_rows(fu.predicate_similarity(df, min_jaccard_e6=300_000))
+    assert got2 == brute_pred_sim(rows, min_jaccard_e6=300_000)
+    assert all(r[5] >= 300_000 for r in got2)
+
+
+def test_predicate_similarity_fanout_cap(spark):
+    # (hub, thing) asserted under 5 predicates; cap 3 removes that pair's
+    # wedges, leaving only the p1/p2-specific overlap
+    preds = [f"p{i}" for i in range(5)]
+    rows = [("hub", p, "thing") for p in preds] + [
+        ("a", "p0", "b"), ("a", "p1", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["src", "predicate", "dst"])
+    got = _ps_rows(fu.predicate_similarity(df, max_pair_fanout=3))
+    assert got == brute_pred_sim(rows, cap=3)
+    # only the (a,b)-driven pair survives, with exact sizes
+    assert got == [("p0", "p1", 1, 1, 1, 1_000_000)]
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_predicate_similarity_random_parity(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.choice(["s1", "s2", "s3", "s4"]),
+            rng.choice(["p1", "p2", "p3"]),
+            rng.choice(["o1", "o2", "o3"]),
+        )
+        for _ in range(rng.randint(4, 70))
+    ]
+    cap = rng.choice([None, 1, 2])
+    mc = rng.choice([1, 2])
+    mj = rng.choice([0, 200_000])
+    pdf = pd.DataFrame(rows, columns=["src", "predicate", "dst"])
+    sdf = spark.createDataFrame(pdf)
+    got = fu.predicate_similarity(
+        sdf, min_common=mc, min_jaccard_e6=mj, max_pair_fanout=cap
+    )
+    assert _ps_rows(got) == brute_pred_sim(rows, mc, mj, cap)
+    _assert_match(
+        got,
+        _duck(
+            pdf,
+            fu.predicate_similarity_sql(
+                "triples_base", min_common=mc, min_jaccard_e6=mj, max_pair_fanout=cap
+            ),
+        ),
+    )
