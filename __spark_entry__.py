@@ -1250,6 +1250,27 @@ def q_kg_predicate_similarity(spark, sf_dir):
     )
 
 
+def q_kg_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) counts over the entity walk corpus —
+    the actual training pairs a DeepWalk embedding run consumes; composes
+    random_walks (same params as kg_random_walks) with the windowed
+    walk self-join (operators/graph_analytics.skipgram_pairs; oracle =
+    the regenerated walk chain + self-join mirror skipgram_pairs_sql)."""
+    from posextract_spark.operators.graph_analytics import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    walks = random_walks(
+        _kg_edge_list(spark, sf_dir),
+        walk_length=4,
+        walks_per_node=2,
+        seed=7,
+        max_out_degree=8,
+    )
+    return skipgram_pairs(walks, window=2, min_count=2)
+
+
 def q_kg_metapaths(spark, sf_dir):
     """2-hop relation-pattern mining over the triple graph: (pred_a,
     pred_b) path counts with distinct endpoint pairs — the schema-level
@@ -1379,6 +1400,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "kg_fact_history": q_kg_fact_history,
         "kg_predicate_similarity": q_kg_predicate_similarity,
+        "kg_skipgram_pairs": q_kg_skipgram_pairs,
     }
 
 
@@ -1590,6 +1612,17 @@ def oracle_sql() -> dict[str, str]:
         + _KG_EDGE_VIEW
         + _ga.random_walks_sql(
             "kg_e", walk_length=4, walks_per_node=2, seed=7, max_out_degree=8
+        ),
+        "kg_skipgram_pairs": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.skipgram_pairs_sql(
+            "kg_e",
+            window=2,
+            min_count=2,
+            walk_length=4,
+            walks_per_node=2,
+            seed=7,
+            max_out_degree=8,
         ),
         "kg_negative_samples": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW

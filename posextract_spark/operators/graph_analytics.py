@@ -1097,6 +1097,23 @@ def random_walks_sql(
 ) -> str:
     """SQL suffix mirroring random_walks() (DuckDB dialect; every step CTE
     MATERIALIZED — each is read by the next step AND the final union)."""
+    chain, union = _random_walks_chain(
+        edges_rel, walk_length, walks_per_node, seed, src, dst, max_out_degree
+    )
+    return chain + "\n" + union
+
+
+def _random_walks_chain(
+    edges_rel: str,
+    walk_length: int,
+    walks_per_node: int,
+    seed: int,
+    src: str,
+    dst: str,
+    max_out_degree: int | None,
+) -> tuple[str, str]:
+    """(CTE chain, final union SELECT) for the walk mirror — split so
+    skipgram_pairs_sql can reuse the chain with the union as a sub-CTE."""
     from posextract_spark.functions.hashing import portable_hash64_sql
 
     if max_out_degree is not None:
@@ -1136,4 +1153,80 @@ _rw{t} AS MATERIALIZED (
         f"SELECT start, walk, step, node FROM _rw{t}"
         for t in range(walk_length + 1)
     )
-    return "".join(parts) + "\n" + union
+    return "".join(parts), union
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """(center, context) co-occurrence counts over a walk corpus — the
+    skip-gram training pairs a DeepWalk/word2vec embedding trainer
+    consumes, with the walks as sentences.
+
+    For every walk (start, walk) and every ordered position pair with
+    ``0 < |step_ctx - step_ctr| <= window``, one (center=node_at_ctr,
+    context=node_at_ctx) observation is counted; the window is symmetric,
+    so each unordered position pair contributes both directions. Rows
+    with fewer than ``min_count`` observations are dropped.
+
+    Returns (center, context, n BIGINT).
+
+    Scale shape: a self-join of the walk corpus on its (start, walk) key
+    — per-key width is walk_length+1 rows, so join work is
+    O(n_walks * walk_length * window), never data-quadratic — followed by
+    one map-side-combinable count shuffle. No Window node.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    left = walks.select(
+        F.col("start").alias("w_start"),
+        F.col("walk").alias("w_walk"),
+        F.col("step").alias("c_step"),
+        F.col("node").alias("center"),
+    )
+    right = walks.select(
+        F.col("start").alias("w_start"),
+        F.col("walk").alias("w_walk"),
+        F.col("step").alias("x_step"),
+        F.col("node").alias("context"),
+    )
+    d = F.abs(F.col("x_step") - F.col("c_step"))
+    out = (
+        left.join(right, ["w_start", "w_walk"])
+        .filter((d > 0) & (d <= F.lit(window)))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= F.lit(min_count))
+    return out
+
+
+def skipgram_pairs_sql(
+    edges_rel: str,
+    window: int = 2,
+    min_count: int = 1,
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+    max_out_degree: int | None = None,
+) -> str:
+    """SQL suffix mirroring skipgram_pairs(random_walks(edges, ...)) —
+    the walk chain is regenerated and unioned into one CTE, then
+    self-joined (DuckDB dialect)."""
+    chain, union = _random_walks_chain(
+        edges_rel, walk_length, walks_per_node, seed, src, dst, max_out_degree
+    )
+    return f"""{chain},
+_rw_all AS MATERIALIZED (
+{union})
+SELECT l.node AS center, r.node AS context, CAST(count(*) AS BIGINT) AS n
+FROM _rw_all l
+JOIN _rw_all r ON r.start = l.start AND r.walk = l.walk
+WHERE abs(r.step - l.step) > 0 AND abs(r.step - l.step) <= {window}
+GROUP BY l.node, r.node
+HAVING count(*) >= {min_count}"""

@@ -864,3 +864,81 @@ def test_walks_cap_prunes_hub_choices(spark):
     assert got == brute_walks(edges, 1, 4, 5, cap=5)
     picked = {r[3] for r in got if r[2] == 1}
     assert picked <= survivors
+
+
+# --- skip-gram pairs ------------------------------------------------------------
+
+
+def brute_skipgrams(walk_rows, window, min_count=1):
+    """walk_rows: (start, walk, step, node)."""
+    from collections import Counter, defaultdict
+
+    by_walk = defaultdict(dict)
+    for start, w, step, node in walk_rows:
+        by_walk[(start, w)][step] = node
+    cnt = Counter()
+    for steps in by_walk.values():
+        for sc, center in steps.items():
+            for sx, context in steps.items():
+                if 0 < abs(sx - sc) <= window:
+                    cnt[(center, context)] += 1
+    return sorted(
+        (c, x, n) for (c, x), n in cnt.items() if n >= min_count
+    )
+
+
+def test_skipgram_semantics_on_fixed_walks(spark):
+    # one walk a-b-c-b: symmetric window=1 pairs each adjacent position
+    rows = [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"), ("a", 0, 3, "b")]
+    df = spark.createDataFrame(rows, ["start", "walk", "step", "node"])
+    got = sorted(tuple(r) for r in ga.skipgram_pairs(df, window=1).collect())
+    assert got == brute_skipgrams(rows, 1)
+    by = {(r[0], r[1]): r[2] for r in got}
+    # b<->c appears twice per direction (steps 1-2 and 2-3)
+    assert by[("b", "c")] == 2 and by[("c", "b")] == 2
+    assert by[("a", "b")] == 1 and by[("b", "a")] == 1
+    # window=1 never pairs distance-2 positions
+    assert ("a", "c") not in by
+    # distance-2 revisit (b at steps 1 and 3) shows up at window=2
+    got2 = {
+        (r[0], r[1]): r[2]
+        for r in ga.skipgram_pairs(df, window=2).collect()
+    }
+    assert got2[("b", "b")] == 2  # both directions of the (1, 3) pair
+
+
+def test_skipgram_window_never_crosses_walks(spark):
+    rows = [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("z", 0, 0, "y"), ("z", 0, 1, "x")]
+    df = spark.createDataFrame(rows, ["start", "walk", "step", "node"])
+    got = sorted(tuple(r) for r in ga.skipgram_pairs(df, window=4).collect())
+    assert got == brute_skipgrams(rows, 4)
+    assert all({r[0], r[1]} <= {"a", "b"} or {r[0], r[1]} <= {"x", "y"} for r in got)
+
+
+@pytest.mark.parametrize("seed", [6, 7])
+def test_skipgram_end_to_end_parity(spark, seed):
+    rng = random.Random(seed * 17)
+    nodes = [f"n{i}" for i in range(rng.randint(3, 8))]
+    rows = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randint(4, 50))]
+    wl, wpn, win = rng.randint(1, 4), rng.randint(1, 2), rng.randint(1, 3)
+    mc = rng.choice([1, 2])
+    pdf = pd.DataFrame(rows, columns=["src", "dst"])
+    sdf = spark.createDataFrame(pdf)
+    walks = ga.random_walks(sdf, walk_length=wl, walks_per_node=wpn, seed=seed)
+    got = ga.skipgram_pairs(walks, window=win, min_count=mc)
+    walk_rows = [(r["start"], r["walk"], r["step"], r["node"]) for r in walks.collect()]
+    assert sorted(tuple(r) for r in got.collect()) == brute_skipgrams(
+        walk_rows, win, mc
+    )
+    want = _duck(
+        pdf,
+        ga.skipgram_pairs_sql(
+            "edges_base",
+            window=win,
+            min_count=mc,
+            walk_length=wl,
+            walks_per_node=wpn,
+            seed=seed,
+        ),
+    )
+    _assert_frame_match(got, want)

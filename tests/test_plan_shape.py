@@ -292,3 +292,65 @@ def test_pages_pipeline_python_crossings(spark, tmp_path):
     # Spark/datasource versions; what we pin is that pushdown HAPPENED.
     assert "PushedFilters" in plan
     assert "EqualTo(lang,en)" in plan
+
+
+def test_fusion_plans_window_free_and_broadcast_gate(spark):
+    """The fusion family's scale claims: no Window node anywhere (winner
+    selection is struct-min aggregation), and fuse's functional-predicate
+    semi-filter joins back as a broadcast, never a shuffle of the
+    candidate traffic."""
+    from posextract_spark.operators.fusion import (
+        contested_facts,
+        fuse_functional_relations,
+        predicate_similarity,
+        relation_stats,
+    )
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("b", "q", "a")],
+        ["src", "predicate", "dst"],
+    )
+    for q in (
+        relation_stats(t),
+        fuse_functional_relations(t, min_functionality_e6=500_000),
+        contested_facts(t),
+        predicate_similarity(t, max_pair_fanout=3),
+    ):
+        assert "Window" not in _plan(q)
+    fuse_plan = _plan(fuse_functional_relations(t, min_functionality_e6=500_000))
+    assert "BroadcastHashJoin" in fuse_plan
+    ps_plan = _plan(predicate_similarity(t))
+    assert "BroadcastHashJoin" in ps_plan  # size dims broadcast
+
+
+def test_truth_discovery_plan_window_free_and_constant_lineage(spark):
+    """Per-round localCheckpoint keeps the final plan O(1) deep: the
+    returned facts frame must reference checkpointed RDD scans, not the
+    unrolled 3-round join lineage, and contain no Window node."""
+    from posextract_spark.operators.fusion import truth_discovery
+
+    quads = [("w1", "a", "p", "b"), ("w2", "a", "p", "c"), ("w1", "b", "p", "a")]
+    df = spark.createDataFrame(quads, ["source", "src", "predicate", "dst"])
+    facts = truth_discovery(df, rounds=3)
+    plan = _plan(facts)
+    assert "Window" not in plan
+    # lineage truncated: the winners frame is a checkpoint scan and the
+    # plan does NOT contain the claims-join/aggregate cascade of 3 rounds
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("HashAggregate") == 0  # winners already materialized
+
+
+def test_negative_samples_plan_anti_join_no_window(spark):
+    from posextract_spark.operators.mldata import kg_negative_samples
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], ["src", "predicate", "dst"]
+    )
+    plan = _plan(kg_negative_samples(t, n_negatives=2, n_buckets=2))
+    assert "Window" not in plan
+    # filtered setting is an anti join, and the argmin is a partial-agg
+    # struct-min (SortAggregate — struct with a string field isn't
+    # hash-aggregable — but still map-side combined: partial_min present)
+    assert "LeftAnti" in plan
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "partial_min" in plan
