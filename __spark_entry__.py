@@ -1271,6 +1271,22 @@ def q_kg_skipgram_pairs(spark, sf_dir):
     return skipgram_pairs(walks, window=2, min_count=2)
 
 
+def q_kg_entity_cooccurrence(spark, sf_dir):
+    """Document-level entity co-occurrence with integer lift — statistical
+    relatedness between entities that never share a triple. Mentions =
+    (doc, subject) union (doc, object); both thresholds live at sf0.01
+    (max_doc_entities=4 prunes docs mentioning 5-11 entities: 91 -> 79
+    pairs; min_pairs=2 cuts one more) (operators/fusion.
+    entity_cooccurrence; oracle = the independent _sql mirror)."""
+    from posextract_spark.operators.fusion import entity_cooccurrence
+
+    t = _shared_triples(spark, sf_dir)
+    mentions = t.select("doc_id", F.col("subject").alias("entity")).unionAll(
+        t.select("doc_id", F.col("object").alias("entity"))
+    )
+    return entity_cooccurrence(mentions, min_pairs=2, max_doc_entities=4)
+
+
 def q_kg_metapaths(spark, sf_dir):
     """2-hop relation-pattern mining over the triple graph: (pred_a,
     pred_b) path counts with distinct endpoint pairs — the schema-level
@@ -1401,6 +1417,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_history": q_kg_fact_history,
         "kg_predicate_similarity": q_kg_predicate_similarity,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
+        "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
     }
 
 
@@ -1603,6 +1620,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_contested_facts": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW
         + _fu.contested_facts_sql("kg_p"),
+        "kg_entity_cooccurrence": SVO_TRIPLES_CTE
+        + (
+            ", kg_m AS (SELECT doc_id, subject AS entity FROM svo_triples "
+            "UNION ALL SELECT doc_id, object FROM svo_triples)"
+        )
+        + _fu.entity_cooccurrence_sql(
+            "kg_m", min_pairs=2, max_doc_entities=4
+        ),
         "kg_predicate_similarity": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW
         + _fu.predicate_similarity_sql(

@@ -638,3 +638,115 @@ FROM _psc c
 JOIN _psn a ON a.p = c.pred_a
 JOIN _psn b ON b.p = c.pred_b
 WHERE c.common * 1000000 // (a.n + b.n - c.common) >= {min_jaccard_e6}"""
+
+
+def entity_cooccurrence(
+    mentions: DataFrame,
+    min_pairs: int = 1,
+    max_doc_entities: int | None = None,
+    doc: str = "doc_id",
+    entity: str = "entity",
+) -> DataFrame:
+    """Document-level entity co-occurrence with integer lift — the
+    statistical-relatedness signal between entities that never share a
+    triple (PMI-style association mining; lift is the exp(PMI) ratio kept
+    in exact integer arithmetic so the DuckDB mirror hashes identically).
+
+    ``mentions``: (doc, entity) rows, deduplicated internally. For every
+    entity pair a < b co-mentioned in at least ``min_pairs`` documents:
+
+        lift_e6 = floor(1e6 * n_ab * n_docs / (n_a * n_b))
+
+    where n_docs counts distinct documents with at least one mention —
+    1e6 = independence, larger = associated. Returns
+    (a, b, n_ab, n_a, n_b, lift_e6).
+
+    ``max_doc_entities`` drops documents mentioning MORE than that many
+    distinct entities before the pair join (a boilerplate page listing
+    10^4 entities contributes 10^8 pairs); the filter is deterministic in
+    the data, n_ab becomes a lower bound for affected pairs while
+    n_a/n_b/n_docs stay exact over the full corpus.
+
+    Scale shape: one distinct on (doc, entity); marginals are one
+    entity-keyed groupBy (broadcast-sized dim per vocabulary); the pair
+    join is keyed on doc with per-key width = the doc's entity count —
+    bounded by the cap, so pair work is O(docs * cap^2); the final count
+    is map-side combinable. Overflow: n_ab * n_docs < 2^63 holds to
+    ~3e9 docs per pair count unit — document the bound, don't guess past
+    it.
+    """
+    m = mentions.select(
+        F.col(doc).alias("d"), F.col(entity).alias("e")
+    ).distinct()
+    # 1-row corpus-size frame, attached via broadcast cross-join — keeps
+    # the operator lazy (no driver-side count action inside the plan)
+    n_docs_df = (
+        m.select("d").distinct().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    marg = m.groupBy("e").agg(F.count(F.lit(1)).cast("long").alias("n_e"))
+    if max_doc_entities is not None:
+        width = m.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("_w"))
+        m = (
+            m.join(width, "d")
+            .filter(F.col("_w") <= F.lit(max_doc_entities))
+            .drop("_w")
+        )
+    pairs = (
+        m.select(F.col("d"), F.col("e").alias("a"))
+        .join(m.select(F.col("d"), F.col("e").alias("b")), "d")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= F.lit(min_pairs))
+    )
+    ma = marg.select(F.col("e").alias("a"), F.col("n_e").alias("n_a"))
+    mb = marg.select(F.col("e").alias("b"), F.col("n_e").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "lift_e6",
+            F.expr("n_ab * 1000000 * n_docs div (n_a * n_b)").cast("long"),
+        )
+        .select("a", "b", "n_ab", "n_a", "n_b", "lift_e6")
+    )
+
+
+def entity_cooccurrence_sql(
+    mentions_rel: str,
+    min_pairs: int = 1,
+    max_doc_entities: int | None = None,
+    doc: str = "doc_id",
+    entity: str = "entity",
+) -> str:
+    """SQL suffix mirroring entity_cooccurrence() (DuckDB dialect)."""
+    if max_doc_entities is not None:
+        filt = f"""
+, _ecw AS MATERIALIZED (
+  SELECT d, CAST(count(*) AS BIGINT) AS w FROM _ec0 GROUP BY d),
+_ec AS MATERIALIZED (
+  SELECT m.d, m.e FROM _ec0 m JOIN _ecw w USING (d)
+  WHERE w.w <= {max_doc_entities})"""
+    else:
+        filt = """
+, _ec AS MATERIALIZED (SELECT d, e FROM _ec0)"""
+    return f"""
+, _ec0 AS MATERIALIZED (
+  SELECT DISTINCT {doc} AS d, {entity} AS e FROM {mentions_rel}){filt},
+_ecn AS MATERIALIZED (
+  SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_docs FROM _ec0),
+_ecm AS MATERIALIZED (
+  SELECT e, CAST(count(*) AS BIGINT) AS n_e FROM _ec0 GROUP BY e),
+_ecp AS (
+  SELECT l.e AS a, r.e AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM _ec l JOIN _ec r ON l.d = r.d AND l.e < r.e
+  GROUP BY l.e, r.e
+  HAVING count(*) >= {min_pairs})
+SELECT p.a, p.b, p.n_ab, ma.n_e AS n_a, mb.n_e AS n_b,
+       CAST(p.n_ab * 1000000 * n.n_docs // (ma.n_e * mb.n_e) AS BIGINT)
+         AS lift_e6
+FROM _ecp p
+JOIN _ecm ma ON ma.e = p.a
+JOIN _ecm mb ON mb.e = p.b
+CROSS JOIN _ecn n"""

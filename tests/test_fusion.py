@@ -429,3 +429,94 @@ def test_predicate_similarity_random_parity(spark, seed):
             ),
         ),
     )
+
+
+# --- entity co-occurrence lift ---------------------------------------------------
+
+
+def brute_cooc(rows, min_pairs=1, cap=None):
+    """rows: (doc_id, entity) mentions."""
+    from collections import Counter, defaultdict
+
+    m0 = sorted(set(rows))
+    n_docs = len({d for d, _ in m0})
+    marg = Counter(e for _, e in m0)
+    m = m0
+    if cap is not None:
+        width = Counter(d for d, _ in m0)
+        m = [(d, e) for d, e in m0 if width[d] <= cap]
+    ents = defaultdict(set)
+    for d, e in m:
+        ents[d].add(e)
+    pairs = Counter()
+    for d, es in ents.items():
+        es = sorted(es)
+        for i, a in enumerate(es):
+            for b in es[i + 1:]:
+                pairs[(a, b)] += 1
+    out = []
+    for (a, b), n_ab in pairs.items():
+        if n_ab < min_pairs:
+            continue
+        out.append(
+            (a, b, n_ab, marg[a], marg[b], n_ab * 1_000_000 * n_docs // (marg[a] * marg[b]))
+        )
+    return sorted(out)
+
+
+def test_entity_cooccurrence_lift_semantics(spark):
+    rows = [
+        # acme+zorg co-mentioned in 2 of 4 docs, each in 2 docs total:
+        # lift = 2*4/(2*2) = 2.0 (associated)
+        ("d1", "acme"), ("d1", "zorg"),
+        ("d2", "acme"), ("d2", "zorg"),
+        # beta appears everywhere -> lift with acme = 2*4/(2*4) = 1.0
+        ("d1", "beta"), ("d2", "beta"), ("d3", "beta"), ("d4", "beta"),
+        ("d3", "solo"),
+        ("d4", "hermit"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "entity"])
+    got = sorted(tuple(r) for r in fu.entity_cooccurrence(df).collect())
+    assert got == brute_cooc(rows)
+    by = {(r[0], r[1]): r for r in got}
+    assert by[("acme", "zorg")][2:] == (2, 2, 2, 2_000_000)
+    assert by[("acme", "beta")][5] == 1_000_000  # independence
+    assert ("hermit", "solo") not in by  # never co-mentioned
+
+
+def test_entity_cooccurrence_doc_cap(spark):
+    # d_hub mentions 6 entities; cap 3 removes its pairs but keeps its
+    # mentions in the marginals and n_docs (honest lower-bound n_ab)
+    rows = [("d_hub", f"e{i}") for i in range(6)] + [
+        ("d1", "e0"), ("d1", "e1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "entity"])
+    got = sorted(tuple(r) for r in fu.entity_cooccurrence(df, max_doc_entities=3).collect())
+    assert got == brute_cooc(rows, cap=3)
+    # only the d1 pair survives; marginals still count d_hub's mentions
+    assert got == [("e0", "e1", 1, 2, 2, 500_000)]
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_entity_cooccurrence_random_parity(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (f"d{rng.randint(1, 6)}", f"e{rng.randint(1, 7)}")
+        for _ in range(rng.randint(4, 80))
+    ]
+    mp = rng.choice([1, 2])
+    cap = rng.choice([None, 2, 4])
+    pdf = pd.DataFrame(rows, columns=["doc_id", "entity"])
+    sdf = spark.createDataFrame(pdf)
+    got = fu.entity_cooccurrence(sdf, min_pairs=mp, max_doc_entities=cap)
+    assert sorted(tuple(r) for r in got.collect()) == brute_cooc(rows, mp, cap)
+    con = duckdb.connect()
+    con.register("mentions", pdf)
+    want = con.execute(
+        "WITH mentions_base AS (SELECT * FROM mentions)"
+        + fu.entity_cooccurrence_sql(
+            "mentions_base", min_pairs=mp, max_doc_entities=cap
+        )
+    ).df()
+    con.close()
+    _assert_match(got, want)
