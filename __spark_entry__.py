@@ -1106,6 +1106,35 @@ def q_kg_fact_history(spark, sf_dir):
     return out
 
 
+def q_events_asof_view(spark, sf_dir):
+    """Point-in-time join over the event stream: every click event gets
+    the same user's latest at-or-before view event (feature lookup at
+    event time) via the union+sort+Arrow-ffill as-of join — the primitive
+    Spark lacks natively (operators/temporal.asof_join; oracle = an
+    independent DuckDB row_number range-join formulation). view_value is
+    rounded to exact cents so the hash is float-order-independent (same
+    convention as events_by_type_day)."""
+    from posextract_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("vid"),
+        F.round(F.col("value") * F.lit(100.0)).cast("bigint").alias("vcents"),
+    )
+    out = asof_join(
+        clicks,
+        views,
+        key="user_id",
+        payload={"vid": "view_event_id", "vcents": "view_value_e2"},
+    )
+    return out.select("event_id", "user_id", "view_event_id", "view_value_e2")
+
+
 def _kg_pred_edges(spark, sf_dir):
     """(src, predicate, dst) predicate-edge view of the SVO triples —
     shared by the relation-level queries (metapaths / fusion)."""
@@ -1418,6 +1447,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_similarity": q_kg_predicate_similarity,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
+        "events_asof_view": q_events_asof_view,
     }
 
 
@@ -1620,6 +1650,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_contested_facts": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW
         + _fu.contested_facts_sql("kg_p"),
+        "events_asof_view": (
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "v AS (SELECT user_id, ts, event_id AS vid, "
+            "CAST(round(value * 100.0) AS BIGINT) AS vcents FROM events "
+            "WHERE event_type = 'view'), "
+            "j AS (SELECT c.event_id, c.user_id, v.vid, v.vcents, "
+            "row_number() OVER (PARTITION BY c.event_id "
+            "ORDER BY v.ts DESC, v.vid DESC, v.vcents DESC) AS rn "
+            "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts) "
+            "SELECT event_id, user_id, vid AS view_event_id, "
+            "vcents AS view_value_e2 FROM j WHERE rn = 1"
+        ),
         "kg_entity_cooccurrence": SVO_TRIPLES_CTE
         + (
             ", kg_m AS (SELECT doc_id, subject AS entity FROM svo_triples "

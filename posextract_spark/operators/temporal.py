@@ -391,3 +391,120 @@ FROM (
   SELECT src, predicate, epoch, dst, support,
          lag(dst) OVER (PARTITION BY src, predicate ORDER BY epoch) AS prev_dst
   FROM _fh_w)"""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    payload: dict,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Point-in-time (as-of) join, which Spark lacks natively: for every
+    left row, attach columns from the right row with the same ``key`` and
+    the GREATEST ``right_ts`` <= ``left_ts`` — "the state of the
+    dimension when the event happened" (feature lookup at event time,
+    crawl state at query time). Left rows with no prior right row keep
+    NULL payload.
+
+    ``payload``: {right_col: output_col} — the right columns to carry.
+    Equal-timestamp semantics: a right row AT the left timestamp matches
+    (at-or-before); duplicate right rows on (key, ts) resolve to the
+    maximum payload tuple, so the result is a pure function of the input.
+    NULL timestamps sort first (a null-ts right row acts as "since
+    forever"; a null-ts left row can only see those).
+
+    Implementation (the scalable shape, not the quadratic one): both
+    sides are tagged and unioned, hash-repartitioned on key, sorted
+    within partitions on (key, ts, side, payload) with right-before-left
+    at equal ts, then ONE vectorized Arrow pass forward-fills the payload
+    per key (pandas groupby.ffill — no per-row Python) with O(1) state
+    carried across record batches of a partition. Cost is one shuffle +
+    one in-partition sort over |left| + |right| rows — O(n log n) per
+    partition, NEVER the O(|left_k| * |right_k|) of the naive
+    range-join-then-argmax, which a hot key (10^6 events x 10^6 captures)
+    turns quadratic. No Window node; a key's rows never serialize through
+    a single ranking task beyond this sort, and AQE handles residual
+    partition skew.
+    """
+    if not payload:
+        raise ValueError("payload must name at least one right column")
+    lcols = left.columns
+    out_cols = list(payload.values())
+    clash = set(out_cols) & set(lcols)
+    if clash:
+        raise ValueError(f"payload output columns collide with left: {sorted(clash)}")
+    right_fields = {f.name: f for f in right.schema.fields}
+    l2 = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_alt"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right_fields[rc].dataType).alias(oc)
+            for rc, oc in payload.items()
+        ],
+    )
+    left_fields = {f.name: f for f in left.schema.fields}
+    r2 = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_alt"),
+        *[F.lit(None).cast(left_fields[c].dataType).alias(c) for c in lcols],
+        *[F.col(rc).alias(oc) for rc, oc in payload.items()],
+    )
+    u = (
+        l2.unionAll(r2)
+        .repartition(F.col("_k"))
+        .sortWithinPartitions("_k", "_ts", "_alt", *out_cols)
+    )
+
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [
+            type(right_fields[rc])(oc, right_fields[rc].dataType, True)
+            for rc, oc in payload.items()
+        ]
+    )
+    # integer payloads pick up NaN during the fill; pandas nullable
+    # dtypes keep them Arrow-convertible back to long/int
+    int_like = {
+        oc: "Int64" if right_fields[rc].dataType.typeName() in ("long", "integer") else None
+        for rc, oc in payload.items()
+    }
+
+    def fill(batches):
+        state_key = None
+        state_vals = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if state_key is not None and len(pdf) and pdf["_k"].iloc[0] == state_key:
+                seed = pdf.iloc[:1].copy()
+                seed["_alt"] = 0
+                for c, v in zip(out_cols, state_vals):
+                    seed[c] = v
+                work = pd.concat([seed, pdf], ignore_index=True)
+                seeded = True
+            else:
+                work = pdf
+                seeded = False
+            work = work.copy()
+            work[out_cols] = work.groupby("_k", sort=False)[out_cols].ffill()
+            tail = work.iloc[-1]
+            state_key = tail["_k"]
+            state_vals = [tail[c] for c in out_cols]
+            if seeded:
+                work = work.iloc[1:]
+            out = work[work["_alt"] == 1][lcols + out_cols]
+            for c, dt in int_like.items():
+                if dt is not None:
+                    out[c] = out[c].astype(dt)
+            yield out
+
+    return u.mapInPandas(fill, out_schema)

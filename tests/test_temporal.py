@@ -283,3 +283,114 @@ def test_fact_history_duckdb_parity_random(spark):
         pd.testing.assert_frame_equal(
             gpd[sorted(gpd.columns)], want[sorted(want.columns)], check_dtype=True
         )
+
+
+# --- asof_join ------------------------------------------------------------------
+
+
+def brute_asof(left_rows, right_rows, payload_cols):
+    """left_rows: (key, ts, id); right_rows: (key, ts, *payload).
+    Returns {left_id: payload tuple or None}. Max (ts, payload) wins."""
+    out = {}
+    for k, t, i in left_rows:
+        cands = [r for r in right_rows if r[0] == k and _nullable_le(r[1], t)]
+        if cands:
+            best = max(cands, key=lambda r: (r[1] is not None, r[1:] if r[1] is not None else tuple(), r[2:]))
+            out[i] = tuple(best[2:])
+        else:
+            out[i] = None
+    return out
+
+
+def _nullable_le(rt, lt):
+    # null right ts = "since forever": visible to every left row;
+    # null left ts sees only null-ts right rows
+    if rt is None:
+        return True
+    if lt is None:
+        return False
+    return rt <= lt
+
+
+def test_asof_join_semantics_and_ties(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, 1), ("u1", 20, 2), ("u1", 5, 3), ("u2", 10, 4)],
+        ["k", "ts", "id"],
+    )
+    right = spark.createDataFrame(
+        # u1: rows at 10 (two: tie -> max payload), 15; u2: none before 10
+        [("u1", 10, "a"), ("u1", 10, "b"), ("u1", 15, "c"), ("u2", 50, "z")],
+        ["k", "ts", "v"],
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in T.asof_join(left, right, key="k", payload={"v": "v"}).collect()
+    }
+    # at-or-before: id 1 (ts 10) matches the ts-10 rows, tie -> 'b'
+    assert got == {1: "b", 2: "c", 3: None, 4: None}
+
+
+def test_asof_join_cross_batch_state(spark):
+    # force tiny Arrow batches so one key spans many batches — the fill
+    # must carry the last payload across batch boundaries
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        left_rows = [("k", t, t) for t in range(0, 40)]
+        right_rows = [("k", t, t * 10) for t in range(0, 40, 7)]
+        left = spark.createDataFrame(left_rows, ["k", "ts", "id"])
+        right = spark.createDataFrame(right_rows, ["k", "ts", "p"])
+        got = {
+            r["id"]: r["p"]
+            for r in T.asof_join(left, right, key="k", payload={"p": "p"}).collect()
+        }
+        want = {i: (None if v is None else v[0]) for i, v in brute_asof(left_rows, right_rows, 1).items()}
+        assert got == want
+        # spot-check the fill: t=13 -> last right at 7 -> 70
+        assert got[13] == 70 and got[6] == 0 and got[7] == 70
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_asof_join_rejects_bad_payload(spark):
+    df = spark.createDataFrame([("k", 1, 1)], ["k", "ts", "id"])
+    with pytest.raises(ValueError):
+        T.asof_join(df, df, key="k", payload={})
+    with pytest.raises(ValueError):
+        T.asof_join(df, df, key="k", payload={"id": "id"})  # collides
+
+
+def test_asof_join_duckdb_native_parity(spark):
+    import random
+
+    import duckdb
+
+    rng = random.Random(77)
+    # unique (key, ts) on the right so DuckDB ASOF's tie behavior is moot
+    right_rows = [
+        (f"u{k}", t, rng.randint(0, 99))
+        for k in range(4)
+        for t in sorted(rng.sample(range(100), 6))
+    ]
+    left_rows = [
+        (f"u{rng.randint(0, 4)}", rng.randint(0, 120), i) for i in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, ["k", "ts", "id"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "p"])
+    got = {
+        r["id"]: r["p"]
+        for r in T.asof_join(left, right, key="k", payload={"p": "p"}).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k VARCHAR, ts BIGINT, id BIGINT)")
+    con.execute("CREATE TABLE r(k VARCHAR, ts BIGINT, p BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", left_rows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", right_rows)
+    want = {
+        int(i): (None if p is None else int(p))
+        for i, p in con.execute(
+            "SELECT l.id, r.p FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
