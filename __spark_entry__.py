@@ -1135,6 +1135,20 @@ def q_events_asof_view(spark, sf_dir):
     return out.select("event_id", "user_id", "view_event_id", "view_value_e2")
 
 
+def q_events_session_stats(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-min inactivity
+    gap) aggregated to per-session profiles — the clickstream/crawl-log
+    primitive, built on the same union+sort+Arrow scan as the as-of join
+    (operators/temporal.sessionize/session_stats; oracle = an independent
+    DuckDB lag+running-sum window formulation in exact microseconds —
+    epoch_us, NOT epoch: DuckDB's epoch() is a fractional double and its
+    double->BIGINT cast ROUNDS while Spark's unix_timestamp floors)."""
+    from posextract_spark.operators.temporal import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, key="user_id", ts="ts", gap_seconds=1800)
+
+
 def _kg_pred_edges(spark, sf_dir):
     """(src, predicate, dst) predicate-edge view of the SVO triples —
     shared by the relation-level queries (metapaths / fusion)."""
@@ -1448,6 +1462,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "events_asof_view": q_events_asof_view,
+        "events_session_stats": q_events_session_stats,
     }
 
 
@@ -1662,6 +1677,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts) "
             "SELECT event_id, user_id, vid AS view_event_id, "
             "vcents AS view_value_e2 FROM j WHERE rn = 1"
+        ),
+        "events_session_stats": (
+            "WITH b AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, CAST(sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 "
+            "AS BIGINT) AS session_id FROM b) "
+            "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS start_epoch, "
+            "CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS end_epoch, "
+            "CAST(epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 "
+            "AS BIGINT) AS duration_sec "
+            "FROM s GROUP BY user_id, session_id"
         ),
         "kg_entity_cooccurrence": SVO_TRIPLES_CTE
         + (

@@ -508,3 +508,96 @@ def asof_join(
             yield out
 
     return u.mapInPandas(fill, out_schema)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: assign each event a per-key
+    ``session_id`` (0-based), incremented whenever the time since the
+    key's previous event exceeds ``gap_seconds`` — the classic batch
+    sessionization a clickstream/crawl-log pipeline needs.
+
+    Equal-timestamp events can never open a session (their gap is zero),
+    so the event->session mapping is a pure function of the input with no
+    tie-break needed. Timestamp columns use wall-clock seconds; numeric
+    ts columns treat ``gap_seconds`` in their own units.
+
+    Scale shape: same as asof_join — hash-repartition on key, ONE
+    in-partition sort on (key, ts), one vectorized Arrow pass
+    (groupby.shift + cumsum, no per-row Python) with O(1) cross-batch
+    state. No Window node; a hot key costs one sort, not a rank.
+    """
+    ecols = events.columns
+    if "session_id" in ecols:
+        raise ValueError("events already has a session_id column")
+    u = events.repartition(F.col(key)).sortWithinPartitions(key, ts)
+
+    import pandas as pd  # noqa: F811
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(events.schema.fields) + [StructField("session_id", LongType(), False)]
+    )
+
+    def assign(batches):
+        last = {}  # one entry: key -> (last_ts, last_session); keys are
+        # contiguous after the sort, so this only ever holds the boundary key
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            gap = (
+                pd.Timedelta(seconds=gap_seconds)
+                if np.issubdtype(pdf[ts].dtype, np.datetime64)
+                else gap_seconds
+            )
+            prev = pdf.groupby(key, sort=False)[ts].shift()
+            brk = prev.isna() | ((pdf[ts] - prev) > gap)
+            sess = brk.groupby(pdf[key], sort=False).cumsum().astype("int64") - 1
+            # splice the carried state for the batch-boundary key
+            first_key = pdf[key].iloc[0]
+            if first_key in last:
+                last_ts, last_sess = last[first_key]
+                mask = pdf[key] == first_key
+                head_brk = bool((pdf[ts].iloc[0] - last_ts) > gap)
+                # the boundary key's first in-batch row was force-numbered 0
+                # (NaN shift); its true id is last_sess, +1 if the boundary
+                # gap itself breaks — shift every row of that key by that
+                sess = sess + mask.astype("int64") * (last_sess + (1 if head_brk else 0))
+            tail = pdf.iloc[-1]
+            tkey = tail[key]
+            last = {tkey: (tail[ts], int(sess.iloc[-1]))}
+            out = pdf.copy()
+            out["session_id"] = sess
+            yield out
+    return u.mapInPandas(assign, out_schema)
+
+
+def session_stats(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session profile over sessionize(): (key, session_id, n_events,
+    start_epoch, end_epoch, duration_sec) with epoch seconds as BIGINT
+    (engine-portable, no timestamp pandas-ification hazards). One
+    map-side-combinable groupBy on top of the sessionization pass."""
+    s = sessionize(events, key=key, ts=ts, gap_seconds=gap_seconds)
+    epoch = F.unix_timestamp(F.col(ts)).cast("long")
+    return (
+        s.groupBy(F.col(key), F.col("session_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(epoch).alias("start_epoch"),
+            F.max(epoch).alias("end_epoch"),
+        )
+        .withColumn(
+            "duration_sec", (F.col("end_epoch") - F.col("start_epoch")).cast("long")
+        )
+    )

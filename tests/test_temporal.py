@@ -394,3 +394,112 @@ def test_asof_join_duckdb_native_parity(spark):
     }
     con.close()
     assert got == want
+
+
+# --- sessionize -----------------------------------------------------------------
+
+
+def brute_sessions(rows, gap):
+    """rows: (key, ts numeric, id). Returns {id: session_id}."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, t, i in rows:
+        by_key[k].append((t, i))
+    out = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        sess, prev = 0, None
+        for t, i in evs:
+            if prev is not None and t - prev > gap:
+                sess += 1
+            out[i] = sess
+            prev = t
+    return out
+
+
+def test_sessionize_semantics(spark):
+    rows = [
+        ("u1", 0, 1), ("u1", 100, 2), ("u1", 2000, 3), ("u1", 2100, 4),
+        ("u2", 0, 5),
+        # equal timestamps can never split a session
+        ("u3", 10, 6), ("u3", 10, 7), ("u3", 5000, 8),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "id"])
+    got = {
+        r["id"]: r["session_id"]
+        for r in T.sessionize(df, key="user_id", ts="ts", gap_seconds=1800).collect()
+    }
+    assert got == brute_sessions(rows, 1800)
+    assert (got[1], got[2], got[3], got[4]) == (0, 0, 1, 1)
+    assert got[6] == got[7] == 0 and got[8] == 1
+
+
+def test_sessionize_cross_batch_state(spark):
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        # one key, 30 events, breaks at every multiple of 5 -> sessions 0..5;
+        # tiny batches force the state splice on both break and non-break
+        # boundaries (the off-by-one hides exactly there)
+        rows = [("k", sum(300 if j % 5 == 0 and j > 0 else 10 for j in range(1, t + 1)), t) for t in range(30)]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "id"])
+        got = {
+            r["id"]: r["session_id"]
+            for r in T.sessionize(df, key="user_id", ts="ts", gap_seconds=100).collect()
+        }
+        assert got == brute_sessions(rows, 100)
+        assert max(got.values()) == 5  # 29 // 5 breaks happened
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_sessionize_timestamps_and_stats(spark):
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": ["a"] * 4 + ["b"] * 2,
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00", "2024-01-01 00:10:00",
+                    "2024-01-01 01:10:00", "2024-01-01 01:15:00",
+                    "2024-01-01 00:00:00", "2024-01-02 00:00:00",
+                ]
+            ),
+            "id": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    stats = T.session_stats(df, key="user_id", ts="ts", gap_seconds=1800)
+    got = sorted(tuple(r) for r in stats.collect())
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH b AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS brk
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ts,
+                CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+              FROM b)
+            SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(epoch(ts)) AS BIGINT) AS start_epoch,
+                   CAST(max(epoch(ts)) AS BIGINT) AS end_epoch,
+                   CAST(max(epoch(ts)) - min(epoch(ts)) AS BIGINT) AS duration_sec
+            FROM s GROUP BY user_id, session_id
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    by = {(r[0], r[1]): r for r in got}
+    assert by[("a", 0)][2] == 2 and by[("a", 1)][2] == 2
+    assert by[("b", 1)][2] == 1
