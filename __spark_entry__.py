@@ -1363,9 +1363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
-        "clean_text": q_clean_text,
-        "repetition_stats": q_repetition_stats,
-        "url_normalize": q_url_normalize,
+        "kg_truth_discovery": q_kg_truth_discovery,
+        "kg_fact_history": q_kg_fact_history,
+        "events_asof_view": q_events_asof_view,
         "url_dedup_groups": q_url_dedup_groups,
         "corpus_quality_filter": q_corpus_quality_filter,
         "mask_pii": q_mask_pii,
@@ -1380,7 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket": q_lsh_bucket,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
-        "ivf_assign_kmeans": q_ivf_assign_kmeans,
+        "kg_fused_edges": q_kg_fused_edges,
         "embedding_neardup": q_embedding_neardup,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -1451,17 +1451,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapaths": q_kg_metapaths,
         "kg_recrawl_incremental": q_kg_recrawl_incremental,
         "kg_relation_stats": q_kg_relation_stats,
-        "kg_fused_edges": q_kg_fused_edges,
-        "kg_truth_discovery": q_kg_truth_discovery,
         "kg_source_trust": q_kg_source_trust,
         "kg_contested_facts": q_kg_contested_facts,
+        "clean_text": q_clean_text,
+        "repetition_stats": q_repetition_stats,
+        "url_normalize": q_url_normalize,
+        "ivf_assign_kmeans": q_ivf_assign_kmeans,
         "kg_random_walks": q_kg_random_walks,
         "kg_negative_samples": q_kg_negative_samples,
-        "kg_fact_history": q_kg_fact_history,
         "kg_predicate_similarity": q_kg_predicate_similarity,
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
-        "events_asof_view": q_events_asof_view,
         "events_session_stats": q_events_session_stats,
     }
 
