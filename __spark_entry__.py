@@ -1330,6 +1330,26 @@ def q_kg_entity_cooccurrence(spark, sf_dir):
     return entity_cooccurrence(mentions, min_pairs=2, max_doc_entities=4)
 
 
+def q_kg_fused_weighted(spark, sf_dir):
+    """Quality-weighted fusion: each claim votes with its source page's
+    n_chars (bigger pages vote harder) instead of a raw count — the
+    composition of the fusion stage with a per-document quality signal
+    (operators/fusion.fuse_weighted; oracle = the window-formulation
+    mirror over the same triples-x-documents join)."""
+    from posextract_spark.operators.fusion import fuse_weighted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    claims = _shared_triples(spark, sf_dir).join(docs, "doc_id").select(
+        F.col("subject").alias("src"),
+        F.col("verb").alias("predicate"),
+        F.col("object").alias("dst"),
+        "weight",
+    )
+    return fuse_weighted(claims, min_confidence_e6=200_000)
+
+
 def q_kg_metapaths(spark, sf_dir):
     """2-hop relation-pattern mining over the triple graph: (pred_a,
     pred_b) path counts with distinct endpoint pairs — the schema-level
@@ -1463,6 +1483,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram_pairs": q_kg_skipgram_pairs,
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "events_session_stats": q_events_session_stats,
+        "kg_fused_weighted": q_kg_fused_weighted,
     }
 
 
@@ -1646,6 +1667,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_metapaths": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW
         + _ga.relation_metapaths_sql("kg_p", max_mid_fanout=5800, min_support=200),
+        "kg_fused_weighted": SVO_TRIPLES_CTE
+        + (
+            ", kg_w AS (SELECT t.subject AS src, t.verb AS predicate, "
+            "t.object AS dst, CAST(d.n_chars AS BIGINT) AS weight "
+            "FROM svo_triples t JOIN documents d ON d.doc_id = t.doc_id)"
+        )
+        + _fu.fuse_weighted_sql("kg_w", min_confidence_e6=200_000),
         "kg_relation_stats": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW
         + _fu.relation_stats_sql("kg_p"),

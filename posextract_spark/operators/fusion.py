@@ -750,3 +750,97 @@ FROM _ecp p
 JOIN _ecm ma ON ma.e = p.a
 JOIN _ecm mb ON mb.e = p.b
 CROSS JOIN _ecn n"""
+
+
+def fuse_weighted(
+    claims: DataFrame,
+    weight: str = "weight",
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+    min_confidence_e6: int = 0,
+) -> DataFrame:
+    """Externally-weighted single-round fusion: the winning object per
+    (src, predicate) under an arbitrary non-negative integer vote weight —
+    page quality, crawl recency, source authority — instead of
+    observation counts (``fuse_functional_relations``) or learned trust
+    (``truth_discovery``). One claim row contributes its weight once.
+
+    Returns (src, predicate, dst, weight, total_weight, confidence_e6)
+    with confidence_e6 = floor(1e6 * weight / total_weight) (0 when the
+    group's total weight is 0); ties on weight break by minimum dst.
+
+    Scale shape: one (src, predicate, dst) sum shuffle (map-side
+    combinable) + one struct-min per (src, predicate) — same two-agg
+    shape as fuse_functional_relations, no Window. Overflow: group sums
+    must stay under 2^63 — at 1e12 claims that allows average weights to
+    ~9e6 per claim; scale weights down before fusing past that.
+    """
+    cand = (
+        claims.groupBy(
+            F.col(src).alias("src"),
+            F.col(predicate).alias("predicate"),
+            F.col(dst).alias("dst"),
+        )
+        .agg(F.sum(F.col(weight)).cast("long").alias("w"))
+    )
+    fused = (
+        cand.groupBy("src", "predicate")
+        .agg(
+            F.sum("w").cast("long").alias("total_weight"),
+            F.min(
+                F.struct((-F.col("w")).alias("negw"), F.col("dst").alias("d"))
+            ).alias("m"),
+        )
+        .select(
+            "src",
+            "predicate",
+            F.col("m.d").alias("dst"),
+            (-F.col("m.negw")).cast("long").alias("weight"),
+            "total_weight",
+        )
+        .withColumn(
+            "confidence_e6",
+            F.when(F.col("total_weight") == 0, F.lit(0))
+            .otherwise(F.expr("weight * 1000000 div total_weight"))
+            .cast("long"),
+        )
+    )
+    if min_confidence_e6 > 0:
+        fused = fused.filter(F.col("confidence_e6") >= F.lit(min_confidence_e6))
+    return fused
+
+
+def fuse_weighted_sql(
+    claims_rel: str,
+    weight: str = "weight",
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+    min_confidence_e6: int = 0,
+) -> str:
+    """SQL suffix mirroring fuse_weighted() (window formulation — mirror
+    only)."""
+    having = (
+        f"AND CAST(CASE WHEN total_weight = 0 THEN 0 "
+        f"ELSE w * 1000000 // total_weight END AS BIGINT) >= {min_confidence_e6} "
+        if min_confidence_e6 > 0
+        else ""
+    )
+    return f"""
+, _fw_cand AS MATERIALIZED (
+  SELECT {src} AS src, {predicate} AS predicate, {dst} AS dst,
+         CAST(sum({weight}) AS BIGINT) AS w
+  FROM {claims_rel} GROUP BY 1, 2, 3),
+_fw_win AS (
+  SELECT src, predicate, dst, w,
+         CAST(sum(w) OVER (PARTITION BY src, predicate) AS BIGINT)
+           AS total_weight,
+         row_number() OVER (PARTITION BY src, predicate
+                            ORDER BY w DESC, dst ASC) AS rn
+  FROM _fw_cand)
+SELECT src, predicate, dst, w AS weight, total_weight,
+       CAST(CASE WHEN total_weight = 0 THEN 0
+                 ELSE w * 1000000 // total_weight END AS BIGINT)
+         AS confidence_e6
+FROM _fw_win WHERE rn = 1 {having}"""

@@ -520,3 +520,65 @@ def test_entity_cooccurrence_random_parity(spark, seed):
     ).df()
     con.close()
     _assert_match(got, want)
+
+
+# --- weighted fusion -------------------------------------------------------------
+
+
+def brute_fuse_weighted(rows, min_conf=0):
+    """rows: (src, predicate, dst, weight)."""
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: defaultdict(int))
+    for s, p, d, w in rows:
+        groups[(s, p)][d] += w
+    out = []
+    for (s, p), dsts in groups.items():
+        total = sum(dsts.values())
+        d, w = min(dsts.items(), key=lambda kv: (-kv[1], kv[0]))
+        conf = 0 if total == 0 else w * 1_000_000 // total
+        if conf >= min_conf:
+            out.append((s, p, d, w, total, conf))
+    return sorted(out)
+
+
+def test_fuse_weighted_semantics(spark):
+    rows = [
+        # one heavy page outweighs two light ones
+        ("acme", "hq", "berlin", 900), ("acme", "hq", "austin", 300),
+        ("acme", "hq", "austin", 200),
+        # zero-weight group -> confidence 0, min-dst winner
+        ("zorg", "hq", "b", 0), ("zorg", "hq", "a", 0),
+    ]
+    df = spark.createDataFrame(rows, ["src", "predicate", "dst", "weight"])
+    got = sorted(tuple(r) for r in fu.fuse_weighted(df).collect())
+    assert got == brute_fuse_weighted(rows)
+    by = {r[0]: r for r in got}
+    assert by["acme"][2:] == ("berlin", 900, 1400, 642_857)
+    assert by["zorg"][2:] == ("a", 0, 0, 0)
+    # confidence floor drops the zero group
+    got2 = sorted(tuple(r) for r in fu.fuse_weighted(df, min_confidence_e6=600_000).collect())
+    assert got2 == brute_fuse_weighted(rows, 600_000)
+    assert [r[0] for r in got2] == ["acme"]
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_fuse_weighted_random_parity(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.choice(["s1", "s2", "s3"]),
+            rng.choice(["p1", "p2"]),
+            rng.choice(["a", "b", "c"]),
+            rng.randint(0, 50),
+        )
+        for _ in range(rng.randint(3, 60))
+    ]
+    mc = rng.choice([0, 400_000])
+    pdf = pd.DataFrame(rows, columns=["src", "predicate", "dst", "weight"])
+    sdf = spark.createDataFrame(pdf)
+    got = fu.fuse_weighted(sdf, min_confidence_e6=mc)
+    assert sorted(tuple(r) for r in got.collect()) == brute_fuse_weighted(rows, mc)
+    _assert_match(
+        got, _duck(pdf, fu.fuse_weighted_sql("triples_base", min_confidence_e6=mc))
+    )
