@@ -1281,8 +1281,9 @@ def q_kg_predicate_similarity(spark, sf_dir):
     sets between predicates — the ontology-alignment signal that merges
     *acquired*/*bought*-style relations. At sf0.01 all thresholds carry
     oracle signal: max_pair_fanout=8 prunes the 8 hottest pairs (fanout
-    9-10 of the 11-predicate vocabulary), and the 340k jaccard floor cuts
-    55 -> 28 rows (operators/fusion.predicate_similarity; oracle = the
+    9-10 of the 11-predicate vocabulary; common becomes a lower bound
+    while denominators stay exact), and the 340k jaccard floor cuts
+    55 -> 10 rows (operators/fusion.predicate_similarity; oracle = the
     independent _sql mirror)."""
     from posextract_spark.operators.fusion import predicate_similarity
 

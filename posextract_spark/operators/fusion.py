@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from posextract_spark.functions.selection import argmax_min_tie
+
 
 def _edge_counts(
     triples: DataFrame, src: str, predicate: str, dst: str
@@ -132,17 +134,13 @@ def fuse_functional_relations(
         cand.groupBy("src", "predicate")
         .agg(
             F.sum("support").cast("long").alias("total"),
-            F.min(
-                F.struct(
-                    (-F.col("support")).alias("negs"), F.col("dst").alias("d")
-                )
-            ).alias("m"),
+            argmax_min_tie(F.col("support"), F.col("dst")).alias("m"),
         )
         .select(
             "src",
             "predicate",
-            F.col("m.d").alias("dst"),
-            (-F.col("m.negs")).cast("long").alias("support"),
+            F.col("m.v").alias("dst"),
+            (-F.col("m.neg")).cast("long").alias("support"),
             "total",
         )
         .withColumn(
@@ -182,37 +180,27 @@ def contested_facts(
         cand.groupBy("src", "predicate")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_objects"),
-            F.min(
-                F.struct(
-                    (-F.col("support")).alias("negs"), F.col("dst").alias("d")
-                )
-            ).alias("m"),
+            argmax_min_tie(F.col("support"), F.col("dst")).alias("m"),
         )
         .filter(F.col("n_objects") >= 2)
         .select(
             "src",
             "predicate",
             "n_objects",
-            F.col("m.d").alias("top_dst"),
-            (-F.col("m.negs")).cast("long").alias("top_support"),
+            F.col("m.v").alias("top_dst"),
+            (-F.col("m.neg")).cast("long").alias("top_support"),
         )
     )
     runner = (
         cand.join(top, ["src", "predicate"])
         .filter(F.col("dst") != F.col("top_dst"))
         .groupBy("src", "predicate")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("support")).alias("negs"), F.col("dst").alias("d")
-                )
-            ).alias("m")
-        )
+        .agg(argmax_min_tie(F.col("support"), F.col("dst")).alias("m"))
         .select(
             "src",
             "predicate",
-            F.col("m.d").alias("runner_dst"),
-            (-F.col("m.negs")).cast("long").alias("runner_support"),
+            F.col("m.v").alias("runner_dst"),
+            (-F.col("m.neg")).cast("long").alias("runner_support"),
         )
     )
     return (
@@ -298,22 +286,16 @@ def truth_discovery(
             scored.groupBy("src", "predicate")
             .agg(
                 F.sum("vote_e6").cast("long").alias("total_e6"),
-                # (negv, d) is unique within the group (one row per dst),
-                # so ns/d ride along as never-compared payload
-                F.min(
-                    F.struct(
-                        (-F.col("vote_e6")).alias("negv"),
-                        F.col("dst").alias("d"),
-                        F.col("n_sources").alias("ns"),
-                    )
+                argmax_min_tie(
+                    F.col("vote_e6"), F.col("dst"), F.col("n_sources")
                 ).alias("m"),
             )
             .select(
                 "src",
                 "predicate",
-                F.col("m.d").alias("dst"),
-                F.col("m.ns").cast("long").alias("n_sources"),
-                (-F.col("m.negv")).cast("long").alias("vote_e6"),
+                F.col("m.v").alias("dst"),
+                F.col("m.c0").cast("long").alias("n_sources"),
+                (-F.col("m.neg")).cast("long").alias("vote_e6"),
                 "total_e6",
             )
             .localCheckpoint(eager=True)
@@ -568,6 +550,10 @@ def predicate_similarity(
         F.col(src).alias("s"),
         F.col(dst).alias("o"),
     ).distinct()
+    # sizes come from the PRE-cap pair set: the denominator stays exact
+    # while common becomes a lower bound — same honest-cap convention as
+    # neighbor_jaccard's full-degree denominator
+    sizes = ps.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
     if max_pair_fanout is not None:
         fanout = ps.groupBy("s", "o").agg(
             F.count(F.lit(1)).cast("long").alias("_w")
@@ -577,7 +563,6 @@ def predicate_similarity(
             .filter(F.col("_w") <= F.lit(max_pair_fanout))
             .drop("_w")
         )
-    sizes = ps.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
     left = ps.select(F.col("p").alias("pred_a"), "s", "o")
     right = ps.select(F.col("p").alias("pred_b"), "s", "o")
     common = (
@@ -626,7 +611,7 @@ _ps AS MATERIALIZED (
   SELECT DISTINCT {predicate} AS p, {src} AS s, {dst} AS o
   FROM {triples_rel}){filt},
 _psn AS MATERIALIZED (
-  SELECT p, CAST(count(*) AS BIGINT) AS n FROM _ps GROUP BY p),
+  SELECT p, CAST(count(*) AS BIGINT) AS n FROM _ps0 GROUP BY p),
 _psc AS (
   SELECT l.p AS pred_a, r.p AS pred_b, CAST(count(*) AS BIGINT) AS common
   FROM _ps l JOIN _ps r ON l.s = r.s AND l.o = r.o AND l.p < r.p
@@ -671,9 +656,12 @@ def entity_cooccurrence(
     entity-keyed groupBy (broadcast-sized dim per vocabulary); the pair
     join is keyed on doc with per-key width = the doc's entity count —
     bounded by the cap, so pair work is O(docs * cap^2); the final count
-    is map-side combinable. Overflow: n_ab * n_docs < 2^63 holds to
-    ~3e9 docs per pair count unit — document the bound, don't guess past
-    it.
+    is map-side combinable. Overflow: the lift intermediate is
+    n_ab * 1e6 * n_docs, so the REAL bound is n_ab * n_docs < 2^63 / 1e6
+    ~= 9.2e12 — a near-ubiquitous pair (n_ab ~= n_docs) overflows at
+    ~3e6 docs, and Spark wraps silently while DuckDB raises. Past that,
+    pre-scale: divide n_docs (and marginals) by a common factor before
+    fusing, or compute lift on a sampled doc universe.
     """
     m = mentions.select(
         F.col(doc).alias("d"), F.col(entity).alias("e")
@@ -788,15 +776,13 @@ def fuse_weighted(
         cand.groupBy("src", "predicate")
         .agg(
             F.sum("w").cast("long").alias("total_weight"),
-            F.min(
-                F.struct((-F.col("w")).alias("negw"), F.col("dst").alias("d"))
-            ).alias("m"),
+            argmax_min_tie(F.col("w"), F.col("dst")).alias("m"),
         )
         .select(
             "src",
             "predicate",
-            F.col("m.d").alias("dst"),
-            (-F.col("m.negw")).cast("long").alias("weight"),
+            F.col("m.v").alias("dst"),
+            (-F.col("m.neg")).cast("long").alias("weight"),
             "total_weight",
         )
         .withColumn(

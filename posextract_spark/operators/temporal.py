@@ -307,6 +307,8 @@ def fact_history(
     count (dozens), never data-sized; the winners frame is
     localCheckpointed so its lineage is evaluated once, not three times.
     """
+    from posextract_spark.functions.selection import argmax_min_tie
+
     counts = claims.groupBy(
         F.col(src).alias("src"),
         F.col(predicate).alias("predicate"),
@@ -315,19 +317,13 @@ def fact_history(
     ).agg(F.count(F.lit(1)).cast("long").alias("support"))
     winners = (
         counts.groupBy("src", "predicate", "epoch")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("support")).alias("negs"), F.col("dst").alias("d")
-                )
-            ).alias("m")
-        )
+        .agg(argmax_min_tie(F.col("support"), F.col("dst")).alias("m"))
         .select(
             "src",
             "predicate",
             "epoch",
-            F.col("m.d").alias("dst"),
-            (-F.col("m.negs")).cast("long").alias("support"),
+            F.col("m.v").alias("dst"),
+            (-F.col("m.neg")).cast("long").alias("support"),
         )
         .localCheckpoint(eager=True)
     )
@@ -413,19 +409,24 @@ def asof_join(
     (at-or-before); duplicate right rows on (key, ts) resolve to the
     maximum payload tuple, so the result is a pure function of the input.
     NULL timestamps sort first (a null-ts right row acts as "since
-    forever"; a null-ts left row can only see those).
+    forever"; a null-ts left row can only see those). The payload is the
+    matched right ROW's values verbatim — a NULL field in the matched row
+    stays NULL; it is never backfilled from an older right row.
 
     Implementation (the scalable shape, not the quadratic one): both
     sides are tagged and unioned, hash-repartitioned on key, sorted
     within partitions on (key, ts, side, payload) with right-before-left
-    at equal ts, then ONE vectorized Arrow pass forward-fills the payload
-    per key (pandas groupby.ffill — no per-row Python) with O(1) state
-    carried across record batches of a partition. Cost is one shuffle +
-    one in-partition sort over |left| + |right| rows — O(n log n) per
-    partition, NEVER the O(|left_k| * |right_k|) of the naive
-    range-join-then-argmax, which a hot key (10^6 events x 10^6 captures)
-    turns quadratic. No Window node; a key's rows never serialize through
-    a single ranking task beyond this sort, and AQE handles residual
+    at equal ts, then ONE Arrow pass forward-fills the payload STRUCT per
+    key (whole-row fill — per-column ffill would resurrect stale values
+    into a matched row's NULL fields) with O(1) state carried across
+    record batches of a partition. Left columns and the payload travel as
+    structs through mapInArrow (NOT mapInPandas: 64-bit ints in any
+    null-bearing column pandas-ify through masked float64 and silently
+    round past 2^53 — entity-id territory; Arrow to_pylist is exact). Cost is
+    one shuffle + one in-partition sort over |left| + |right| rows —
+    O(n log n) per partition, NEVER the O(|left_k| * |right_k|) of the
+    naive range-join-then-argmax, which a hot key (10^6 events x 10^6
+    captures) turns quadratic. No Window node; AQE handles residual
     partition skew.
     """
     if not payload:
@@ -436,78 +437,85 @@ def asof_join(
     if clash:
         raise ValueError(f"payload output columns collide with left: {sorted(clash)}")
     right_fields = {f.name: f for f in right.schema.fields}
+    payload_struct = F.struct(
+        *[F.col(rc).alias(oc) for rc, oc in payload.items()]
+    )
     l2 = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_alt"),
-        *[F.col(c) for c in lcols],
-        *[
-            F.lit(None).cast(right_fields[rc].dataType).alias(oc)
-            for rc, oc in payload.items()
-        ],
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"{oc}: {right_fields[rc].dataType.simpleString()}"
+                for rc, oc in payload.items()
+            )
+            + ">"
+        )
+        .alias("_p"),
     )
-    left_fields = {f.name: f for f in left.schema.fields}
+    left_struct_ddl = (
+        "struct<"
+        + ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in left.schema.fields)
+        + ">"
+    )
     r2 = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_alt"),
-        *[F.lit(None).cast(left_fields[c].dataType).alias(c) for c in lcols],
-        *[F.col(rc).alias(oc) for rc, oc in payload.items()],
+        F.lit(None).cast(left_struct_ddl).alias("_l"),
+        payload_struct.alias("_p"),
     )
     u = (
         l2.unionAll(r2)
         .repartition(F.col("_k"))
-        .sortWithinPartitions("_k", "_ts", "_alt", *out_cols)
+        .sortWithinPartitions("_k", "_ts", "_alt", "_p")
     )
 
-    import pandas as pd  # noqa: F811
+    import pyarrow as pa
 
-    from pyspark.sql.types import StructType
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructField, StructType
 
     out_schema = StructType(
         list(left.schema.fields)
-        + [
-            type(right_fields[rc])(oc, right_fields[rc].dataType, True)
-            for rc, oc in payload.items()
-        ]
+        + [StructField(oc, right_fields[rc].dataType, True) for rc, oc in payload.items()]
     )
-    # integer payloads pick up NaN during the fill; pandas nullable
-    # dtypes keep them Arrow-convertible back to long/int
-    int_like = {
-        oc: "Int64" if right_fields[rc].dataType.typeName() in ("long", "integer") else None
-        for rc, oc in payload.items()
-    }
+    arrow_schema = to_arrow_schema(out_schema)
+    none_payload = {oc: None for oc in out_cols}
 
+    # mapInArrow, NOT mapInPandas: a null-bearing struct column still
+    # pandas-ifies its integer children through a masked float64 (nulls
+    # punch holes in the child arrays), silently rounding ids past 2^53.
+    # Arrow's to_pylist() yields exact Python ints and None for nulls.
     def fill(batches):
         state_key = None
-        state_vals = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        state_val = None  # last right-row payload dict for state_key
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            if state_key is not None and len(pdf) and pdf["_k"].iloc[0] == state_key:
-                seed = pdf.iloc[:1].copy()
-                seed["_alt"] = 0
-                for c, v in zip(out_cols, state_vals):
-                    seed[c] = v
-                work = pd.concat([seed, pdf], ignore_index=True)
-                seeded = True
-            else:
-                work = pdf
-                seeded = False
-            work = work.copy()
-            work[out_cols] = work.groupby("_k", sort=False)[out_cols].ffill()
-            tail = work.iloc[-1]
-            state_key = tail["_k"]
-            state_vals = [tail[c] for c in out_cols]
-            if seeded:
-                work = work.iloc[1:]
-            out = work[work["_alt"] == 1][lcols + out_cols]
-            for c, dt in int_like.items():
-                if dt is not None:
-                    out[c] = out[c].astype(dt)
-            yield out
+            keys = batch.column("_k").to_pylist()
+            alts = batch.column("_alt").to_pylist()
+            lvals = batch.column("_l").to_pylist()
+            pvals = batch.column("_p").to_pylist()
+            cur_key = state_key
+            cur_val = state_val
+            rows = []
+            for k, a, ld, pv in zip(keys, alts, lvals, pvals):
+                if k != cur_key:
+                    cur_key, cur_val = k, None
+                if a == 0:
+                    cur_val = pv
+                else:
+                    rows.append(
+                        {**ld, **(cur_val if cur_val is not None else none_payload)}
+                    )
+            state_key, state_val = cur_key, cur_val
+            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
-    return u.mapInPandas(fill, out_schema)
+    return u.mapInArrow(fill, out_schema)
 
 
 def sessionize(

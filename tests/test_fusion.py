@@ -337,10 +337,12 @@ def test_fusion_random_parity_spark_python_duckdb(spark, seed):
 def brute_pred_sim(rows, min_common=1, min_jaccard_e6=0, cap=None):
     from collections import Counter, defaultdict
 
-    ps = sorted({(p, s, o) for s, p, o in rows})
+    ps0 = sorted({(p, s, o) for s, p, o in rows})
+    sizes = Counter(p for p, _, _ in ps0)  # PRE-cap: denominators exact
+    ps = ps0
     if cap is not None:
-        fan = Counter((s, o) for _, s, o in ps)
-        ps = [(p, s, o) for p, s, o in ps if fan[(s, o)] <= cap]
+        fan = Counter((s, o) for _, s, o in ps0)
+        ps = [(p, s, o) for p, s, o in ps0 if fan[(s, o)] <= cap]
     pairs_of = defaultdict(set)
     for p, s, o in ps:
         pairs_of[p].add((s, o))
@@ -351,7 +353,7 @@ def brute_pred_sim(rows, min_common=1, min_jaccard_e6=0, cap=None):
             common = len(pairs_of[a] & pairs_of[b])
             if common < min_common:
                 continue
-            na, nb = len(pairs_of[a]), len(pairs_of[b])
+            na, nb = sizes[a], sizes[b]
             j = common * 1_000_000 // (na + nb - common)
             if j >= min_jaccard_e6:
                 out.append((a, b, common, na, nb, j))
@@ -396,8 +398,10 @@ def test_predicate_similarity_fanout_cap(spark):
     df = spark.createDataFrame(rows, ["src", "predicate", "dst"])
     got = _ps_rows(fu.predicate_similarity(df, max_pair_fanout=3))
     assert got == brute_pred_sim(rows, cap=3)
-    # only the (a,b)-driven pair survives, with exact sizes
-    assert got == [("p0", "p1", 1, 1, 1, 1_000_000)]
+    # only the (a,b)-driven pair survives; denominators keep the hub pair
+    # (sizes are PRE-cap: p0 and p1 each own 2 distinct pairs), so the
+    # capped jaccard is an honest LOWER bound: 1/(2+2-1)
+    assert got == [("p0", "p1", 1, 2, 2, 333_333)]
 
 
 @pytest.mark.parametrize("seed", [31, 32, 33])

@@ -503,3 +503,36 @@ def test_sessionize_timestamps_and_stats(spark):
     by = {(r[0], r[1]): r for r in got}
     assert by[("a", 0)][2] == 2 and by[("a", 1)][2] == 2
     assert by[("b", 1)][2] == 1
+
+
+def test_asof_join_preserves_64bit_ids_exactly(spark):
+    # portable_hash64-scale ids (> 2^53): a flat long column with NULLs
+    # would pandas-ify to float64 and silently round these; the struct
+    # transport must keep them bit-exact
+    big = [(2**60 + 1, "k", 10), (2**60 + 3, "k", 20)]
+    left = spark.createDataFrame(big, ["big_id", "k", "ts"])
+    right = spark.createDataFrame(
+        [("k", 5, 2**61 + 7)], ["k", "ts", "rbig"]
+    )
+    rows = {r["big_id"]: r["rbig"] for r in
+            T.asof_join(left, right, key="k", payload={"rbig": "rbig"}).collect()}
+    assert rows == {2**60 + 1: 2**61 + 7, 2**60 + 3: 2**61 + 7}
+
+
+def test_asof_join_matched_row_nulls_not_resurrected(spark):
+    # the matched right row has v=NULL: the output must carry THAT row's
+    # NULL, not backfill 'a' from the older right row (review finding)
+    left = spark.createDataFrame([("k", 12, 1)], ["k", "ts", "id"])
+    right = spark.createDataFrame(
+        [("k", 5, "a"), ("k", 10, None)], ["k", "ts", "v"]
+    )
+    out = T.asof_join(left, right, key="k", payload={"v": "v"}).collect()
+    assert len(out) == 1 and out[0]["v"] is None
+    # and a multi-column payload must come from ONE right row, never mixed
+    right2 = spark.createDataFrame(
+        [("k", 5, "a", 1), ("k", 10, None, 2)], ["k", "ts", "v", "n"]
+    )
+    out2 = T.asof_join(
+        left, right2, key="k", payload={"v": "v", "n": "n"}
+    ).collect()
+    assert out2[0]["v"] is None and out2[0]["n"] == 2

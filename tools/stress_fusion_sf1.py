@@ -2,8 +2,8 @@
 relation-level KG operators over the ~6M-triple extraction of the 2M-doc
 sf1 corpus — the 10x step past the sf0.01 contract scale.
 
-Reuses the sf1 documents parquet materialized by tools/stress_sf1.py
-(regenerates it via that script's logic if missing), extracts triples
+Requires the sf1 documents parquet materialized by tools/stress_sf1.py
+(exits with instructions if missing), extracts triples
 ONCE to REPO/.localdata/sf1/triples.parquet, then times each operator
 against the parquet (real FileScan + AQE), recording wall time plus
 per-stage shuffle/spill from the local REST API. Paste the summary into
