@@ -8,11 +8,13 @@ Design choices:
   caller adds downstream (edge weights per day, etc.);
 - checkpointLocation gives exactly-once sink semantics for file sinks —
   the streaming analog of plans/lineage.py's manifest resume;
-- four surfaces: foreachBatch reuse (stream_pages_to_triples), a NATIVE
+- five surfaces: foreachBatch reuse (stream_pages_to_triples), a NATIVE
   watermarked windowed aggregation (streaming_edge_weights), a custom
   stateful operator via applyInPandasWithState with checkpoint state
-  recovery (streaming_entity_profiles), and watermark-bounded streaming
-  dedup (streaming_dedup).
+  recovery (streaming_entity_profiles), watermark-bounded streaming
+  dedup (streaming_dedup), and native session windows
+  (streaming_user_sessions — equivalence-gated against the batch
+  sessionizer).
 """
 
 from __future__ import annotations
@@ -223,3 +225,56 @@ def streaming_dedup(
         .withColumn("text_hash2", portable_hash64b(F.col("text")))
     )
     return stream.dropDuplicatesWithinWatermark(["text_hash", "text_hash2"])
+
+
+def _events_schema():
+    return (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+
+def streaming_user_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """NATIVE streaming sessionization: ``F.session_window`` over the
+    event firehose — the streaming counterpart of
+    operators/temporal.sessionize, with merge-on-overlap session state
+    instead of a batch sort.
+
+    Returns the unstarted stream (user_id, session_start, session_end,
+    n_events). The watermark bounds session state: a session whose
+    [last_event + gap) horizon falls behind the watermark is finalized
+    and evicted, so state is O(open sessions), not O(stream history).
+
+    Boundary semantics vs the batch operator (document, don't paper
+    over): session_window treats an event at EXACTLY last_ts + gap as a
+    NEW session (windows [t, t+gap) and [t+gap, ...) don't overlap),
+    while batch sessionize keeps diff == gap in the same session (it
+    breaks on diff > gap). Real event streams with sub-second timestamps
+    hit exact-gap diffs with probability ~0; the equivalence test
+    asserts the corpus has none before comparing. ``session_end`` here is
+    Spark's horizon (last event + gap), so batch end_epoch =
+    session_end - gap.
+    """
+    stream = (
+        spark.readStream.schema(_events_schema())
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        stream.groupBy(
+            F.session_window(F.col("ts"), gap).alias("s"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

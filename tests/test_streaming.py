@@ -249,3 +249,53 @@ def test_stateful_entity_profiles_kill_midstream_and_resume(spark, tmp_path):
         .collect()
     }
     assert finals == truth
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
+    """Native session_window stream == batch sessionize/session_stats on
+    the same events, modulo the documented horizon (+gap on end)."""
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.temporal import session_stats
+    from posextract_spark.streaming.pipeline import streaming_user_sessions
+
+    src = str(tmp_path / "events_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+
+    gap_s = 1800
+    # precondition for exact equivalence: no successive per-user pair sits
+    # at EXACTLY the gap (the documented half-open boundary difference)
+    exact = (
+        ev.alias("a")
+        .join(ev.alias("b"), "user_id")
+        .filter(F.col("b.ts") == F.col("a.ts") + F.expr("INTERVAL 1800 SECONDS"))
+        .count()
+    )
+    assert exact == 0, "corpus hits the exact-gap boundary; pick another gap"
+
+    q = (
+        streaming_user_sessions(spark, src, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("user_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not terminate"
+    q.stop()
+    # epoch conversion happens IN SPARK (unix_timestamp), matching the
+    # batch side's semantics — python datetime.timestamp() would re-read
+    # naive timestamps in the process-local timezone
+    got = {
+        (r["user_id"], r["se"]): (r["n_events"], r["ee"])
+        for r in spark.sql(
+            "SELECT user_id, unix_timestamp(session_start) AS se, "
+            "unix_timestamp(session_end) AS ee, n_events FROM user_sessions"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["start_epoch"]): (r["n_events"], r["end_epoch"] + gap_s)
+        for r in session_stats(ev, key="user_id", ts="ts", gap_seconds=gap_s).collect()
+    }
+    assert got == want and len(got) > 0
