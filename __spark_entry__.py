@@ -1149,6 +1149,17 @@ def q_events_session_stats(spark, sf_dir):
     return session_stats(ev, key="user_id", ts="ts", gap_seconds=1800)
 
 
+def q_term_stats(spark, sf_dir):
+    """Corpus term statistics (inverted-index profile): per lowercased
+    whitespace term, document frequency + total term frequency with a
+    min_df=100 rare-term floor (drops the df=25 outlier term at sf0.01, so the floor branch carries oracle signal) (operators/textops.term_stats; oracle = the
+    unnest mirror term_stats_sql)."""
+    from posextract_spark.operators.textops import term_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return term_stats(docs, min_df=100)
+
+
 def _kg_pred_edges(spark, sf_dir):
     """(src, predicate, dst) predicate-edge view of the SVO triples —
     shared by the relation-level queries (metapaths / fusion)."""
@@ -1485,6 +1496,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "events_session_stats": q_events_session_stats,
         "kg_fused_weighted": q_kg_fused_weighted,
+        "term_stats": q_term_stats,
     }
 
 
@@ -1668,6 +1680,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_metapaths": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW
         + _ga.relation_metapaths_sql("kg_p", max_mid_fanout=5800, min_support=200),
+        "term_stats": "WITH _ts_dummy AS (SELECT 1)"
+        + _textops.term_stats_sql("documents", min_df=100),
         "kg_fused_weighted": SVO_TRIPLES_CTE
         + (
             ", kg_w AS (SELECT t.subject AS src, t.verb AS predicate, "

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from posextract_spark.functions.boundary import materialize
-from posextract_spark.functions.hashing import portable_hash64, word_array
+from posextract_spark.functions.hashing import (
+    WORD_ARRAY_SQL,
+    portable_hash64,
+    word_array,
+)
 
 # Tiny deterministic language marker sets (heuristic n-gram-free lang-id:
 # marker-word voting). At 100 TB this would be a broadcast model; the
@@ -728,3 +732,61 @@ SELECT d.doc_id,
 FROM dirty d LEFT JOIN k ON d.doc_id = k.doc_id
 GROUP BY d.doc_id
 """
+
+
+def term_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus term statistics — the inverted-index profile a retrieval or
+    tokenizer-training stage starts from: per whitespace term, document
+    frequency and total term frequency.
+
+    Returns (term, df, tf) with df = distinct documents containing the
+    term and tf = total occurrences; terms below ``min_df`` are dropped
+    (the long tail of hapaxes dominates the vocabulary — min_df=2 already
+    cuts most of it).
+
+    Scale shape: one split per document behind a Generate boundary, then
+    ONE term-keyed aggregation. Zipf skew (a stopword appears in every
+    document) is harmless here: counts partial-aggregate map-side, so the
+    hot term arrives at its reducer as one partial row per upstream
+    partition, never as raw occurrences. df rides the same shuffle as
+    count(DISTINCT doc) — per-term distinct sets are bounded by the doc
+    count and AQE splits stragglers.
+    """
+    words = word_array(
+        F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("_d"), F.explode(words).alias("term")
+    )
+    out = exploded.groupBy("term").agg(
+        F.countDistinct("_d").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("tf"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("df") >= F.lit(min_df))
+    return out
+
+
+def term_stats_sql(
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of term_stats()."""
+    src = f"lower({text_col})" if lowercase else text_col
+    words = WORD_ARRAY_SQL.format(col=src)
+    having = f"HAVING count(DISTINCT {id_col}) >= {min_df}" if min_df > 1 else ""
+    return f"""
+SELECT term,
+       CAST(count(DISTINCT {id_col}) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT {id_col}, unnest({words}) AS term FROM {docs_rel})
+GROUP BY term {having}"""
