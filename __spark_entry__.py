@@ -1160,6 +1160,18 @@ def q_term_stats(spark, sf_dir):
     return term_stats(docs, min_df=100)
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training pair counts: adjacent character-pair
+    frequencies weighted by word frequency — the statistic the first
+    merge rule is chosen from (operators/mldata.bpe_pair_counts; oracle =
+    the generate_series mirror; min_count=500 genuinely prunes the pair
+    tail at sf0.01)."""
+    from posextract_spark.operators.mldata import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_counts(docs, min_count=500)
+
+
 def _kg_pred_edges(spark, sf_dir):
     """(src, predicate, dst) predicate-edge view of the SVO triples —
     shared by the relation-level queries (metapaths / fusion)."""
@@ -1497,6 +1509,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": q_events_session_stats,
         "kg_fused_weighted": q_kg_fused_weighted,
         "term_stats": q_term_stats,
+        "bpe_pair_counts": q_bpe_pair_counts,
     }
 
 
@@ -1682,6 +1695,8 @@ def oracle_sql() -> dict[str, str]:
         + _ga.relation_metapaths_sql("kg_p", max_mid_fanout=5800, min_support=200),
         "term_stats": "WITH _ts_dummy AS (SELECT 1)"
         + _textops.term_stats_sql("documents", min_df=100),
+        "bpe_pair_counts": "WITH _bp_dummy AS (SELECT 1)"
+        + _mldata.bpe_pair_counts_sql("documents", min_count=500),
         "kg_fused_weighted": SVO_TRIPLES_CTE
         + (
             ", kg_w AS (SELECT t.subject AS src, t.verb AS predicate, "

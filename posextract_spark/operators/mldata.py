@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from posextract_spark.functions.hashing import (
+    WORD_ARRAY_SQL,
     portable_hash64,
     portable_hash64_sql,
     word_array,
@@ -529,3 +530,69 @@ FROM _ns_pick p
 WHERE NOT EXISTS (
   SELECT 1 FROM _ns_trip k
   WHERE k.src = p.src AND k.predicate = p.predicate AND k.dst = p.neg_dst)"""
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """The first step of BPE tokenizer training: adjacent character-pair
+    frequencies over the corpus, weighted by word frequency (the counts
+    the first merge rule is chosen from; iterate externally after each
+    merge — the merge loop is inherently sequential and vocabulary-sized,
+    not a distributed job).
+
+    Returns (pair STRING len 2, n BIGINT) with n = sum over distinct
+    words of (occurrences of the pair in the word) * word count; pairs
+    below ``min_count`` are dropped.
+
+    Scale shape: word counts are one shuffle with map-side partials
+    (Zipf-safe, counters only); the pair explosion then runs over the
+    DISTINCT word vocabulary — 10^7-ish even for 10^12 documents — so the
+    quadratic-looking per-word work is bounded by vocabulary size, not
+    corpus size; the final pair aggregation is alphabet^2-sized.
+    """
+    words = word_array(
+        F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    )
+    wc = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wn"))
+    )
+    # single-char words MUST be filtered before the sequence: Spark's
+    # sequence(1, 0) infers a DESCENDING step and yields [1, 0], turning
+    # every 1-char word into two phantom pairs (DuckDB's generate_series
+    # is empty there — a silent engine divergence)
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "wn",
+    )
+    out = pairs.groupBy("pair").agg(F.sum("wn").cast("long").alias("n"))
+    if min_count > 1:
+        out = out.filter(F.col("n") >= F.lit(min_count))
+    return out
+
+
+def bpe_pair_counts_sql(
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of bpe_pair_counts()."""
+    src = f"lower({text_col})" if lowercase else text_col
+    words = WORD_ARRAY_SQL.format(col=src)
+    having = f"HAVING CAST(sum(wn) AS BIGINT) >= {min_count}" if min_count > 1 else ""
+    return f"""
+, _bp_wc AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wn
+  FROM (SELECT unnest({words}) AS w FROM {docs_rel})
+  GROUP BY w)
+SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(wn) AS BIGINT) AS n
+FROM _bp_wc, unnest(generate_series(1, length(w) - 1)) AS g(i)
+GROUP BY 1 {having}"""

@@ -374,3 +374,68 @@ def test_negative_samples_random_parity(spark):
         gpd = gpd.sort_values(list(gpd.columns)).reset_index(drop=True)
         want = want.sort_values(list(want.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(gpd, want, check_dtype=True)
+
+
+# --- BPE pair counts --------------------------------------------------------------
+
+
+def brute_bpe(rows_text, min_count=1, lowercase=True):
+    from collections import Counter
+
+    wc = Counter()
+    for t in rows_text:
+        for w in (t.lower() if lowercase else t).split():
+            wc[w] += 1
+    pc = Counter()
+    for w, n in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i:i + 2]] += n
+    return sorted((p, n) for p, n in pc.items() if n >= min_count)
+
+
+def test_bpe_pair_counts_semantics(spark):
+    from posextract_spark.operators.mldata import bpe_pair_counts
+
+    texts = ["aba ab", "ABA x", "abab"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = sorted(tuple(r) for r in bpe_pair_counts(df).collect())
+    assert got == brute_bpe(texts)
+    by = dict(got)
+    # 'aba' occurs twice (case-folded) -> ab 2 + ba 2; 'ab' adds ab 1;
+    # 'abab' adds ab 2 + ba 1. Single-char 'x' contributes nothing.
+    assert by["ab"] == 5 and by["ba"] == 3
+    assert "x" not in by and len(by) == 2
+
+
+def test_bpe_pair_counts_duckdb_parity(spark):
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from posextract_spark.operators.mldata import bpe_pair_counts, bpe_pair_counts_sql
+
+    rng = random.Random(9)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 8))
+        )
+        for _ in range(30)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = sorted(
+        tuple(r)
+        for r in bpe_pair_counts(spark.createDataFrame(pdf), min_count=3).collect()
+    )
+    assert got == brute_bpe(texts, min_count=3)
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH d AS (SELECT 1)" + bpe_pair_counts_sql("docs", min_count=3)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
