@@ -539,7 +539,8 @@ def bpe_pair_counts(
     lowercase: bool = True,
 ) -> DataFrame:
     """The first step of BPE tokenizer training: adjacent character-pair
-    frequencies over the corpus, weighted by word frequency (the counts
+    frequencies over the corpus, weighted by word frequency (words =
+    single-SPACE split, the repo-wide word_array contract; the counts
     the first merge rule is chosen from; iterate externally after each
     merge — the merge loop is inherently sequential and vocabulary-sized,
     not a distributed job).

@@ -408,21 +408,23 @@ def asof_join(
     Equal-timestamp semantics: a right row AT the left timestamp matches
     (at-or-before); duplicate right rows on (key, ts) resolve to the
     maximum payload tuple, so the result is a pure function of the input.
-    NULL timestamps sort first (a null-ts right row acts as "since
-    forever"; a null-ts left row can only see those). The payload is the
-    matched right ROW's values verbatim — a NULL field in the matched row
-    stays NULL; it is never backfilled from an older right row.
+    NULL keys follow SQL equality: they match NOTHING (a NULL-key left
+    row keeps NULL payload; a NULL-key right row is inert). NULL
+    timestamps sort first (a null-ts right row acts as "since forever";
+    a null-ts left row can only see those). The payload is the matched
+    right ROW's values verbatim — a NULL field in the matched row stays
+    NULL; it is never backfilled from an older right row.
 
     Implementation (the scalable shape, not the quadratic one): both
     sides are tagged and unioned, hash-repartitioned on key, sorted
     within partitions on (key, ts, side, payload) with right-before-left
-    at equal ts, then ONE Arrow pass forward-fills the payload STRUCT per
-    key (whole-row fill — per-column ffill would resurrect stale values
-    into a matched row's NULL fields) with O(1) state carried across
-    record batches of a partition. Left columns and the payload travel as
-    structs through mapInArrow (NOT mapInPandas: 64-bit ints in any
-    null-bearing column pandas-ify through masked float64 and silently
-    round past 2^53 — entity-id territory; Arrow to_pylist is exact). Cost is
+    at equal ts, then ONE Arrow pass per batch resolves each left row's
+    matched right-row index with a vectorized segment cummax (numpy) and
+    gathers payload struct children with Arrow take — no per-row Python,
+    and no pandas anywhere: 64-bit ints in any null-bearing column
+    pandas-ify through masked float64 and silently round past 2^53
+    (entity-id territory); Arrow take/filter are exact. O(1) state (the
+    boundary key's last right row) carries across record batches. Cost is
     one shuffle + one in-partition sort over |left| + |right| rows —
     O(n log n) per partition, NEVER the O(|left_k| * |right_k|) of the
     naive range-join-then-argmax, which a hot key (10^6 events x 10^6
@@ -436,37 +438,29 @@ def asof_join(
     clash = set(out_cols) & set(lcols)
     if clash:
         raise ValueError(f"payload output columns collide with left: {sorted(clash)}")
+    from pyspark.sql.types import StructField, StructType
+
     right_fields = {f.name: f for f in right.schema.fields}
-    payload_struct = F.struct(
-        *[F.col(rc).alias(oc) for rc, oc in payload.items()]
+    # cast with DataType OBJECTS, not simpleString DDL — column names that
+    # are not plain identifiers ('view count', 'page-rank') break the DDL
+    # parser but are legal StructField names
+    payload_type = StructType(
+        [StructField(oc, right_fields[rc].dataType, True) for rc, oc in payload.items()]
     )
+    left_type = StructType([StructField(f.name, f.dataType, True) for f in left.schema.fields])
     l2 = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_alt"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
-        F.lit(None)
-        .cast(
-            "struct<"
-            + ", ".join(
-                f"{oc}: {right_fields[rc].dataType.simpleString()}"
-                for rc, oc in payload.items()
-            )
-            + ">"
-        )
-        .alias("_p"),
-    )
-    left_struct_ddl = (
-        "struct<"
-        + ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in left.schema.fields)
-        + ">"
+        F.lit(None).cast(payload_type).alias("_p"),
     )
     r2 = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_alt"),
-        F.lit(None).cast(left_struct_ddl).alias("_l"),
-        payload_struct.alias("_p"),
+        F.lit(None).cast(left_type).alias("_l"),
+        F.struct(*[F.col(rc).alias(oc) for rc, oc in payload.items()]).alias("_p"),
     )
     u = (
         l2.unionAll(r2)
@@ -474,46 +468,87 @@ def asof_join(
         .sortWithinPartitions("_k", "_ts", "_alt", "_p")
     )
 
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from pyspark.sql.pandas.types import to_arrow_schema
-    from pyspark.sql.types import StructField, StructType
 
     out_schema = StructType(
         list(left.schema.fields)
         + [StructField(oc, right_fields[rc].dataType, True) for rc, oc in payload.items()]
     )
     arrow_schema = to_arrow_schema(out_schema)
-    none_payload = {oc: None for oc in out_cols}
+    arrow_p_type = to_arrow_schema(StructType([StructField("_p", payload_type, True)])).field(0).type
+    n_left = len(lcols)
 
-    # mapInArrow, NOT mapInPandas: a null-bearing struct column still
-    # pandas-ifies its integer children through a masked float64 (nulls
-    # punch holes in the child arrays), silently rounding ids past 2^53.
-    # Arrow's to_pylist() yields exact Python ints and None for nulls.
     def fill(batches):
-        state_key = None
-        state_val = None  # last right-row payload dict for state_key
+        state_key = None       # non-null key whose last right row is carried
+        state_p = None         # that row's payload, a 1-row pa struct array
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            keys = batch.column("_k").to_pylist()
-            alts = batch.column("_alt").to_pylist()
-            lvals = batch.column("_l").to_pylist()
-            pvals = batch.column("_p").to_pylist()
-            cur_key = state_key
-            cur_val = state_val
-            rows = []
-            for k, a, ld, pv in zip(keys, alts, lvals, pvals):
-                if k != cur_key:
-                    cur_key, cur_val = k, None
-                if a == 0:
-                    cur_val = pv
-                else:
-                    rows.append(
-                        {**ld, **(cur_val if cur_val is not None else none_payload)}
-                    )
-            state_key, state_val = cur_key, cur_val
-            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+            k_arr = batch.column("_k")
+            alt_arr = batch.column("_alt")
+            p_arr = batch.column("_p")
+            l_arr = batch.column("_l")
+            # seed: prepend the carried right row so the cummax sees it
+            seeded = (
+                state_key is not None
+                and k_arr[0].as_py() == state_key
+            )
+            if seeded:
+                k_arr = pa.concat_arrays([pa.array([state_key], type=k_arr.type), k_arr.combine_chunks() if isinstance(k_arr, pa.ChunkedArray) else k_arr])
+                alt_arr = pa.concat_arrays([pa.array([0], type=alt_arr.type), alt_arr.combine_chunks() if isinstance(alt_arr, pa.ChunkedArray) else alt_arr])
+                p_arr = pa.concat_arrays([state_p, p_arr.combine_chunks() if isinstance(p_arr, pa.ChunkedArray) else p_arr])
+                flat = l_arr.combine_chunks() if isinstance(l_arr, pa.ChunkedArray) else l_arr
+                l_arr = pa.concat_arrays([pa.nulls(1, type=flat.type), flat])
+            n = len(k_arr)
+            keys = np.asarray(k_arr.to_pylist(), dtype=object)
+            alt = np.asarray(alt_arr.to_pylist(), dtype=np.int64)
+            idx = np.arange(n, dtype=np.int64)
+            # segment starts: key change OR any NULL key (SQL equality:
+            # NULL matches nothing, so every NULL-key row is its own
+            # segment and can neither give nor receive a fill)
+            is_null = keys == None  # noqa: E711  (elementwise on object array)
+            if n > 1:
+                change = keys[1:] != keys[:-1]
+                seg_start = np.concatenate(([True], change | is_null[1:] | is_null[:-1]))
+            else:
+                seg_start = np.array([True])
+            seg_id = np.cumsum(seg_start) - 1
+            # within-segment cummax of right-row indices: lift each
+            # segment by a strictly increasing offset so earlier segments
+            # can never dominate, take ONE global cummax, then un-lift
+            lift = seg_id * (n + 1)
+            r = np.where(alt == 0, idx, np.int64(-1)) + lift
+            match = np.maximum.accumulate(r) - lift  # -1 = no right row yet
+            left_mask = alt == 1
+            if seeded:
+                left_mask[0] = False  # the synthetic seed row
+            m_left = match[left_mask]
+            take_idx = pa.array(
+                np.where(m_left >= 0, m_left, 0), mask=(m_left < 0)
+            )
+            left_mask_pa = pa.array(left_mask)
+            out_arrays = []
+            flat_l = l_arr.combine_chunks() if isinstance(l_arr, pa.ChunkedArray) else l_arr
+            flat_p = p_arr.combine_chunks() if isinstance(p_arr, pa.ChunkedArray) else p_arr
+            for i in range(n_left):
+                out_arrays.append(pc.filter(flat_l.field(i), left_mask_pa))
+            for j in range(len(out_cols)):
+                out_arrays.append(pc.take(flat_p.field(j), take_idx))
+            # carry state: the final key's last right row (non-null keys only)
+            tail_key = keys[-1]
+            if tail_key is not None and match[-1] >= 0:
+                state_key = tail_key
+                state_p = flat_p.slice(int(match[-1]), 1)
+            elif tail_key is None or not (seeded and tail_key == state_key):
+                state_key, state_p = None, None
+            yield pa.RecordBatch.from_arrays(
+                [a.cast(arrow_schema.field(i).type) for i, a in enumerate(out_arrays)],
+                schema=arrow_schema,
+            )
 
     return u.mapInArrow(fill, out_schema)
 

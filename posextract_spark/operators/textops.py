@@ -742,8 +742,9 @@ def term_stats(
     lowercase: bool = True,
 ) -> DataFrame:
     """Corpus term statistics — the inverted-index profile a retrieval or
-    tokenizer-training stage starts from: per whitespace term, document
-    frequency and total term frequency.
+    tokenizer-training stage starts from: per term (single-SPACE split,
+    the repo-wide word_array contract — tabs/newlines stay in-token),
+    document frequency and total term frequency.
 
     Returns (term, df, tf) with df = distinct documents containing the
     term and tf = total occurrences; terms below ``min_df`` are dropped

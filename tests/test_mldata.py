@@ -384,8 +384,9 @@ def brute_bpe(rows_text, min_count=1, lowercase=True):
 
     wc = Counter()
     for t in rows_text:
-        for w in (t.lower() if lowercase else t).split():
-            wc[w] += 1
+        for w in (t.lower() if lowercase else t).split(" "):
+            if w:
+                wc[w] += 1
     pc = Counter()
     for w, n in wc.items():
         for i in range(len(w) - 1):

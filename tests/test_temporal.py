@@ -536,3 +536,29 @@ def test_asof_join_matched_row_nulls_not_resurrected(spark):
         left, right2, key="k", payload={"v": "v", "n": "n"}
     ).collect()
     assert out2[0]["v"] is None and out2[0]["n"] == 2
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    # SQL equality: NULL keys never match — a NULL-key left row keeps
+    # NULL payload even when a NULL-key right row sorts before it
+    left = spark.createDataFrame(
+        [(None, 10, 1), ("k", 10, 2)], "k string, ts long, id long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "ghost"), ("k", 5, "real")], "k string, ts long, v string"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in T.asof_join(left, right, key="k", payload={"v": "v"}).collect()
+    }
+    assert got == {1: None, 2: "real"}
+
+
+def test_asof_join_non_identifier_column_names(spark):
+    # payload/left columns that are not plain identifiers must survive
+    # (the cast uses DataType objects, not simpleString DDL)
+    left = spark.createDataFrame([(1, "k", 10)], ["page-rank", "k", "ts"])
+    right = spark.createDataFrame([("k", 5, 42)], ["k", "ts", "n"])
+    out = T.asof_join(left, right, key="k", payload={"n": "view count"})
+    row = out.collect()[0]
+    assert row["page-rank"] == 1 and row["view count"] == 42

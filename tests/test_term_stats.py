@@ -12,7 +12,9 @@ def brute(rows, min_df=1, lowercase=True):
     tf = Counter()
     docs_of = defaultdict(set)
     for doc_id, text in rows:
-        for w in (text.lower() if lowercase else text).split():
+        for w in (text.lower() if lowercase else text).split(" "):
+            if not w:
+                continue
             tf[w] += 1
             docs_of[w].add(doc_id)
     return sorted(
@@ -24,6 +26,8 @@ ROWS = [
     (1, "The cat sat on the MAT"),
     (2, "the dog  sat"),          # double space -> empty token dropped
     (3, "mat MAT mat"),
+    (4, "tab\tsep x"),            # SINGLE-SPACE split: tab stays in-token
+    (5, "tab\tsep y"),
 ]
 
 
@@ -40,6 +44,10 @@ def test_term_stats_semantics_and_mirror(spark):
     assert by["mat"][1:] == (2, 4)
     assert by["sat"][1:] == (2, 2)
     assert "dog" not in by  # df=1 < min_df
+    # the tab-joined token reaches df=2 AS ONE TOKEN; an all-whitespace
+    # splitter would emit tab/sep separately and fail both asserts
+    assert by["tab\tsep"][1:] == (2, 2)
+    assert "tab" not in by and "sep" not in by
     con = duckdb.connect()
     con.register("docs", pdf)
     want = sorted(
