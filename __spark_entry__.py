@@ -514,6 +514,20 @@ def q_kg_khop(spark, sf_dir):
     return khop_nodes(edges, seeds, k=2)
 
 
+def q_kg_taxonomy_closure(spark, sf_dir):
+    """Depth-labeled transitive closure (ancestor table) over the
+    DAG-normalized entity graph (src < dst orients each edge
+    lexicographically — the deterministic stand-in for a hierarchical
+    predicate's natural direction; it also keeps the unrolled oracle's
+    level count honest). Path doubling: O(log d) self-join rounds, exact
+    min hop depth (operators/graph_analytics.transitive_closure; oracle =
+    independent linear-extension unrolling, transitive_closure_sql)."""
+    from posextract_spark.operators.graph_analytics import transitive_closure
+
+    edges = _kg_edge_list(spark, sf_dir).filter(F.col("src") < F.col("dst"))
+    return transitive_closure(edges, max_depth=8)
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Cross-document duplicated-span profile (exact substring-dedup
     signal, content-defined hash-anchored windows — operators/dedup.py):
@@ -1201,6 +1215,16 @@ _FUSE_MIN_FUNC_E6 = 145_000
 _FUSE_MIN_CONF_E6 = 250_000
 
 
+def q_kg_entity_types(spark, sf_dir):
+    """Node-level predicate signature: per subject entity, the dominant
+    out-predicate with deterministic min tie-break + a purity score — the
+    entity-typing stage's input table (operators/fusion.
+    entity_type_profile; oracle = the window-formulation mirror)."""
+    from posextract_spark.operators.fusion import entity_type_profile
+
+    return entity_type_profile(_kg_pred_edges(spark, sf_dir))
+
+
 def q_kg_fused_edges(spark, sf_dir):
     """Knowledge fusion (truth discovery): majority-vote object per
     (subject, predicate) for sufficiently functional predicates, with
@@ -1489,6 +1513,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_alias_mining": q_anchor_alias_mining,
         "host_pagerank_weighted": q_host_pagerank_weighted,
         "kg_khop": q_kg_khop,
+        "kg_taxonomy_closure": q_kg_taxonomy_closure,
+        "kg_entity_types": q_kg_entity_types,
         "web_latest_capture": q_web_latest_capture,
         "web_crawl_churn": q_web_crawl_churn,
         "web_snapshot_diff": q_web_snapshot_diff,
@@ -1693,6 +1719,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_metapaths": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW
         + _ga.relation_metapaths_sql("kg_p", max_mid_fanout=5800, min_support=200),
+        "kg_taxonomy_closure": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + ", kg_dag AS (SELECT src, dst FROM kg_e WHERE src < dst)"
+        + _ga.transitive_closure_sql("kg_dag", max_depth=8),
         "term_stats": "WITH _ts_dummy AS (SELECT 1)"
         + _textops.term_stats_sql("documents", min_df=100),
         "bpe_pair_counts": "WITH _bp_dummy AS (SELECT 1)"
@@ -1704,6 +1734,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM svo_triples t JOIN documents d ON d.doc_id = t.doc_id)"
         )
         + _fu.fuse_weighted_sql("kg_w", min_confidence_e6=200_000),
+        "kg_entity_types": SVO_TRIPLES_CTE
+        + _KG_PRED_VIEW
+        + _fu.entity_type_profile_sql("kg_p"),
         "kg_relation_stats": SVO_TRIPLES_CTE
         + _KG_PRED_VIEW
         + _fu.relation_stats_sql("kg_p"),

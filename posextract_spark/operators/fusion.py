@@ -93,6 +93,78 @@ def relation_stats(
     )
 
 
+def entity_type_profile(
+    triples: DataFrame,
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> DataFrame:
+    """(entity, n_facts, n_predicates, top_predicate, top_count,
+    purity_e6) — the per-SUBJECT predicate signature, the node-level
+    companion to relation_stats()'s relation-level profile.
+
+    The entity-typing primitive: an entity whose out-edges concentrate on
+    one predicate family ("directed", "starred_in") gets typed by that
+    dominant predicate; purity_e6 = floor(1e6 * top_count / n_facts) is
+    the confidence a downstream type-assignment join thresholds on.
+    top_predicate ties break by MINIMUM predicate (argmax_min_tie — the
+    repo-wide deterministic rule), so results are partition-independent.
+
+    Scale shape: two map-side-combinable shuffles on narrowing keys
+    ((src, predicate) counts, then src) — no window, no join; at 10^12
+    edges the first groupBy is the only full-data shuffle and AQE handles
+    hub subjects (a celebrity entity is one large group in a plain agg,
+    not a serialized ranking partition).
+    """
+    per_pred = (
+        triples.groupBy(F.col(src).alias("entity"), F.col(predicate).alias("p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        per_pred.groupBy("entity")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_facts"),
+            F.count(F.lit(1)).cast("long").alias("n_predicates"),
+            argmax_min_tie(F.col("cnt"), F.col("p")).alias("m"),
+        )
+        .select(
+            "entity",
+            "n_facts",
+            "n_predicates",
+            F.col("m.v").alias("top_predicate"),
+            (-F.col("m.neg")).cast("long").alias("top_count"),
+        )
+        .withColumn(
+            "purity_e6", F.expr("top_count * 1000000 div n_facts").cast("long")
+        )
+    )
+
+
+def entity_type_profile_sql(
+    triples_rel: str,
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> str:
+    """SQL suffix mirroring entity_type_profile() (window tie-break —
+    mirror only, the Spark side stays Window-free)."""
+    return f"""
+, _etp AS MATERIALIZED (
+  SELECT {src} AS entity, {predicate} AS p, CAST(count(*) AS BIGINT) AS cnt
+  FROM {triples_rel} GROUP BY 1, 2),
+_etw AS (
+  SELECT entity, p, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY entity) AS BIGINT) AS n_facts,
+         CAST(count(*) OVER (PARTITION BY entity) AS BIGINT) AS n_predicates,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY cnt DESC, p ASC) AS rn
+  FROM _etp)
+SELECT entity, n_facts, n_predicates, p AS top_predicate,
+       cnt AS top_count,
+       CAST(cnt * 1000000 // n_facts AS BIGINT) AS purity_e6
+FROM _etw WHERE rn = 1"""
+
+
 def fuse_functional_relations(
     triples: DataFrame,
     min_functionality_e6: int = 800_000,

@@ -586,3 +586,60 @@ def test_fuse_weighted_random_parity(spark, seed):
     _assert_match(
         got, _duck(pdf, fu.fuse_weighted_sql("triples_base", min_confidence_e6=mc))
     )
+
+
+# --- entity type profile -----------------------------------------------------
+
+
+def brute_type_profile(rows):
+    """rows: (src, predicate, dst). Mirror of entity_type_profile."""
+    per = {}
+    for s, p, _ in rows:
+        per.setdefault(s, {}).setdefault(p, 0)
+        per[s][p] += 1
+    out = {}
+    for s, preds in per.items():
+        n_facts = sum(preds.values())
+        # max count, ties by min predicate
+        top_p = min(preds, key=lambda p: (-preds[p], p))
+        out[s] = (n_facts, len(preds), top_p, preds[top_p],
+                  preds[top_p] * 1_000_000 // n_facts)
+    return out
+
+
+def test_entity_type_profile_handcrafted(spark):
+    rows = [
+        # e1: directed x3, produced x1 -> top=directed purity 750000
+        ("e1", "directed", "m1"), ("e1", "directed", "m2"),
+        ("e1", "directed", "m3"), ("e1", "produced", "m1"),
+        # e2: tie 2-2 -> min predicate wins ("acted_in" < "wrote")
+        ("e2", "wrote", "b1"), ("e2", "wrote", "b2"),
+        ("e2", "acted_in", "m1"), ("e2", "acted_in", "m2"),
+        # e3: single fact -> purity 1e6
+        ("e3", "born_in", "c1"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["src", "predicate", "dst"])
+    got = {
+        r["entity"]: (r["n_facts"], r["n_predicates"], r["top_predicate"],
+                      r["top_count"], r["purity_e6"])
+        for r in fu.entity_type_profile(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == brute_type_profile(rows)
+    assert got["e2"][2] == "acted_in"  # deterministic min tie-break
+    _assert_match(
+        fu.entity_type_profile(spark.createDataFrame(pdf)),
+        _duck(pdf, fu.entity_type_profile_sql("triples_base")),
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_entity_type_profile_random_parity(spark, seed):
+    rows = _random_store(seed)
+    pdf = pd.DataFrame(rows, columns=["src", "predicate", "dst"])
+    got = fu.entity_type_profile(spark.createDataFrame(pdf))
+    assert {
+        r["entity"]: (r["n_facts"], r["n_predicates"], r["top_predicate"],
+                      r["top_count"], r["purity_e6"])
+        for r in got.collect()
+    } == brute_type_profile(rows)
+    _assert_match(got, _duck(pdf, fu.entity_type_profile_sql("triples_base")))

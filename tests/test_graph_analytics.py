@@ -942,3 +942,58 @@ def test_skipgram_end_to_end_parity(spark, seed):
         ),
     )
     _assert_frame_match(got, want)
+
+
+# --- transitive closure ------------------------------------------------------
+
+
+def brute_closure(edges, max_depth):
+    """BFS-from-every-node mirror: {(src, dst): min_depth <= max_depth}."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+    out = {}
+    for s in adj:
+        frontier, seen, d = {s}, {s}, 0
+        while frontier and d < max_depth:
+            d += 1
+            frontier = {w for v in frontier for w in adj.get(v, ())} - seen
+            for w in frontier:
+                if w != s:
+                    out[(s, w)] = d
+            seen |= frontier
+    return out
+
+
+def test_closure_chain_cycle_cap(spark):
+    # chain a..e, 3-cycle x->y->z->x, hub, chain->cycle bridge, self loop
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("x", "y"), ("y", "z"), ("z", "x"),
+             ("h", "p"), ("h", "q"), ("e", "x"), ("p", "p")]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    got = {(r["src"], r["dst"]): r["depth"]
+           for r in ga.transitive_closure(spark.createDataFrame(pdf), max_depth=8).collect()}
+    assert got == brute_closure(edges, 8)
+    assert got[("a", "e")] == 4 and got[("a", "x")] == 5
+    assert ("x", "x") not in got  # cycle never emits reflexive pairs
+    assert got[("z", "y")] == 2  # around the cycle
+    # cap semantics: depth>3 pairs vanish, depth<=3 keep exact min depth
+    capped = {(r["src"], r["dst"]): r["depth"]
+              for r in ga.transitive_closure(spark.createDataFrame(pdf), max_depth=3).collect()}
+    assert capped == brute_closure(edges, 3)
+
+
+@pytest.mark.parametrize("seed,max_depth", [(11, 8), (23, 4)])
+def test_closure_random_parity_spark_python_duckdb(spark, seed, max_depth):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(0, 20), rng.randrange(0, 20)) for _ in range(45)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    cl = ga.transitive_closure(spark.createDataFrame(pdf), max_depth=max_depth)
+    assert {(r["src"], r["dst"]): r["depth"] for r in cl.collect()} == brute_closure(
+        edges, max_depth
+    )
+    _assert_frame_match(
+        cl, _duck(pdf, ga.transitive_closure_sql("edges_base", max_depth=max_depth))
+    )

@@ -21,7 +21,9 @@ def test_extraction_pushdown_pruning_no_shuffle(spark):
         docs.filter(F.col("lang") == "en"), text_col="text", id_cols=["doc_id"], provider="svo"
     ).select("doc_id", "subject", "verb", "object")
     plan = _plan(q)
-    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # ADVICE r5: don't pin the exact bracketed rendering (it changes across
+    # Spark/datasource versions) — assert the pushdown happened at all
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan
     assert plan.count("MapInPandas") == 1  # one Python crossing
     assert "Exchange" not in plan  # extraction is shuffle-free
     # column pruning: the scan must not read source/n_chars
