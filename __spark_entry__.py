@@ -1174,6 +1174,49 @@ def q_term_stats(spark, sf_dir):
     return term_stats(docs, min_df=100)
 
 
+def q_ngram_lm_counts(spark, sf_dir):
+    """Corpus trigram count table (KenLM-style LM-training count step)
+    with a min_count=3 hapax floor (operators/textops.ngram_counts;
+    oracle = the unnest/list_slice mirror)."""
+    from posextract_spark.operators.textops import ngram_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_counts(docs, n=3, min_count=3)
+
+
+def q_ngram_count_of_counts(spark, sf_dir):
+    """Good-Turing frequencies-of-frequencies over the bigram count table
+    (N_r = distinct bigrams occurring exactly r times)
+    (operators/textops.ngram_count_of_counts)."""
+    from posextract_spark.operators.textops import ngram_count_of_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_count_of_counts(docs, n=2)
+
+
+def q_lm_familiarity(spark, sf_dir):
+    """Integer LM-familiarity quality score: per document, floor(mean
+    corpus frequency of its bigrams) — the exact-integer stand-in for
+    perplexity filtering (operators/textops.lm_familiarity; oracle =
+    the join mirror)."""
+    from posextract_spark.operators.textops import lm_familiarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_familiarity(docs, n=2)
+
+
+def q_lang_distinct_texts_kmv(spark, sf_dir):
+    """Sketch-estimated distinct texts per language — constant memory per
+    group vs countDistinct's per-value shuffle (operators/sketches.
+    distinct_kmv; oracle = the HUGEINT mirror). k=16 at contract scale so
+    groups (~125-250 docs) sit in the estimator's n >= k regime; the
+    accuracy pytest runs k=256 against 20k true distinct."""
+    from posextract_spark.operators.sketches import distinct_kmv
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return distinct_kmv(docs, "lang", "text", k=16)
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """BPE tokenizer-training pair counts: adjacent character-pair
     frequencies weighted by word frequency — the statistic the first
@@ -1536,6 +1579,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fused_weighted": q_kg_fused_weighted,
         "term_stats": q_term_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "ngram_lm_counts": q_ngram_lm_counts,
+        "ngram_count_of_counts": q_ngram_count_of_counts,
+        "lm_familiarity": q_lm_familiarity,
+        "lang_distinct_texts_kmv": q_lang_distinct_texts_kmv,
     }
 
 
@@ -1594,6 +1641,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from posextract_spark.operators import dedup as _dedup
     from posextract_spark.operators import mldata as _mldata
+    from posextract_spark.operators import sketches as _sketches
     from posextract_spark.operators import textops as _textops
     from posextract_spark.operators import urls as _urls
     from posextract_spark.operators.triples import SVO_TRIPLES_CTE
@@ -1727,6 +1775,16 @@ def oracle_sql() -> dict[str, str]:
         + _textops.term_stats_sql("documents", min_df=100),
         "bpe_pair_counts": "WITH _bp_dummy AS (SELECT 1)"
         + _mldata.bpe_pair_counts_sql("documents", min_count=500),
+        "ngram_lm_counts": _textops.ngram_counts_sql(
+            "documents", n=3, min_count=3
+        ),
+        "ngram_count_of_counts": _textops.ngram_count_of_counts_sql(
+            "documents", n=2
+        ),
+        "lm_familiarity": "WITH _lm_dummy AS (SELECT 1)"
+        + _textops.lm_familiarity_sql("documents", n=2),
+        "lang_distinct_texts_kmv": "WITH _kmv_dummy AS (SELECT 1)"
+        + _sketches.distinct_kmv_sql("documents", "lang", "text", k=16),
         "kg_fused_weighted": SVO_TRIPLES_CTE
         + (
             ", kg_w AS (SELECT t.subject AS src, t.verb AS predicate, "

@@ -791,3 +791,193 @@ SELECT term,
        CAST(count(*) AS BIGINT) AS tf
 FROM (SELECT {id_col}, unnest({words}) AS term FROM {docs_rel})
 GROUP BY term {having}"""
+
+
+def _ngram_array(words, n: int):
+    """Space-joined word n-grams over a MATERIALIZED word-array attribute
+    (same contract as dedup._shingles: ``words`` must be an attribute
+    reference, never the raw split — a non-attribute subtree inside the
+    transform lambda re-evaluates per gram, O(words^2) per doc). The
+    ``when`` guard dodges Spark's descending-sequence trap: sequence(1, 0)
+    yields [1, 0], so short docs must short-circuit to an empty array."""
+    size = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(size - F.lit(n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(size >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(ngram, n_count) — the corpus word-n-gram count table: the count
+    step of KenLM-style language-model training and the denominator table
+    perplexity-style quality filters join against (term_stats() is the
+    n=1 special case with document frequencies; this adds the order-n
+    surface LM training actually consumes).
+
+    Scale shape: one split per document behind a Generate boundary
+    (functions/boundary.py), gram construction as a single interpreted
+    transform over the materialized attribute, then ONE ngram-keyed
+    aggregation with map-side partials — Zipf-hot grams ("of the") arrive
+    at their reducer as one partial per upstream partition. The output
+    table is the large artifact (grams ~ corpus tokens): ``min_count``
+    prunes the hapax tail BEFORE the table is persisted, which at 10^12
+    docs is the difference between a joinable table and a second corpus.
+    """
+    base = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    g = materialize(docs.select(base.alias("__lm_t")), __lm_ws=word_array(F.col("__lm_t")))
+    out = (
+        g.select(F.explode(_ngram_array(F.col("__lm_ws"), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_count") >= F.lit(min_count))
+    return out
+
+
+_NGRAM_SQL = (
+    "list_transform(generate_series(1, len({w}) - {nm1}), "
+    "i -> array_to_string(list_slice({w}, i, i + {nm1}), ' '))"
+)
+
+
+def ngram_counts_sql(
+    docs_rel: str = "documents",
+    n: int = 2,
+    text_col: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of ngram_counts() (generate_series(1,0) is empty in
+    DuckDB, so no short-doc guard is needed on this side)."""
+    src = f"lower({text_col})" if lowercase else text_col
+    words = WORD_ARRAY_SQL.format(col=src)
+    grams = _NGRAM_SQL.format(w="w", nm1=n - 1)
+    having = f"HAVING count(*) >= {min_count}" if min_count > 1 else ""
+    return f"""
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_count
+FROM (SELECT unnest({grams}) AS ngram
+      FROM (SELECT {words} AS w FROM {docs_rel}))
+GROUP BY ngram {having}"""
+
+
+def ngram_count_of_counts(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(n_count, n_ngrams) — frequencies of frequencies over the n-gram
+    count table: the Good-Turing smoothing input (N_r = how many distinct
+    grams occur exactly r times). Second aggregation runs over the
+    count-table rows, not the corpus; output is O(max count) rows."""
+    return (
+        ngram_counts(docs, n=n, text_col=text_col, lowercase=lowercase)
+        .groupBy("n_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ngrams"))
+    )
+
+
+def ngram_count_of_counts_sql(
+    docs_rel: str = "documents",
+    n: int = 2,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of ngram_count_of_counts()."""
+    inner = ngram_counts_sql(docs_rel, n=n, text_col=text_col, lowercase=lowercase)
+    return f"""
+SELECT n_count, CAST(count(*) AS BIGINT) AS n_ngrams
+FROM ({inner})
+GROUP BY n_count"""
+
+
+def lm_familiarity(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, n_grams, familiarity) — integer LM-familiarity quality score:
+    familiarity = floor(mean corpus count of the document's n-grams),
+    i.e. sum(count table lookups) div n_grams; 0 for docs shorter than n
+    words. The integer stand-in for perplexity filtering: text whose
+    n-grams are corpus-frequent is "ordinary" (high familiarity), while
+    gibberish / boilerplate-mangled text scores low. Exact integers, so
+    the score is partition-independent and oracle-hashable.
+
+    Scale shape: the corpus count table is built once (one shuffle);
+    per-doc grams then JOIN it on the gram key — a co-partitioned shuffle
+    join, the scale-correct choice because the count table at LM scale is
+    far beyond broadcast size. Zipf grams make the join many-to-ONE on a
+    hot key (the count side has a single row per gram), which AQE's skew
+    split handles without correctness impact. Final per-doc agg is one
+    more map-side-combinable shuffle on the id.
+    """
+    counts = ngram_counts(docs, n=n, text_col=text_col, lowercase=lowercase)
+    base = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    g = materialize(
+        docs.select(F.col(id_col).alias("id"), base.alias("__lm_t")),
+        __lm_ws=word_array(F.col("__lm_t")),
+    )
+    doc_grams = g.select(
+        "id", F.explode(_ngram_array(F.col("__lm_ws"), n)).alias("ngram")
+    )
+    scored = (
+        doc_grams.join(counts, "ngram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("n_count").cast("long").alias("_sum"),
+        )
+        .withColumn("familiarity", F.expr("_sum div n_grams").cast("long"))
+        .drop("_sum")
+    )
+    # docs with < n words have no grams: keep them at (0, 0) so the output
+    # covers every input row (a filter stage drops them explicitly, not
+    # silently)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("familiarity", F.lit(0)).cast("long").alias("familiarity"),
+        )
+    )
+
+
+def lm_familiarity_sql(
+    docs_rel: str = "documents",
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of lm_familiarity()."""
+    counts = ngram_counts_sql(docs_rel, n=n, text_col=text_col, lowercase=lowercase)
+    src = f"lower({text_col})" if lowercase else text_col
+    words = WORD_ARRAY_SQL.format(col=src)
+    grams = _NGRAM_SQL.format(w="w", nm1=n - 1)
+    return f"""
+, _lmc AS MATERIALIZED ({counts}),
+_lmg AS MATERIALIZED (
+  SELECT id, unnest({grams}) AS ngram
+  FROM (SELECT {id_col} AS id, {words} AS w FROM {docs_rel})),
+_lms AS (
+  SELECT g.id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(c.n_count) // count(*) AS BIGINT) AS familiarity
+  FROM _lmg g JOIN _lmc c USING (ngram)
+  GROUP BY g.id)
+SELECT d.{id_col} AS id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.familiarity, 0) AS BIGINT) AS familiarity
+FROM {docs_rel} d LEFT JOIN _lms s ON s.id = d.{id_col}"""

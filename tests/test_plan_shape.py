@@ -356,3 +356,15 @@ def test_negative_samples_plan_anti_join_no_window(spark):
     assert "LeftAnti" in plan
     assert "SortAggregate" in plan or "HashAggregate" in plan
     assert "partial_min" in plan
+
+
+def test_ngram_counts_splits_once_single_shuffle(spark):
+    from posextract_spark.operators.textops import ngram_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(ngram_counts(docs, n=3))
+    # the word array is materialized behind the Generate boundary: the
+    # gram transform references the attribute, never re-splitting
+    assert plan.count("split(") == 1
+    # one ngram-keyed aggregation = exactly one Exchange
+    assert plan.count("Exchange") == 1
