@@ -1174,6 +1174,34 @@ def q_term_stats(spark, sf_dir):
     return term_stats(docs, min_df=100)
 
 
+#: fixed BPE merge list for the encode contract query — deterministic and
+#: data-independent (the oracle SQL is built at import time, so it cannot
+#: derive merges from the corpus); includes stacked merges ("e r" then
+#:"er e") so the later-merges-see-earlier-output semantics carries oracle
+#: signal
+_BPE_MERGES = [
+    ("e", "r"),
+    ("er", "e"),
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "t"),
+    ("i", "n"),
+    ("s", "t"),
+    ("o", "r"),
+]
+
+
+def q_bpe_encode_tokens(spark, sf_dir):
+    """BPE tokenizer APPLY step: corpus token frequencies after encoding
+    with a fixed 8-merge list — vocabulary-bounded native replace chain,
+    no UDF (operators/mldata.bpe_encode_token_counts; oracle = the same
+    chain in DuckDB)."""
+    from posextract_spark.operators.mldata import bpe_encode_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_encode_token_counts(docs, _BPE_MERGES, min_count=50)
+
+
 def q_ngram_lm_counts(spark, sf_dir):
     """Corpus trigram count table (KenLM-style LM-training count step)
     with a min_count=3 hapax floor (operators/textops.ngram_counts;
@@ -1580,6 +1608,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "bpe_pair_counts": q_bpe_pair_counts,
         "ngram_lm_counts": q_ngram_lm_counts,
+        "bpe_encode_tokens": q_bpe_encode_tokens,
         "ngram_count_of_counts": q_ngram_count_of_counts,
         "lm_familiarity": q_lm_familiarity,
         "lang_distinct_texts_kmv": q_lang_distinct_texts_kmv,
@@ -1775,6 +1804,8 @@ def oracle_sql() -> dict[str, str]:
         + _textops.term_stats_sql("documents", min_df=100),
         "bpe_pair_counts": "WITH _bp_dummy AS (SELECT 1)"
         + _mldata.bpe_pair_counts_sql("documents", min_count=500),
+        "bpe_encode_tokens": "WITH _be_dummy AS (SELECT 1)"
+        + _mldata.bpe_encode_token_counts_sql(_BPE_MERGES, min_count=50),
         "ngram_lm_counts": _textops.ngram_counts_sql(
             "documents", n=3, min_count=3
         ),

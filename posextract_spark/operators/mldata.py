@@ -597,3 +597,111 @@ def bpe_pair_counts_sql(
 SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(sum(wn) AS BIGINT) AS n
 FROM _bp_wc, unnest(generate_series(1, length(w) - 1)) AS g(i)
 GROUP BY 1 {having}"""
+
+
+#: BPE symbol wrappers — every symbol is rendered "\x01sym\x02" so a merge
+#: pattern "\x01a\x02\x01b\x02" (a) can never match inside a multi-char
+#: symbol and (b) never shares a delimiter with an adjacent match (the
+#: naive space-delimited form " a b " DOES share its boundary space, so
+#: left-to-right replace() missed every second merge in "a a a a").
+_BPE_L = "\x01"
+_BPE_R = "\x02"
+
+
+def _bpe_wrap(sym: str) -> str:
+    return _BPE_L + sym + _BPE_R
+
+
+def bpe_encode_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(token, n) — corpus token frequencies after ENCODING with a fixed
+    BPE merge list: the apply step complementing bpe_pair_counts (the
+    train step). n = occurrences of the token across the corpus (word
+    occurrences x token occurrences within the word). The table a
+    tokenizer-coverage / bits-per-byte analysis reads.
+
+    Merges apply in list order, later merges seeing earlier merges'
+    output (("e","r") then ("er","e") works on the merged symbol) —
+    standard BPE encode semantics via left-to-right non-overlapping
+    ``replace`` over the wrapped symbol string, identical in Spark and
+    DuckDB (verified: both scan past the replacement). Input text must
+    not contain the \\x01/\\x02 wrapper bytes (clean_text strips control
+    characters; garbage bytes would only mis-tokenize their own word).
+
+    Scale shape (same argument as bpe_pair_counts): word counts are one
+    map-side-combinable shuffle; the merge chain — len(merges) native
+    string replaces — runs over the DISTINCT word vocabulary (~10^7 even
+    at 10^12 docs), so per-merge cost is vocabulary-bounded, not
+    corpus-bounded; the final token aggregation is one more shuffle over
+    vocab-sized input.
+    """
+    words = word_array(
+        F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    )
+    wc = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wn"))
+    )
+    sym = F.concat(
+        F.lit(_BPE_L),
+        F.concat_ws(_BPE_R + _BPE_L, F.split(F.col("w"), "")),
+        F.lit(_BPE_R),
+    )
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(_bpe_wrap(a) + _bpe_wrap(b)), F.lit(_bpe_wrap(a + b)))
+    # "\x01t\x02\x01he\x02" -> "t he" -> ["t", "he"]
+    spaced = F.replace(sym, F.lit(_BPE_R + _BPE_L), F.lit(" "))
+    tokens = F.split(
+        F.replace(
+            F.replace(spaced, F.lit(_BPE_L), F.lit("")), F.lit(_BPE_R), F.lit("")
+        ),
+        " ",
+    )
+    out = (
+        wc.select(F.explode(tokens).alias("token"), "wn")
+        .groupBy("token")
+        .agg(F.sum("wn").cast("long").alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= F.lit(min_count))
+    return out
+
+
+def bpe_encode_token_counts_sql(
+    merges: list[tuple[str, str]],
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of bpe_encode_token_counts() (the same replace chain;
+    wrapper bytes embedded literally in the SQL string)."""
+    src = f"lower({text_col})" if lowercase else text_col
+    words = WORD_ARRAY_SQL.format(col=src)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    sym = (
+        f"{q(_BPE_L)} || array_to_string(string_split(w, ''), "
+        f"{q(_BPE_R + _BPE_L)}) || {q(_BPE_R)}"
+    )
+    for a, b in merges:
+        sym = f"replace({sym}, {q(_bpe_wrap(a) + _bpe_wrap(b))}, {q(_bpe_wrap(a + b))})"
+    spaced = f"replace({sym}, {q(_BPE_R + _BPE_L)}, ' ')"
+    cleaned = f"replace(replace({spaced}, {q(_BPE_L)}, ''), {q(_BPE_R)}, '')"
+    having = f"HAVING CAST(sum(wn) AS BIGINT) >= {min_count}" if min_count > 1 else ""
+    return f"""
+, _be_wc AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wn
+  FROM (SELECT unnest({words}) AS w FROM {docs_rel})
+  GROUP BY w)
+SELECT token, CAST(sum(wn) AS BIGINT) AS n
+FROM (SELECT unnest(string_split({cleaned}, ' ')) AS token, wn FROM _be_wc)
+GROUP BY token {having}"""

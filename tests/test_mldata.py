@@ -440,3 +440,59 @@ def test_bpe_pair_counts_duckdb_parity(spark):
     )
     con.close()
     assert got == want
+
+
+# --- BPE encode (apply step) ---------------------------------------------------
+
+
+def brute_bpe_encode(word, merges):
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_and_oracle(spark):
+    import duckdb
+    import pandas as pd
+    from collections import Counter
+
+    from posextract_spark.operators.mldata import (
+        bpe_encode_token_counts,
+        bpe_encode_token_counts_sql,
+    )
+
+    docs = [(1, "the there aaaa banana"), (2, "the then aaa er ere Mixed")]
+    # stacked merges ("e","r") then ("er","e"); ("a","a") exercises the
+    # consecutive-pair boundary ("aaaa" must give [aa, aa], not [aa, a, a])
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("e", "r"), ("er", "e"), ("a", "n")]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    got = {
+        r["token"]: r["n"]
+        for r in bpe_encode_token_counts(spark.createDataFrame(pdf), merges).collect()
+    }
+    ref = Counter()
+    for _, t in docs:
+        for w in t.lower().split(" "):
+            if w:
+                ref.update(brute_bpe_encode(w, merges))
+    assert got == dict(ref)
+    assert got["aa"] == 3  # aaaa -> 2, aaa -> [aa, a] -> 1
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = dict(
+        con.execute(
+            "WITH _d AS (SELECT 1)" + bpe_encode_token_counts_sql(merges)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
