@@ -1513,16 +1513,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
+        "kg_taxonomy_closure": q_kg_taxonomy_closure,
+        "lm_familiarity": q_lm_familiarity,
         "simhash": q_simhash,
         "ngram_jaccard_stats": q_ngram_jaccard_stats,
         "cosine_topk": q_cosine_topk,
         "lsh_bucket": q_lsh_bucket,
         "ivf_assign": q_ivf_assign,
-        "ivf_topk": q_ivf_topk,
         "kg_fused_edges": q_kg_fused_edges,
         "embedding_neardup": q_embedding_neardup,
         "media_image_features": q_media_image_features,
-        "media_audio_features": q_media_audio_features,
         "media_frame_sample": q_media_frame_sample,
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
@@ -1584,8 +1584,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_alias_mining": q_anchor_alias_mining,
         "host_pagerank_weighted": q_host_pagerank_weighted,
         "kg_khop": q_kg_khop,
-        "kg_taxonomy_closure": q_kg_taxonomy_closure,
         "kg_entity_types": q_kg_entity_types,
+        # rotated OUT in late r6 to admit kg_taxonomy_closure +
+        # lm_familiarity into the checked 50 (media keeps
+        # image/frame_sample rows; IVF keeps assign + the kmeans pair
+        # here in the local sweep)
+        "media_audio_features": q_media_audio_features,
+        "ivf_topk": q_ivf_topk,
         "web_latest_capture": q_web_latest_capture,
         "web_crawl_churn": q_web_crawl_churn,
         "web_snapshot_diff": q_web_snapshot_diff,
@@ -1610,7 +1615,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_counts": q_ngram_lm_counts,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "ngram_count_of_counts": q_ngram_count_of_counts,
-        "lm_familiarity": q_lm_familiarity,
         "lang_distinct_texts_kmv": q_lang_distinct_texts_kmv,
     }
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from posextract_spark.functions.hashing import portable_hash64, word_array
+from posextract_spark.functions.hashing import ngram_array, portable_hash64, word_array
 
 MINHASH_SEEDS = 8
 SHINGLE_N = 5
@@ -31,16 +31,10 @@ SHINGLE_N = 5
 
 def _shingles(words):
     """Distinct word 5-gram shingles as strings, over a MATERIALIZED
-    word-array column (functions/boundary.py). ``words`` must be a cheap
-    attribute reference, NOT the split expression itself: a non-attribute
-    subtree inside a higher-order-function lambda is re-evaluated PER
-    ELEMENT (the slice here runs once per shingle), so passing the raw
-    split made shingling O(words^2) per document — measured 9.4s vs 4.0s
-    at 200k docs for the shingle projection alone."""
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(SHINGLE_N), F.lit(-1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_N)))
-    return F.array_distinct(F.when(n >= SHINGLE_N, sh).otherwise(F.array()))
+    word-array column (functions/boundary.py) — the shared gram builder
+    (functions/hashing.ngram_array) carries the attribute-reference-only
+    performance contract and the short-doc sequence guard."""
+    return F.array_distinct(ngram_array(words, SHINGLE_N))
 
 
 def portable_hash64b(col):

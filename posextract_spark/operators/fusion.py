@@ -97,7 +97,6 @@ def entity_type_profile(
     triples: DataFrame,
     src: str = "src",
     predicate: str = "predicate",
-    dst: str = "dst",
 ) -> DataFrame:
     """(entity, n_facts, n_predicates, top_predicate, top_count,
     purity_e6) — the per-SUBJECT predicate signature, the node-level
@@ -144,7 +143,6 @@ def entity_type_profile_sql(
     triples_rel: str,
     src: str = "src",
     predicate: str = "predicate",
-    dst: str = "dst",
 ) -> str:
     """SQL suffix mirroring entity_type_profile() (window tie-break —
     mirror only, the Spark side stays Window-free)."""

@@ -927,6 +927,8 @@ def transitive_closure(
     descendant set — run it on a single hierarchical predicate's edge
     set (the intended use), not the full predicate-mixed graph.
     """
+    if max_depth < 1:
+        raise ValueError(f"transitive_closure: max_depth must be >= 1, got {max_depth}")
     rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
     r = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -987,6 +989,8 @@ def transitive_closure_sql(
     plain WITH (SVO_TRIPLES_CTE), and level-k min depths are exact by
     induction (a shortest path of length k is a shortest path of length
     k-1 plus one edge)."""
+    if max_depth < 1:
+        raise ValueError(f"transitive_closure_sql: max_depth must be >= 1, got {max_depth}")
     parts = [
         f"""
 , _tce AS MATERIALIZED (

@@ -102,12 +102,16 @@ def distinct_kmv_sql(
     k: int = 256,
 ) -> str:
     """DuckDB mirror of distinct_kmv() (same integer recurrence, HUGEINT
-    in place of Spark's DECIMAL(38,0))."""
+    in place of Spark's DECIMAL(38,0)); the hash is hoisted into one
+    subquery column so md5 runs once per row like the Spark side."""
     h = portable_hash64_sql(value_col)
     return f"""
-, _kmv AS MATERIALIZED (
-  SELECT {key_col} AS key, ({h}) % {k} AS b, min({h}) AS m
-  FROM {rel} WHERE {value_col} IS NOT NULL GROUP BY 1, 2)
+, _kmvh AS (
+  SELECT {key_col} AS key, {h} AS h
+  FROM {rel} WHERE {value_col} IS NOT NULL),
+_kmv AS MATERIALIZED (
+  SELECT key, h % {k} AS b, min(h) AS m
+  FROM _kmvh GROUP BY 1, 2)
 SELECT key AS {key_col}, CAST(count(*) AS BIGINT) AS n_buckets,
        CAST((count(*)::HUGEINT - 1) * count(*) * {HASH_M}
             // sum(m::HUGEINT) AS BIGINT) AS est_distinct

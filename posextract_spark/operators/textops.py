@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from posextract_spark.functions.boundary import materialize
 from posextract_spark.functions.hashing import (
     WORD_ARRAY_SQL,
+    ngram_array,
     portable_hash64,
     word_array,
 )
@@ -793,21 +794,6 @@ FROM (SELECT {id_col}, unnest({words}) AS term FROM {docs_rel})
 GROUP BY term {having}"""
 
 
-def _ngram_array(words, n: int):
-    """Space-joined word n-grams over a MATERIALIZED word-array attribute
-    (same contract as dedup._shingles: ``words`` must be an attribute
-    reference, never the raw split — a non-attribute subtree inside the
-    transform lambda re-evaluates per gram, O(words^2) per doc). The
-    ``when`` guard dodges Spark's descending-sequence trap: sequence(1, 0)
-    yields [1, 0], so short docs must short-circuit to an empty array."""
-    size = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(size - F.lit(n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return F.when(size >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def ngram_counts(
     docs: DataFrame,
     n: int = 2,
@@ -833,7 +819,7 @@ def ngram_counts(
     base = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     g = materialize(docs.select(base.alias("__lm_t")), __lm_ws=word_array(F.col("__lm_t")))
     out = (
-        g.select(F.explode(_ngram_array(F.col("__lm_ws"), n)).alias("ngram"))
+        g.select(F.explode(ngram_array(F.col("__lm_ws"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("n_count"))
     )
@@ -929,7 +915,7 @@ def lm_familiarity(
         __lm_ws=word_array(F.col("__lm_t")),
     )
     doc_grams = g.select(
-        "id", F.explode(_ngram_array(F.col("__lm_ws"), n)).alias("ngram")
+        "id", F.explode(ngram_array(F.col("__lm_ws"), n)).alias("ngram")
     )
     scored = (
         doc_grams.join(counts, "ngram")
