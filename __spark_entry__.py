@@ -957,6 +957,39 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, ev)
 
 
+def q_training_corpus_pipeline(spark, sf_dir):
+    """The END-TO-END curation chain a training run actually consumes, as
+    ONE composed query: quality filter (keep=1) -> minhash near-dup
+    survivors WITHIN the kept set -> drop eval-contaminated docs
+    (doc_id % 29 eval suite, same rule as q_decontaminate) ->
+    deterministic train/val/test assignment. Output: (doc_id, split) for
+    the final training corpus. Each stage is the already-oracle-checked
+    operator; this query pins their COMPOSITION (cluster structure
+    genuinely depends on the filtered input set, so survivors-inside-kept
+    is not derivable from the standalone survivors row). Oracle: one
+    WITH RECURSIVE chain embedding the same stage mirrors over the same
+    intermediate relations."""
+    from posextract_spark.operators.dedup import minhash_dedup_survivors
+    from posextract_spark.operators.mldata import decontaminate, hash_split
+    from posextract_spark.operators.textops import corpus_quality_filter
+
+    docs = _docs(spark, sf_dir)
+    kept_ids = (
+        corpus_quality_filter(docs).filter(F.col("keep") == 1).select("doc_id")
+    )
+    kept_docs = docs.join(kept_ids, "doc_id")
+    surv_ids = (
+        minhash_dedup_survivors(kept_docs)
+        .filter(F.col("is_survivor") == 1)
+        .select("doc_id")
+    )
+    clean_docs = kept_docs.join(surv_ids, "doc_id")
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    contaminated = decontaminate(clean_docs, ev).select("doc_id")
+    final = clean_docs.join(contaminated, "doc_id", "anti")
+    return hash_split(final.select("doc_id"))
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -1614,6 +1647,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "ngram_lm_counts": q_ngram_lm_counts,
         "bpe_encode_tokens": q_bpe_encode_tokens,
+        "training_corpus_pipeline": q_training_corpus_pipeline,
         "ngram_count_of_counts": q_ngram_count_of_counts,
         "lang_distinct_texts_kmv": q_lang_distinct_texts_kmv,
     }
@@ -1810,6 +1844,19 @@ def oracle_sql() -> dict[str, str]:
         + _mldata.bpe_pair_counts_sql("documents", min_count=500),
         "bpe_encode_tokens": "WITH _be_dummy AS (SELECT 1)"
         + _mldata.bpe_encode_token_counts_sql(_BPE_MERGES, min_count=50),
+        # end-to-end curation chain: each stage's standalone mirror is
+        # embedded over the composed intermediate relations (survivors MUST
+        # recompute inside the kept set — cluster structure depends on it)
+        "training_corpus_pipeline": "WITH RECURSIVE "
+        + f"kept AS (SELECT doc_id FROM ({CORPUS_QUALITY_FILTER_SQL}) WHERE keep = 1),\n"
+        + "kept_docs AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),\n"
+        + _dedup_mod.minhash_dedup_survivors_ctes("kept_docs")
+        + ",\nclean AS (SELECT kd.doc_id FROM kept_docs kd JOIN surv USING (doc_id) "
+        + "WHERE surv.is_survivor = 1),\n"
+        + f"contam AS (SELECT doc_id FROM ({_mldata.DECONTAMINATE_SQL})),\n"
+        + "final AS (SELECT doc_id FROM clean WHERE doc_id NOT IN "
+        + "(SELECT doc_id FROM contam))\n"
+        + _mldata.hash_split_sql("final"),
         "ngram_lm_counts": _textops.ngram_counts_sql(
             "documents", n=3, min_count=3
         ),

@@ -562,11 +562,15 @@ FROM overl GROUP BY id_a
 """
 
 # shared scan->shingle->minhash->band-key CTE chain (keys per doc/band);
-# consumed by the pair listing, the survivors closure, and the incremental
-# against-base mirror
-_BAND_KEYS_CTES = f"""sh AS (
+# consumed by the pair listing, the survivors closure, the incremental
+# against-base mirror, and (relation-parameterized) the end-to-end
+# training-corpus pipeline oracle
+
+
+def band_keys_ctes(rel: str = "documents") -> str:
+    return f"""sh AS (
   SELECT doc_id, {_H.format(x='shingle')} AS h
-  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
+  FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM {rel})
 ),
 seeds AS (SELECT CAST(unnest(generate_series(0, {MINHASH_SEEDS - 1})) AS INTEGER) AS seed),
 sig AS (
@@ -581,13 +585,19 @@ keys AS (
   FROM sig GROUP BY doc_id, (seed // 2)
 )"""
 
-_BAND_PAIRS_CTES = _BAND_KEYS_CTES + f""",
+
+def band_pairs_ctes(rel: str = "documents") -> str:
+    return band_keys_ctes(rel) + """,
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
   FROM keys a JOIN keys b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )"""
+
+
+_BAND_KEYS_CTES = band_keys_ctes()
+_BAND_PAIRS_CTES = band_pairs_ctes()
 
 MINHASH_BAND_PAIRS_SQL = (
     "WITH " + _BAND_PAIRS_CTES + "\nSELECT id_a, id_b, n_bands FROM pairs"
@@ -620,20 +630,31 @@ FROM hits
 # Survivor selection: transitive closure of the candidate-pair graph as a
 # recursive CTE (exact fixpoint, algorithm-independent — mirrors whatever
 # CC implementation the Spark side uses), cluster id = min reachable doc.
-MINHASH_DEDUP_SURVIVORS_SQL = (
-    "WITH RECURSIVE " + _BAND_PAIRS_CTES + """,
+
+
+def minhash_dedup_survivors_ctes(rel: str = "documents") -> str:
+    """CTE suffix (caller must open with WITH RECURSIVE): band pairs over
+    ``rel`` -> closure -> ``surv`` (doc_id, cluster_id, is_survivor)."""
+    return band_pairs_ctes(rel) + f""",
 und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach AS (
   SELECT a, b FROM und
   UNION
   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a AND r.a <> u.b
 ),
-comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
-SELECT d.doc_id,
-       CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
-       CAST(CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_survivor
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-"""
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+surv AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+         CAST(CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_survivor
+  FROM {rel} d LEFT JOIN comp c ON d.doc_id = c.node
+)"""
+
+
+MINHASH_DEDUP_SURVIVORS_SQL = (
+    "WITH RECURSIVE "
+    + minhash_dedup_survivors_ctes()
+    + "\nSELECT doc_id, cluster_id, is_survivor FROM surv"
 )
 
 

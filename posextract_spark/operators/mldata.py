@@ -212,7 +212,11 @@ def decontaminate(
 
 # --- DuckDB mirrors --------------------------------------------------------
 
-HASH_SPLIT_SQL = """
+def hash_split_sql(rel: str = "documents") -> str:
+    """DuckDB mirror of hash_split() (default 90/5/5), relation-
+    parameterized so the training-corpus pipeline oracle can apply it to
+    its final CTE."""
+    return f"""
 SELECT doc_id,
        CASE WHEN h < 90 THEN 'train'
             WHEN h < 95 THEN 'val'
@@ -220,9 +224,12 @@ SELECT doc_id,
 FROM (
   SELECT doc_id,
          (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100 AS h
-  FROM documents
+  FROM {rel}
 )
 """
+
+
+HASH_SPLIT_SQL = hash_split_sql()
 
 PACK_SEQUENCES_SQL = """
 WITH meta AS (
