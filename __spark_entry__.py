@@ -528,6 +528,17 @@ def q_kg_taxonomy_closure(spark, sf_dir):
     return transitive_closure(edges, max_depth=8)
 
 
+def q_kg_cycle_nodes(spark, sf_dir):
+    """Taxonomy validation: entities on a directed cycle of the raw
+    subject->object graph with the shortest cycle length through each —
+    a cycle in a hierarchy relation is a data defect the curation stage
+    must surface (operators/graph_analytics.cycle_nodes; oracle = the
+    unrolled-closure self-join mirror). max_depth=6 bounds both arcs."""
+    from posextract_spark.operators.graph_analytics import cycle_nodes
+
+    return cycle_nodes(_kg_edge_list(spark, sf_dir), max_depth=6)
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Cross-document duplicated-span profile (exact substring-dedup
     signal, content-defined hash-anchored windows — operators/dedup.py):
@@ -1618,6 +1629,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank_weighted": q_host_pagerank_weighted,
         "kg_khop": q_kg_khop,
         "kg_entity_types": q_kg_entity_types,
+        "kg_cycle_nodes": q_kg_cycle_nodes,
         # rotated OUT in late r6 to admit kg_taxonomy_closure +
         # lm_familiarity into the checked 50 (media keeps
         # image/frame_sample rows; IVF keeps assign + the kmeans pair
@@ -1838,6 +1850,9 @@ def oracle_sql() -> dict[str, str]:
         + _KG_EDGE_VIEW
         + ", kg_dag AS (SELECT src, dst FROM kg_e WHERE src < dst)"
         + _ga.transitive_closure_sql("kg_dag", max_depth=8),
+        "kg_cycle_nodes": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.cycle_nodes_sql("kg_e", max_depth=6),
         "term_stats": "WITH _ts_dummy AS (SELECT 1)"
         + _textops.term_stats_sql("documents", min_df=100),
         "bpe_pair_counts": "WITH _bp_dummy AS (SELECT 1)"

@@ -989,8 +989,19 @@ def transitive_closure_sql(
     plain WITH (SVO_TRIPLES_CTE), and level-k min depths are exact by
     induction (a shortest path of length k is a shortest path of length
     k-1 plus one edge)."""
+    return (
+        _transitive_closure_ctes(edges_rel, src, dst, max_depth)
+        + f"\nSELECT src, dst, CAST(depth AS BIGINT) AS depth FROM _tcd{max_depth}"
+    )
+
+
+def _transitive_closure_ctes(
+    edges_rel: str, src: str, dst: str, max_depth: int
+) -> str:
+    """CTE suffix ending with _tcd{max_depth} (src, dst, depth) — shared by
+    the closure and cycle-detection mirrors."""
     if max_depth < 1:
-        raise ValueError(f"transitive_closure_sql: max_depth must be >= 1, got {max_depth}")
+        raise ValueError(f"transitive closure mirrors need max_depth >= 1, got {max_depth}")
     parts = [
         f"""
 , _tce AS MATERIALIZED (
@@ -1010,10 +1021,57 @@ _tcd1 AS MATERIALIZED (SELECT src, dst, 1 AS depth FROM _tce)"""
     WHERE p.src <> e.dst)
   GROUP BY src, dst)"""
         )
-    parts.append(
-        f"\nSELECT src, dst, CAST(depth AS BIGINT) AS depth FROM _tcd{max_depth}"
-    )
     return "".join(parts)
+
+
+def cycle_nodes(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 8,
+) -> DataFrame:
+    """(node, min_cycle_len BIGINT) — every node on a directed cycle whose
+    two arcs each fit in ``max_depth`` hops, with the length of the
+    shortest cycle through it. THE taxonomy-validation query: a cycle in
+    an is-a / part-of hierarchy is a data defect ("A part-of B part-of A")
+    that breaks every downstream inheritance join, and the min cycle
+    length tells the curator whether it's a direct contradiction (2) or a
+    long drift chain. Built on transitive_closure: node n is cyclic iff
+    some m has n->m and m->n; min cycle = min over m of d(n,m) + d(m,n).
+    Cost: the closure plus ONE self-join on (src=dst, dst=src) pairs and
+    a min groupBy."""
+    tc = transitive_closure(edges, src, dst, max_depth)
+    fwd = tc.alias("f")
+    rev = tc.alias("r")
+    return (
+        fwd.join(
+            rev,
+            (F.col("f.src") == F.col("r.dst")) & (F.col("f.dst") == F.col("r.src")),
+        )
+        .select(
+            F.col("f.src").alias("node"),
+            (F.col("f.depth") + F.col("r.depth")).alias("_len"),
+        )
+        .groupBy("node")
+        .agg(F.min("_len").cast("long").alias("min_cycle_len"))
+    )
+
+
+def cycle_nodes_sql(
+    edges_rel: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 8,
+) -> str:
+    """SQL suffix mirroring cycle_nodes(): the unrolled closure's final
+    level self-joined both ways."""
+    return (
+        _transitive_closure_ctes(edges_rel, src, dst, max_depth)
+        + f"""
+SELECT f.src AS node, CAST(min(f.depth + r.depth) AS BIGINT) AS min_cycle_len
+FROM _tcd{max_depth} f JOIN _tcd{max_depth} r ON f.src = r.dst AND f.dst = r.src
+GROUP BY f.src"""
+    )
 
 
 def relation_metapaths(

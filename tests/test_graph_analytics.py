@@ -997,3 +997,40 @@ def test_closure_random_parity_spark_python_duckdb(spark, seed, max_depth):
     _assert_frame_match(
         cl, _duck(pdf, ga.transitive_closure_sql("edges_base", max_depth=max_depth))
     )
+
+
+def brute_cycles(edges, max_depth):
+    cl = brute_closure(edges, max_depth)
+    out = {}
+    for (a, b), d1 in cl.items():
+        d2 = cl.get((b, a))
+        if d2 is not None:
+            out[a] = min(out.get(a, 1 << 60), d1 + d2)
+    return out
+
+
+def test_cycle_nodes_handcrafted_and_parity(spark):
+    # 3-cycle x->y->z->x, 2-cycle p<->q, acyclic chain a->b->c
+    edges = [("x", "y"), ("y", "z"), ("z", "x"), ("p", "q"), ("q", "p"),
+             ("a", "b"), ("b", "c")]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    got = {r["node"]: r["min_cycle_len"]
+           for r in ga.cycle_nodes(spark.createDataFrame(pdf), max_depth=8).collect()}
+    assert got == {"x": 3, "y": 3, "z": 3, "p": 2, "q": 2}
+    assert got == brute_cycles(edges, 8)
+    _assert_frame_match(
+        ga.cycle_nodes(spark.createDataFrame(pdf), max_depth=8),
+        _duck(pdf, ga.cycle_nodes_sql("edges_base", max_depth=8)),
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_cycle_nodes_random_parity(spark, seed):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(0, 18), rng.randrange(0, 18)) for _ in range(40)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    got = ga.cycle_nodes(spark.createDataFrame(pdf), max_depth=6)
+    assert {r["node"]: r["min_cycle_len"] for r in got.collect()} == brute_cycles(
+        edges, 6
+    )
+    _assert_frame_match(got, _duck(pdf, ga.cycle_nodes_sql("edges_base", max_depth=6)))
