@@ -528,6 +528,16 @@ def q_kg_taxonomy_closure(spark, sf_dir):
     return transitive_closure(edges, max_depth=8)
 
 
+def q_kg_node_features(spark, sf_dir):
+    """Assembled per-entity GNN feature table: directed degrees +
+    triangle/clustering stats + integer PageRank from ONE shared edge
+    frame, degenerate nodes coalesced to 0 (operators/graph_analytics.
+    node_features; oracle = the component mirrors nested as CTEs)."""
+    from posextract_spark.operators.graph_analytics import node_features
+
+    return node_features(_kg_edge_list(spark, sf_dir))
+
+
 def q_kg_cycle_nodes(spark, sf_dir):
     """Taxonomy validation: entities on a directed cycle of the raw
     subject->object graph with the shortest cycle length through each —
@@ -1630,6 +1640,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop": q_kg_khop,
         "kg_entity_types": q_kg_entity_types,
         "kg_cycle_nodes": q_kg_cycle_nodes,
+        "kg_node_features": q_kg_node_features,
         # rotated OUT in late r6 to admit kg_taxonomy_closure +
         # lm_familiarity into the checked 50 (media keeps
         # image/frame_sample rows; IVF keeps assign + the kmeans pair
@@ -1853,6 +1864,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_cycle_nodes": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.cycle_nodes_sql("kg_e", max_depth=6),
+        "kg_node_features": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.node_features_sql("kg_e"),
         "term_stats": "WITH _ts_dummy AS (SELECT 1)"
         + _textops.term_stats_sql("documents", min_df=100),
         "bpe_pair_counts": "WITH _bp_dummy AS (SELECT 1)"

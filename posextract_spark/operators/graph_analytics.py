@@ -1074,6 +1074,81 @@ GROUP BY f.src"""
     )
 
 
+def node_features(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    pr_iters: int = 3,
+) -> DataFrame:
+    """(node, out_degree, in_degree, und_degree, n_triangles,
+    clustering_e6, rank_e12) — the assembled per-node feature table a GNN
+    / node-embedding training job consumes, composing the three analytics
+    this module already verifies (degree_stats, triangle_counts,
+    pagerank) from ONE shared edge frame.
+
+    Node universe = degree_stats' (every endpoint of any edge, self-loops
+    included); the other two exclude structurally-degenerate nodes
+    (triangles: no non-self-loop undirected edge; pagerank: self-loop-only)
+    and their features coalesce to 0 — a documented encoding ("no triangle
+    neighborhood" / "outside the rank graph"), not a silent null.
+
+    Scale shape: the edge frame is localCheckpointed once and fanned into
+    the three aggregations; the final assembly is two left joins on the
+    node key (each side already node-unique, no fan-out). rank_e12 rides
+    pagerank's integer fixed-point, so the whole table stays engine-exact.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    deg = degree_stats(e)
+    tri = triangle_counts(e).select(
+        "node",
+        F.col("degree").alias("und_degree"),
+        "n_triangles",
+        "clustering_e6",
+    )
+    pr = pagerank(e, n_iters=pr_iters)
+    return (
+        deg.select("node", "out_degree", "in_degree")
+        .join(tri, "node", "left")
+        .join(pr, "node", "left")
+        .select(
+            "node",
+            "out_degree",
+            "in_degree",
+            F.coalesce("und_degree", F.lit(0)).cast("long").alias("und_degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.coalesce("clustering_e6", F.lit(0)).cast("long").alias("clustering_e6"),
+            F.coalesce("rank_e12", F.lit(0)).cast("long").alias("rank_e12"),
+        )
+    )
+
+
+def node_features_sql(
+    edges_rel: str,
+    src: str = "src",
+    dst: str = "dst",
+    pr_iters: int = 3,
+) -> str:
+    """SQL suffix mirroring node_features(): each component's standalone
+    mirror embedded as a nested-WITH CTE over the same relation (the
+    component builders emit comma-prefixed suffixes, so each nests behind
+    its own dummy opener; nested WITH scopes keep their CTE names local)."""
+    d = "WITH _nf_dummy AS (SELECT 1)"
+    return f"""
+, _nfd AS ({d}{degree_stats_sql(edges_rel, src, dst)}),
+_nft AS ({d}{triangle_counts_sql(edges_rel, src, dst)}),
+_nfp AS ({d}{pagerank_sql(edges_rel, src=src, dst=dst, n_iters=pr_iters)})
+SELECT d.node, d.out_degree, d.in_degree,
+       CAST(coalesce(t.degree, 0) AS BIGINT) AS und_degree,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(coalesce(t.clustering_e6, 0) AS BIGINT) AS clustering_e6,
+       CAST(coalesce(p.rank_e12, 0) AS BIGINT) AS rank_e12
+FROM _nfd d
+LEFT JOIN _nft t ON t.node = d.node
+LEFT JOIN _nfp p ON p.node = d.node"""
+
+
 def relation_metapaths(
     edges: DataFrame,
     src: str = "src",

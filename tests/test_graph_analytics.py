@@ -1034,3 +1034,22 @@ def test_cycle_nodes_random_parity(spark, seed):
         edges, 6
     )
     _assert_frame_match(got, _duck(pdf, ga.cycle_nodes_sql("edges_base", max_depth=6)))
+
+
+def test_node_features_assembly_parity(spark):
+    # triangle K3 + directed tail + a self-loop-only node (coalesce path)
+    edges = TRIANGLE_PLUS_TAIL + [(9, 9)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    nf = ga.node_features(spark.createDataFrame(pdf))
+    rows = {r["node"]: r for r in nf.collect()}
+    # node 9 exists (degree_stats universe) with zeroed graph features
+    assert rows[9]["und_degree"] == 0 and rows[9]["rank_e12"] == 0
+    # features agree with the standalone components
+    tri = {r["node"]: r["n_triangles"] for r in ga.triangle_counts(
+        spark.createDataFrame(pdf)).collect()}
+    pr = {r["node"]: r["rank_e12"] for r in ga.pagerank(
+        spark.createDataFrame(pdf)).collect()}
+    for n, r in rows.items():
+        assert r["n_triangles"] == tri.get(n, 0)
+        assert r["rank_e12"] == pr.get(n, 0)
+    _assert_frame_match(nf, _duck(pdf, ga.node_features_sql("edges_base")))
