@@ -1611,7 +1611,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotations making room for the graph-analytics trio: sample_n (P8 keeps
     stratified_take), connected_components (the star variant — the scale
     path — keeps the CC row; both share _CC_ORACLE_SQL), media_resize
-    (media keeps image/audio/frame_sample rows)."""
+    (media keeps image/audio/frame_sample rows). End-of-r6 rotation:
+    media_audio_features + ivf_topk move here so kg_taxonomy_closure +
+    lm_familiarity earn driver-checked rows (their families keep
+    image/frame_sample and assign rows in the 50)."""
     return {
         "sample_fraction": q_sample_fraction,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
