@@ -186,6 +186,48 @@ def main() -> None:
         )
     )
 
+    from posextract_spark.operators.textops import ngram_counts
+
+    sections.append(
+        (
+            "ngram_counts n=3 (LM count table, late r6)",
+            "split( exactly once (the gram transform runs over the "
+            "Generate-materialized word array) and exactly one Exchange — "
+            "the ngram-keyed aggregation with map-side partials below it. "
+            "The output table is corpus-sized by definition; min_count "
+            "prunes after the (unavoidable) shuffle, before persist.",
+            formatted(ngram_counts(docs, n=3, min_count=3)),
+        )
+    )
+
+    from posextract_spark.operators.mldata import bpe_encode_token_counts
+
+    sections.append(
+        (
+            "bpe_encode_token_counts (tokenizer apply, late r6)",
+            "Vocabulary-bounded: the merge chain (native replace calls, no "
+            "UDF) sits ABOVE the distinct-word aggregation, so per-merge "
+            "cost scales with vocabulary, not corpus; two Exchanges total "
+            "(word counts, token counts), both map-side combinable.",
+            formatted(
+                bpe_encode_token_counts(docs, [("t", "h"), ("th", "e"), ("e", "r")])
+            ),
+        )
+    )
+
+    from posextract_spark.operators.sketches import distinct_kmv
+
+    sections.append(
+        (
+            "distinct_kmv (KMV distinct sketch, late r6)",
+            "Two Exchanges — (key, bucket) partial-min then per-key sum of "
+            "<= k mins: constant reducer state per group regardless of "
+            "group size; no Window, no collect_set. Estimator arithmetic "
+            "in DECIMAL(38,0) (sum ~2^68, numerator ~2^76).",
+            formatted(distinct_kmv(docs, "lang", "text", k=16)),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/dump_plans.py at sf0.001)\n"]
     for title, claim, plan in sections:
         out.append(f"## {title}\n\n{claim}\n\n```\n{plan}\n```\n")
