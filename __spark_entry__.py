@@ -1256,6 +1256,23 @@ def q_bpe_encode_tokens(spark, sf_dir):
     return bpe_encode_token_counts(docs, _BPE_MERGES, min_count=50)
 
 
+#: seed vocabulary for the relevance contract query (present at every SF,
+#: mixed frequencies; one absent term exercises the no-match path)
+_SEED_TERMS = ["merge", "vector", "scan", "quantile", "nonexistentterm"]
+
+
+def q_seed_relevance(spark, sf_dir):
+    """Top-25 documents by integer BM25-style relevance to a fixed seed
+    vocabulary — the CCNet-style "looks like the seed corpus" curation
+    ranking; exact integer idf/saturation so the ranking is
+    partition-independent (operators/textops.seed_relevance_topk; oracle
+    = the HUGEINT/printf-binary mirror)."""
+    from posextract_spark.operators.textops import seed_relevance_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return seed_relevance_topk(docs, _SEED_TERMS, k=25)
+
+
 def q_ngram_lm_counts(spark, sf_dir):
     """Corpus trigram count table (KenLM-style LM-training count step)
     with a min_count=3 hapax floor (operators/textops.ngram_counts;
@@ -1676,6 +1693,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_pipeline": q_training_corpus_pipeline,
         "ngram_count_of_counts": q_ngram_count_of_counts,
         "lang_distinct_texts_kmv": q_lang_distinct_texts_kmv,
+        "seed_relevance": q_seed_relevance,
     }
 
 
@@ -1899,6 +1917,8 @@ def oracle_sql() -> dict[str, str]:
         + _textops.lm_familiarity_sql("documents", n=2),
         "lang_distinct_texts_kmv": "WITH _kmv_dummy AS (SELECT 1)"
         + _sketches.distinct_kmv_sql("documents", "lang", "text", k=16),
+        "seed_relevance": "WITH _sr_dummy AS (SELECT 1)"
+        + _textops.seed_relevance_topk_sql(_SEED_TERMS, k=25),
         "kg_fused_weighted": SVO_TRIPLES_CTE
         + (
             ", kg_w AS (SELECT t.subject AS src, t.verb AS predicate, "

@@ -967,3 +967,116 @@ SELECT d.{id_col} AS id,
        CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(coalesce(s.familiarity, 0) AS BIGINT) AS familiarity
 FROM {docs_rel} d LEFT JOIN _lms s ON s.id = d.{id_col}"""
+
+
+def seed_relevance_topk(
+    docs: DataFrame,
+    seed_terms: list[str],
+    k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_hits, relevance_e6) — top-k documents by BM25-style
+    relevance to a fixed seed vocabulary: the cheap "looks like the
+    high-quality seed corpus" ranking a curation pipeline runs before any
+    classifier (CCNet-style). EXACT integer arithmetic end to end, so the
+    ranking is partition-independent and oracle-hashable:
+
+    - idf2(t) = floor(log2((N + 1) div (df_t + 1))) + 1 via binary-string
+      length (length(bin(x)) — bit-identical in DuckDB via
+      printf('%b')), a quantized-but-monotone stand-in for ln-idf (floats
+      would make the per-doc SUM order-dependent across partitions); the
+      +1 floor keeps corpus-common seed terms contributing (ratio < 2
+      otherwise quantizes to 0 and the ranking collapses), so within an
+      idf octave documents rank by tf saturation;
+    - tf saturation = BM25 with k1 = 6/5, b = 3/4 cleared of fractions:
+      sat_e6 = floor(1e6 * 44*avgdl*tf / (20*avgdl*tf + 6*avgdl + 18*dl))
+      with avgdl = floor(total corpus words / N). Numerators reach ~1e20,
+      so the division runs in DECIMAL(38,0) (HUGEINT in the mirror);
+    - relevance_e6 = sum over matched seed terms of idf2 * sat_e6; ties
+      broken by min id.
+
+    Scale shape: seed terms are a broadcast literal array, so the
+    term-match filter runs scan-side and ONLY matching (doc, term) rows
+    shuffle (one groupBy); df (<= |seed|) and the (N, avgdl) scalar each
+    broadcast back; final top-k is a TakeOrderedAndProject, never a full
+    sort. Two corpus scans total (doc-term match + the column-pruned
+    length scan) — a production loop would persist the word-array scan.
+    """
+    base = docs.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__sr_t"))
+    g = materialize(base, __sr_ws=word_array(F.col("__sr_t")))
+    doclen = g.select("id", F.size("__sr_ws").alias("dl"), "__sr_ws")
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.greatest(
+            F.expr("sum(dl) div count(1)"), F.lit(1)
+        ).cast("long").alias("avgdl"),
+    )
+    terms_arr = F.array(*[F.lit(t) for t in seed_terms])
+    doc_term = (
+        doclen.select(
+            "id",
+            "dl",
+            F.explode(F.filter(F.col("__sr_ws"), lambda w: F.array_contains(terms_arr, w))).alias(
+                "term"
+            ),
+        )
+        .groupBy("id", "term", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = doc_term.groupBy("term").agg(
+        F.countDistinct("id").cast("long").alias("df")
+    )
+    scored = (
+        doc_term.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf2", F.length(F.expr("bin((n_docs + 1) div (df + 1))")).cast("long"))
+        .withColumn(
+            "sat_e6",
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * 44 * avgdl * tf) div "
+                "(20 * avgdl * tf + 6 * avgdl + 18 * dl)"
+            ).cast("long"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum(F.expr("idf2 * sat_e6")).cast("long").alias("relevance_e6"),
+        )
+    )
+    return scored.orderBy(F.col("relevance_e6").desc(), F.col("id").asc()).limit(k)
+
+
+def seed_relevance_topk_sql(
+    seed_terms: list[str],
+    k: int = 25,
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of seed_relevance_topk() (HUGEINT for the saturated
+    tf division, printf('%b') for the binary-length idf)."""
+    words = WORD_ARRAY_SQL.format(col=f"lower({text_col})")
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in seed_terms)
+    return f"""
+, _srl AS MATERIALIZED (
+  SELECT {id_col} AS id, len({words}) AS dl, {words} AS ws FROM {docs_rel}),
+_srs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(greatest(sum(dl) // count(*), 1) AS BIGINT) AS avgdl FROM _srl),
+_srdt AS MATERIALIZED (
+  SELECT id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, dl, unnest(list_filter(ws, w -> w IN ({in_list}))) AS term FROM _srl)
+  GROUP BY id, dl, term),
+_srdf AS (SELECT term, CAST(count(DISTINCT id) AS BIGINT) AS df FROM _srdt GROUP BY term),
+_srsc AS (
+  SELECT t.id,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(sum(
+           length(printf('%b', (s.n_docs + 1) // (f.df + 1)))
+           * ((1000000::HUGEINT * 44 * s.avgdl * t.tf) //
+              (20 * s.avgdl * t.tf + 6 * s.avgdl + 18 * t.dl))
+         ) AS BIGINT) AS relevance_e6
+  FROM _srdt t JOIN _srdf f USING (term) CROSS JOIN _srs s
+  GROUP BY t.id)
+SELECT id, n_hits, relevance_e6 FROM _srsc
+ORDER BY relevance_e6 DESC, id ASC LIMIT {k}"""

@@ -149,3 +149,47 @@ def test_kmv_accuracy_and_duplicate_invariance(spark):
     # documented regime: ~1/sqrt(k) relative error for n >> k
     assert abs(est1["est_distinct"] - true_n) / true_n < 0.15
     assert est1["n_buckets"] == 256
+
+
+# --- seed relevance ----------------------------------------------------------
+
+
+def brute_relevance(rows, terms, k):
+    N = len(rows)
+    dls = {d: len(_words(t)) for d, t in rows}
+    avgdl = max(sum(dls.values()) // N, 1)
+    tfs, dfs = {}, {}
+    for d, t in rows:
+        for w in _words(t):
+            if w in terms:
+                tfs[(d, w)] = tfs.get((d, w), 0) + 1
+    for d, w in tfs:
+        dfs[w] = dfs.get(w, 0) + 1
+    sc = {}
+    for (d, w), tf in tfs.items():
+        idf2 = ((N + 1) // (dfs[w] + 1)).bit_length()
+        sat = (1_000_000 * 44 * avgdl * tf) // (20 * avgdl * tf + 6 * avgdl + 18 * dls[d])
+        sc.setdefault(d, [0, 0])
+        sc[d][0] += 1
+        sc[d][1] += idf2 * sat
+    return [
+        (d, h, s) for d, (h, s) in
+        sorted(sc.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    ][:k]
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_seed_relevance_parity(spark, seed):
+    rng = random.Random(seed)
+    vocab = ["merge", "stream", "filter", "data", "spark", "the", "a"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for i in range(80)] + [(80, ""), (81, "MERGE Merge merge")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    terms = ["merge", "stream", "absentterm"]
+    got = tx.seed_relevance_topk(spark.createDataFrame(pdf), terms, k=15)
+    got_rows = [(r["id"], r["n_hits"], r["relevance_e6"]) for r in got.collect()]
+    assert got_rows == brute_relevance(rows, set(terms), 15)
+    _assert_match(
+        got,
+        _duck(pdf, "WITH _d AS (SELECT 1)" + tx.seed_relevance_topk_sql(terms, k=15)),
+    )
