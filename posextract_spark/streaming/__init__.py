@@ -7,7 +7,9 @@ reuse the identical batch stages unchanged via foreachBatch.
 """
 
 from posextract_spark.streaming.pipeline import (  # noqa: F401
+    curate_batch,
     stream_pages_to_triples,
+    streaming_corpus_curation,
     streaming_dedup,
     streaming_edge_weights,
     streaming_entity_profiles,

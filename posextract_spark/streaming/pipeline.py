@@ -278,3 +278,107 @@ def streaming_user_sessions(
             "n_events",
         )
     )
+
+
+def _docs_schema():
+    return "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def curate_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+) -> None:
+    """One micro-batch of incremental corpus curation (module-level so the
+    replay test can drive it directly): quality filter -> in-batch
+    near-dup survivors -> near-dup check against every PREVIOUSLY
+    admitted document -> admitted rows overwrite out_dir/batch_id=N.
+
+    Exactly-once on crash replay: the base read filters batch_id <
+    batch_id, so a batch replayed AFTER its own parquet write but before
+    the checkpoint commit never collides with its own earlier output
+    (without the filter every replayed doc would look like a near-dup of
+    itself and be silently dropped); the overwrite of the deterministic
+    batch_id partition then replaces rather than duplicates.
+
+    Dedup contract is FIRST-ARRIVAL-WINS across batches (arrival order =
+    micro-batch order; within a batch, the batch-survivors rule = min
+    doc_id per cluster), matching what a daily crawl ingest wants: the
+    corpus never retroactively swaps an admitted doc for a later
+    lower-id near-duplicate.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.dedup import (
+        minhash_dedup_against_base,
+        minhash_dedup_survivors,
+    )
+    from posextract_spark.operators.textops import corpus_quality_filter
+
+    kept = batch_df.join(
+        corpus_quality_filter(batch_df).filter(F.col("keep") == 1).select("doc_id"),
+        "doc_id",
+    )
+    surv = kept.join(
+        minhash_dedup_survivors(kept)
+        .filter(F.col("is_survivor") == 1)
+        .select("doc_id"),
+        "doc_id",
+    )
+    prior = [
+        d for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        if d.startswith("batch_id=") and int(d.split("=")[1]) < batch_id
+    ]
+    admitted = surv
+    if prior:
+        base = (
+            spark.read.option("basePath", out_dir)
+            .parquet(*[os.path.join(out_dir, d) for d in prior])
+            .select("doc_id", "text")
+        )
+        flags = minhash_dedup_against_base(surv, base)
+        # docs shorter than SHINGLE_N words emit no flag row — they cannot
+        # minhash-collide, so they are admitted (LEFT join, default new)
+        admitted = surv.join(
+            flags.select("doc_id", "is_new"), "doc_id", "left"
+        ).filter(F.coalesce(F.col("is_new"), F.lit(1)) == 1).drop("is_new")
+    admitted.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+
+def streaming_corpus_curation(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    trigger_once: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Incremental corpus curation on crawl arrival — the streaming form
+    of the batch `training_corpus_pipeline` front half: each micro-batch
+    of new documents is quality-filtered, deduped within itself, deduped
+    against EVERYTHING already admitted, and appended as its own
+    batch_id partition (see curate_batch for the exactly-once and
+    first-arrival-wins contracts).
+
+    Scale shape: per batch, the base side enters the against-base join as
+    ONE ROW PER BAND BUCKET (minhash_dedup_against_base's summary), so
+    the accumulated corpus never meets the new batch quadratically; in
+    production that bucket summary is a persisted table maintained
+    incrementally instead of re-aggregated from out_dir each batch (the
+    merge is an associative groupBy-min, same as the graph deltas).
+    Returns the started StreamingQuery.
+    """
+    stream = (
+        spark.readStream.schema(_docs_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: curate_batch(spark, df, bid, out_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -299,3 +299,76 @@ def test_streaming_sessions_match_batch_sessionize(spark, tmp_path):
         for r in session_stats(ev, key="user_id", ts="ts", gap_seconds=gap_s).collect()
     }
     assert got == want and len(got) > 0
+
+
+# --- incremental corpus curation ----------------------------------------------
+
+
+_POOL = ("the data and table with from rows scan files merge batch hash "
+         "group sort index cache query plans tasks stage").split()
+
+
+def _good_text(i: int) -> str:
+    # 30 words, >= 20 distinct, mean word len ~4, 'the/and' markers -> passes
+    # corpus_quality_filter. Per-i SHUFFLE, not rotation: rotations of one
+    # cyclic sequence share almost all 5-gram shingles and minhash
+    # (correctly) clusters them as near-dups
+    import random
+
+    words = _POOL[:]
+    random.Random(i).shuffle(words)
+    return " ".join(words + ["doc" + str(i), "extra" + str(i * 31 % 97), "the"] + words[:7])
+
+
+def _docs_df(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_streaming_curation_first_arrival_and_quality(spark, tmp_path):
+    import time
+
+    from posextract_spark.streaming import streaming_corpus_curation
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "corpus_out")
+    f1 = [(100, _good_text(1)), (101, _good_text(2)), (104, _good_text(3)),
+          (105, _good_text(3))]          # 105 = in-batch dup of 104 -> min id wins
+    f2 = [(200, _good_text(1)),          # cross-batch dup of 100 -> dropped
+          (201, _good_text(9))]
+    f3 = [(300, _good_text(9)),          # dup of already-admitted 201 -> dropped
+          (301, "aa aa aa aa"),          # quality-fail (too short)
+          (302, _good_text(12))]
+    for n, rows in enumerate([f1, f2, f3]):
+        _docs_df(spark, rows).coalesce(1).write.parquet(f"{src}/f{n}")
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    q = streaming_corpus_curation(
+        spark, f"{src}/f*", str(tmp_path / "ckpt"), out, max_files_per_trigger=1
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        r["doc_id"] for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    assert got == [100, 101, 104, 201, 302]
+
+
+def test_streaming_curation_replay_idempotent(spark, tmp_path):
+    """Crash-replay contract: re-running a batch AFTER its own parquet
+    write (checkpoint not yet committed) must not drop the batch's docs as
+    near-dups of their own earlier output."""
+    from posextract_spark.streaming import curate_batch
+
+    out = str(tmp_path / "corpus_out")
+    b0 = _docs_df(spark, [(1, _good_text(1)), (2, _good_text(2))])
+    b1 = _docs_df(spark, [(10, _good_text(5)), (11, _good_text(1))])  # 11 dups batch-0
+    curate_batch(spark, b0, 0, out)
+    curate_batch(spark, b1, 1, out)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    curate_batch(spark, b1, 1, out)  # replay
+    second = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == second == [1, 2, 10]
