@@ -1261,6 +1261,28 @@ def q_bpe_encode_tokens(spark, sf_dir):
 _SEED_TERMS = ["merge", "vector", "scan", "quantile", "nonexistentterm"]
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encoding: each embedding becomes m=4 subspace
+    codes (nearest codebook centroid per subspace, same fixed-point
+    cosine/min-tie rule as IVF) — the compression half of IVF-PQ
+    (operators/similarity.pq_encode; oracle = the per-subspace CTE
+    mirror)."""
+    from posextract_spark.operators.similarity import pq_encode
+
+    return pq_encode(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-10: the query scored against PQ CODES via
+    constant-folded per-subspace lookup tables — the IVF-PQ search core
+    (operators/similarity.pq_adc_topk)."""
+    from posextract_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), query_id=0, k=10
+    )
+
+
 def q_seed_relevance(spark, sf_dir):
     """Top-25 documents by integer BM25-style relevance to a fixed seed
     vocabulary — the CCNet-style "looks like the seed corpus" curation
@@ -1694,6 +1716,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_count_of_counts": q_ngram_count_of_counts,
         "lang_distinct_texts_kmv": q_lang_distinct_texts_kmv,
         "seed_relevance": q_seed_relevance,
+        "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 
@@ -1752,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from posextract_spark.operators import dedup as _dedup
     from posextract_spark.operators import mldata as _mldata
+    from posextract_spark.operators import similarity as _sim
     from posextract_spark.operators import sketches as _sketches
     from posextract_spark.operators import textops as _textops
     from posextract_spark.operators import urls as _urls
@@ -1919,6 +1944,8 @@ def oracle_sql() -> dict[str, str]:
         + _sketches.distinct_kmv_sql("documents", "lang", "text", k=16),
         "seed_relevance": "WITH _sr_dummy AS (SELECT 1)"
         + _textops.seed_relevance_topk_sql(_SEED_TERMS, k=25),
+        "pq_encode": _sim.pq_encode_sql(),
+        "pq_adc_topk": _sim.pq_adc_topk_sql(query_id=0, k=10),
         "kg_fused_weighted": SVO_TRIPLES_CTE
         + (
             ", kg_w AS (SELECT t.subject AS src, t.verb AS predicate, "

@@ -278,17 +278,19 @@ def _ivf_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _best_centroid(cent_arr):
-    """struct(sim, ncid) of the nearest centroid over _e/_norm columns:
-    array_max picks max sim; on ties max(-cid) == smallest centroid id."""
+def _best_centroid_expr(e, norm, cent_arr):
+    """struct(sim, ncid) of the nearest centroid over explicit vector/norm
+    expressions: array_max picks max sim; on ties max(-cid) == smallest
+    centroid id. Shared by the full-vector argmax (_best_centroid) and the
+    per-subspace PQ encoder."""
 
     def sim_e6(c):
         dot = F.aggregate(
-            F.zip_with(F.col("_e"), c["cvec"], lambda x, y: x * y),
+            F.zip_with(e, c["cvec"], lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        denom = F.col("_norm") * c["cnorm"]
+        denom = norm * c["cnorm"]
         cos = F.when(denom != 0, dot / denom).otherwise(F.lit(-2.0))
         return F.floor(cos * F.lit(1000000.0)).cast("bigint")
 
@@ -297,6 +299,11 @@ def _best_centroid(cent_arr):
             cent_arr, lambda c: F.struct(sim_e6(c).alias("sim"), (-c["cid"]).alias("ncid"))
         )
     )
+
+
+def _best_centroid(cent_arr):
+    """struct(sim, ncid) of the nearest centroid over _e/_norm columns."""
+    return _best_centroid_expr(F.col("_e"), F.col("_norm"), cent_arr)
 
 
 def ivf_assign(
@@ -631,3 +638,240 @@ def lsh_bucket_sql(n_planes: int = 4) -> str:
         terms.append(f"CASE WHEN ({s}) > 0 THEN {1 << p} ELSE 0 END")
     total = " + ".join(terms)
     return f"SELECT vec_id, CAST({total} AS INT) AS bucket FROM embeddings"
+
+
+# --- product quantization (IVF-PQ's compression half) -------------------------
+
+PQ_M = 4
+PQ_KSUB = 8
+
+
+def _pq_codebooks(df, m, k_sub, id_col, vec_col):
+    """m per-subspace codebooks, each [(cid, subvector)] sliced from the
+    k_sub smallest-id embeddings — the deterministic quantizer convention
+    of _centroid_literals (kmeans_centroids per subspace is the production
+    upgrade; the encode/ADC mechanics are identical either way)."""
+    rows = (
+        df.filter(F.col(id_col) < k_sub)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [
+            (int(r[0]), [float(x) for x in r[1][s * dsub : (s + 1) * dsub]])
+            for r in rows
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_sub_structs(books, m):
+    """Per-row array of m structs (subspace, code, sim_e6) over the
+    materialized __pq_e vector attribute."""
+    dsub = len(books[0][0][1])
+    subs = []
+    for s in range(m):
+        e_s = F.slice(F.col("__pq_e"), s * dsub + 1, dsub)
+        norm_s = F.sqrt(
+            F.aggregate(
+                F.transform(e_s, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+            )
+        )
+        best = _best_centroid_expr(e_s, norm_s, _centroid_struct_array(books[s]))
+        subs.append(
+            F.struct(
+                F.lit(s).cast("int").alias("subspace"),
+                (-best["ncid"]).cast("int").alias("code"),
+                best["sim"].alias("sim_e6"),
+            )
+        )
+    return F.array(*subs)
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+) -> DataFrame:
+    """(id, subspace, code, sim_e6) — product-quantization encoding: the
+    vector is split into ``m`` subvectors, each assigned its nearest
+    codebook centroid (same cosine/fixed-point/min-tie rule as ivf_assign).
+    PQ is the compression half of IVF-PQ: 64 floats become m small codes,
+    the layout a billion-vector index actually stores.
+
+    Scale shape: ONE scan-side projection computes all m subspace
+    argmaxes over the Generate-materialized double vector, then one
+    posexplode-style Generate emits the m code rows — no shuffle, no
+    Python, codebooks are literals (constant-folded)."""
+    from posextract_spark.functions.boundary import materialize
+
+    books = codebooks or _pq_codebooks(df, m, k_sub, id_col, vec_col)
+    g = materialize(
+        df.select(id_col, vec_col),
+        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
+    )
+    return g.select(
+        F.col(id_col), F.explode(_pq_sub_structs(books, m)).alias("_s")
+    ).select(
+        id_col,
+        F.col("_s.subspace").alias("subspace"),
+        F.col("_s.code").alias("code"),
+        F.col("_s.sim_e6").alias("sim_e6"),
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, adc_e6) — asymmetric-distance top-k: the query (the embedding
+    of ``query_id``) is scored against every row's PQ CODES via
+    per-subspace lookup tables, never against the raw vectors — the
+    search core of IVF-PQ, where the corpus side is m bytes per vector.
+    adc_e6 = sum over subspaces of table_s[code_s], table_s[c] =
+    sim_e6(query_sub_s, codebook_s[c]).
+
+    The tables are built as literal-vs-literal IN-ENGINE arithmetic
+    (Catalyst constant-folds them once; DuckDB mirrors the same
+    expressions) — computing them in Python could differ in the last ulp
+    of the float fold and break the oracle hash. Top-k is a
+    TakeOrderedAndProject with total-order (adc desc, id) tie-break."""
+    from posextract_spark.functions.boundary import materialize
+
+    books = _pq_codebooks(df, m, k_sub, id_col, vec_col)
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head(1)
+    if not qrow:
+        raise ValueError(f"pq_adc_topk: query_id {query_id} not found")
+    qvec = [float(x) for x in qrow[0][0]]
+    dsub = len(qvec) // m
+
+    def table_lookup(s, code_col):
+        qsub = qvec[s * dsub : (s + 1) * dsub]
+        qlit = F.array(*[F.lit(x) for x in qsub])
+        qnorm = F.lit(_seq_norm(qsub))
+
+        def sim(cvec_lit, cnorm_lit):
+            dot = F.aggregate(
+                F.zip_with(qlit, cvec_lit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            denom = qnorm * cnorm_lit
+            cos = F.when(denom != 0, dot / denom).otherwise(F.lit(-2.0))
+            return F.floor(cos * F.lit(1000000.0)).cast("bigint")
+
+        pairs = [
+            (cid, sim(F.array(*[F.lit(x) for x in vec]), F.lit(_seq_norm(vec))))
+            for cid, vec in books[s]
+        ]
+        table = F.map_from_arrays(
+            F.array(*[F.lit(c).cast("int") for c, _ in pairs]),
+            F.array(*[v for _, v in pairs]),
+        )
+        return F.element_at(table, code_col)
+
+    g = materialize(
+        df.select(id_col, vec_col),
+        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
+    )
+    codes = g.select(F.col(id_col).alias("id"), _pq_sub_structs(books, m).alias("_ss"))
+    adc = codes.select(
+        "id",
+        sum(
+            table_lookup(s, F.col("_ss")[s]["code"]) for s in range(m)
+        ).cast("long").alias("adc_e6"),
+    )
+    return adc.orderBy(F.col("adc_e6").desc(), F.col("id").asc()).limit(k)
+
+
+def _pq_sub_sql(s: int, dsub: int, k_sub: int) -> str:
+    """Per-subspace assign CTE chain (mirrors one _pq_sub_structs entry)."""
+    lo, hi = s * dsub + 1, (s + 1) * dsub
+    return f"""
+_pqc{s} AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS cvec
+  FROM embeddings WHERE vec_id < {k_sub}),
+_pqp{s} AS (
+  SELECT v.vec_id, CAST(c.cid AS INTEGER) AS code,
+    CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(v.e{s}, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
+      list_aggregate(list_transform(generate_series(1, len(v.e{s})), i -> v.e{s}[i] * c.cvec[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(v.e{s}, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) END)
+      * 1000000.0) AS BIGINT) AS sim_e6
+  FROM _pqv v CROSS JOIN _pqc{s} c),
+_pqa{s} AS (
+  SELECT vec_id, code, sim_e6 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e6 DESC, code ASC) AS rn
+    FROM _pqp{s}) WHERE rn = 1)"""
+
+
+def _pq_vecs_sql(m: int, dsub: int) -> str:
+    slices = ", ".join(
+        f"list_transform(embedding[{s * dsub + 1}:{(s + 1) * dsub}], x -> x::DOUBLE) AS e{s}"
+        for s in range(m)
+    )
+    return f"_pqv AS (SELECT vec_id, {slices} FROM embeddings)"
+
+
+def pq_encode_sql(m: int = PQ_M, k_sub: int = PQ_KSUB, dim: int = 64) -> str:
+    """DuckDB mirror of pq_encode() over the embeddings view."""
+    dsub = dim // m
+    ctes = ",".join([_pq_vecs_sql(m, dsub)] + [_pq_sub_sql(s, dsub, k_sub) for s in range(m)])
+    union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({s} AS INTEGER) AS subspace, code, sim_e6 FROM _pqa{s}"
+        for s in range(m)
+    )
+    return "WITH " + ctes + "\n" + union
+
+
+def pq_adc_topk_sql(
+    query_id: int = 0, k: int = 10, m: int = PQ_M, k_sub: int = PQ_KSUB, dim: int = 64
+) -> str:
+    """DuckDB mirror of pq_adc_topk(): query-vs-codebook tables computed
+    in-SQL from the same embeddings view (all float folds in-engine)."""
+    dsub = dim // m
+    parts = [_pq_vecs_sql(m, dsub)]
+    parts += [_pq_sub_sql(s, dsub, k_sub) for s in range(m)]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"""
+_pqq{s} AS (
+  SELECT list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS q
+  FROM embeddings WHERE vec_id = {query_id}),
+_pqt{s} AS (
+  SELECT c.cid,
+    CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(q.q, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
+      list_aggregate(list_transform(generate_series(1, len(q.q)), i -> q.q[i] * c.cvec[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(q.q, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) END)
+      * 1000000.0) AS BIGINT) AS qsim_e6
+  FROM _pqc{s} c CROSS JOIN _pqq{s} q)""")
+    joins = " ".join(
+        f"JOIN _pqa{s} a{s} ON a{s}.vec_id = v.vec_id "
+        f"JOIN _pqt{s} t{s} ON t{s}.cid = a{s}.code"
+        for s in range(m)
+    )
+    total = " + ".join(f"t{s}.qsim_e6" for s in range(m))
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT v.vec_id AS id, CAST({total} AS BIGINT) AS adc_e6
+FROM _pqv v {joins}
+ORDER BY adc_e6 DESC, id ASC LIMIT {k}"""
+    )

@@ -195,3 +195,56 @@ def test_neardup_single_projection_no_prejoin(spark):
     assert not re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[vec_id", plan)
     # three scans: sizes + pair-left + pair-right (join-back had four)
     assert plan.count("Scan parquet") <= 3
+
+
+# --- product quantization ------------------------------------------------------
+
+
+def test_pq_encode_invariants_and_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from posextract_spark.operators.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        pq_encode,
+        pq_encode_sql,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = pq_encode(emb).toPandas()
+    n_vecs = emb.count()
+    assert len(got) == n_vecs * PQ_M
+    assert got["code"].between(0, PQ_KSUB - 1).all()
+    # codebook vectors encode to themselves in every subspace (their
+    # subvector IS the centroid -> sim_e6 = 1e6, argmax picks it)
+    own = got[got["vec_id"] < PQ_KSUB]
+    assert (own["code"] == own["vec_id"]).all()
+    # floor(cos * 1e6) of a self-match is 1e6 or 1e6-1 (the float dot/norm
+    # quotient can land one ulp under 1.0)
+    assert (own["sim_e6"] >= 999_999).all()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    want = con.execute(pq_encode_sql()).df()
+    key = ["vec_id", "subspace"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a.reindex(sorted(a.columns), axis=1), b.reindex(sorted(b.columns), axis=1),
+        check_dtype=True,
+    )
+
+
+def test_pq_adc_query_ranks_itself_first(spark):
+    from posextract_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    top = pq_adc_topk(emb, query_id=7, k=5).collect()
+    # the query's own codes hit the max table entry in EVERY subspace, so
+    # its ADC total is the global maximum
+    assert top[0]["id"] == 7
+    assert top[0]["adc_e6"] >= top[-1]["adc_e6"]
