@@ -528,6 +528,15 @@ def q_kg_taxonomy_closure(spark, sf_dir):
     return transitive_closure(edges, max_depth=8)
 
 
+def q_kg_export_ntriples(spark, sf_dir):
+    """RDF N-Triples serialization of the predicate-edge KG — the line
+    format a triple store bulk-loads; explicit percent-encode chain so
+    both engines emit identical bytes (operators/graph.to_ntriples)."""
+    from posextract_spark.operators.graph import to_ntriples
+
+    return to_ntriples(_kg_pred_edges(spark, sf_dir))
+
+
 def q_kg_node_features(spark, sf_dir):
     """Assembled per-entity GNN feature table: directed degrees +
     triangle/clustering stats + integer PageRank from ONE shared edge
@@ -1683,6 +1692,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": q_kg_entity_types,
         "kg_cycle_nodes": q_kg_cycle_nodes,
         "kg_node_features": q_kg_node_features,
+        "kg_export_ntriples": q_kg_export_ntriples,
         # rotated OUT in late r6 to admit kg_taxonomy_closure +
         # lm_familiarity into the checked 50 (media keeps
         # image/frame_sample rows; IVF keeps assign + the kmeans pair
@@ -1744,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         SIMHASH_SQL,
     )
     from posextract_spark.operators import fusion as _fu
+    from posextract_spark.operators import graph as _gr
     from posextract_spark.operators import graph_analytics as _ga
     from posextract_spark.operators.pairs import SVO_ADJ_NOUN_SQL, SVO_SUBJ_VERB_SQL
     from posextract_spark.operators.similarity import (
@@ -1913,6 +1924,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_features": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.node_features_sql("kg_e"),
+        "kg_export_ntriples": SVO_TRIPLES_CTE
+        + _KG_PRED_VIEW
+        + _gr.to_ntriples_sql("kg_p"),
         "term_stats": "WITH _ts_dummy AS (SELECT 1)"
         + _textops.term_stats_sql("documents", min_df=100),
         "bpe_pair_counts": "WITH _bp_dummy AS (SELECT 1)"

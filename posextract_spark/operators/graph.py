@@ -160,3 +160,90 @@ def merge_node_deltas(base: DataFrame, delta: DataFrame) -> DataFrame:
         ).alias("surface_forms"),
         F.sum("n_mentions").alias("n_mentions"),
     )
+
+
+#: characters unsafe inside an IRI path segment (RFC 3987's delimiters plus
+#: whitespace/controls we could plausibly meet in entity surfaces). '%' MUST
+#: be encoded first or already-encoded output would double-encode.
+_IRI_UNSAFE = [
+    ("%", "%25"),
+    (" ", "%20"),
+    ("<", "%3C"),
+    (">", "%3E"),
+    ('"', "%22"),
+    ("{", "%7B"),
+    ("}", "%7D"),
+    ("|", "%7C"),
+    ("^", "%5E"),
+    ("`", "%60"),
+    ("\\", "%5C"),
+    ("\n", "%0A"),
+    ("\t", "%09"),
+]
+
+
+def _iri_encode(col):
+    out = col
+    for ch, enc in _IRI_UNSAFE:
+        out = F.replace(out, F.lit(ch), F.lit(enc))
+    return out
+
+
+def _iri_encode_sql(expr: str) -> str:
+    out = expr
+    for ch, enc in _IRI_UNSAFE:
+        lit = ch.replace("'", "''")
+        if ch == "\n":
+            lit = "' || chr(10) || '"
+        if ch == "\t":
+            lit = "' || chr(9) || '"
+        out = f"replace({out}, '{lit}', '{enc}')"
+    return out
+
+
+def to_ntriples(
+    edges: DataFrame,
+    base_iri: str = "http://kg.example/",
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> DataFrame:
+    """(ntriple STRING) — the materialized KG serialized as RDF N-Triples,
+    the line format every triple store / SPARQL engine bulk-loads:
+
+        <base/entity/S> <base/rel/P> <base/entity/O> .
+
+    Entity/relation surfaces are percent-encoded with an explicit
+    replace chain (RFC 3987 delimiters + whitespace; '%' first so output
+    never double-encodes) rather than engine url_encode builtins, whose
+    space handling ('+' vs '%20') differs between engines. One distinct
+    + one scan-side projection; the sink is then an ordinary text write,
+    partitioned however the loader shards.
+    """
+    e = F.concat(
+        F.lit(f"<{base_iri}entity/"),
+        _iri_encode(F.col(src)),
+        F.lit(f"> <{base_iri}rel/"),
+        _iri_encode(F.col(predicate)),
+        F.lit(f"> <{base_iri}entity/"),
+        _iri_encode(F.col(dst)),
+        F.lit("> ."),
+    )
+    return (
+        edges.select(src, predicate, dst).distinct().select(e.alias("ntriple"))
+    )
+
+
+def to_ntriples_sql(
+    edges_rel: str,
+    base_iri: str = "http://kg.example/",
+    src: str = "src",
+    predicate: str = "predicate",
+    dst: str = "dst",
+) -> str:
+    """DuckDB mirror of to_ntriples() (same replace chain)."""
+    return f"""
+SELECT '<{base_iri}entity/' || {_iri_encode_sql(src)}
+       || '> <{base_iri}rel/' || {_iri_encode_sql(predicate)}
+       || '> <{base_iri}entity/' || {_iri_encode_sql(dst)} || '> .' AS ntriple
+FROM (SELECT DISTINCT {src}, {predicate}, {dst} FROM {edges_rel})"""

@@ -310,3 +310,28 @@ def test_incremental_merge_equals_from_scratch_build(spark):
 
     assert edge_rows(merge_edge_deltas(edges_a, edges_b)) == edge_rows(edges_full)
     assert node_rows(merge_node_deltas(nodes_a, nodes_b)) == node_rows(nodes_full)
+
+
+def test_to_ntriples_encoding_and_parity(spark):
+    import duckdb
+    import pandas as pd
+    import urllib.parse
+
+    from posextract_spark.operators.graph import to_ntriples, to_ntriples_sql
+
+    rows = [("acme corp", "owns 50%", "zorin<x>"), ("a|b", 'q"t', "tab\there"),
+            ("nl\nline", "p", "back\\slash"),
+            ("acme corp", "owns 50%", "zorin<x>")]  # duplicate -> one line
+    pdf = pd.DataFrame(rows, columns=["src", "predicate", "dst"])
+    got = sorted(r["ntriple"] for r in to_ntriples(spark.createDataFrame(pdf)).collect())
+    con = duckdb.connect()
+    con.register("e", pdf)
+    want = sorted(r[0] for r in con.execute(to_ntriples_sql("e")).fetchall())
+    con.close()
+    assert got == want and len(got) == 3
+    # every line is well-formed and percent-decodes back to a real surface
+    surfaces = {s for r in rows for s in r}
+    for line in got:
+        assert line.endswith("> .") and line.count("<") == 3
+        subj = line.split("> <")[0].removeprefix("<http://kg.example/entity/")
+        assert urllib.parse.unquote(subj) in surfaces
