@@ -568,6 +568,16 @@ def q_dup_span_stats(spark, sf_dir):
     return dup_span_stats(_docs(spark, sf_dir), window=4, sample=2)
 
 
+def q_strip_duplicate_spans(spark, sf_dir):
+    """Corpus-EDITING exact substring dedup (Lee et al. 2022 remedy):
+    removes every token covered by a 4-token window seen in >= 2 distinct
+    documents and rebuilds the text (operators/dedup.py). sample=1: the
+    removal pass must see every window."""
+    from posextract_spark.operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(_docs(spark, sf_dir), window=4, sample=1)
+
+
 def q_host_link_graph(spark, sf_dir):
     """Crawl link structure: deterministic linked-pages corpus -> native
     regex outlink extraction -> host-level edge aggregate. All-Catalyst
@@ -1683,6 +1693,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": q_host_link_graph,
         "host_pagerank": q_host_pagerank,
         "dup_span_stats": q_dup_span_stats,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -1873,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_pagerank_weighted": _oracles.host_pagerank_weighted_sql(300, 42, n_iters=3),
         "dup_span_stats": _dedup_mod.dup_span_stats_sql(window=4, sample=2),
+        "strip_duplicate_spans": _dedup_mod.strip_duplicate_spans_sql(window=4, sample=1),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

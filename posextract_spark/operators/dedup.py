@@ -810,3 +810,99 @@ SELECT w.doc_id,
        CAST((1000000 * count(d.h)) // count(*) AS BIGINT) AS dup_ratio_e6
 FROM _wins w LEFT JOIN _dups d ON w.h = d.h
 GROUP BY w.doc_id"""
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    sample: int = 1,
+) -> DataFrame:
+    """(id, clean_text, n_tokens, n_removed) — exact-substring dedup that
+    EDITS the corpus (Lee et al. 2022's remedy, not just dup_span_stats'
+    report): every token covered by a window whose span hash occurs in
+    >= 2 distinct documents is removed, and the document is rebuilt from
+    the survivors. Default ``sample=1`` considers EVERY window (removal
+    must not miss spans); a sampled run (sample > 1) removes only
+    anchor-selected spans and is documented as partial.
+
+    Scale shape: the window frame is built once (scan-side) and persisted
+    across its two consumers; duplicated hashes are ONE counter each
+    (map-side-combinable groupBy, never a pair listing); duplicate
+    START POSITIONS come back per doc as one sorted array (bounded by the
+    doc's own window count — document-sized, the same bound as the text
+    itself), and the rebuild is a single scan-side indexed filter over
+    the materialized word array: keep token i unless some duplicate
+    start p covers it (p <= i+1 < p+window).
+    """
+    from posextract_spark.functions.boundary import materialize
+
+    wins = dup_span_windows(df, text_col, id_col, window, sample).persist()
+    try:
+        dup_hashes = (
+            wins.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= 2)
+            .select("h")
+        )
+        starts = (
+            wins.join(dup_hashes, "h")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+        )
+        g = materialize(
+            df.select(id_col, text_col), __sds_ws=word_array(F.col(text_col))
+        ).join(starts, id_col, "left")
+        st = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+        kept = F.filter(
+            F.col("__sds_ws"),
+            lambda w, i: ~F.exists(
+                st, lambda p: (p <= i + 1) & (i + 1 < p + F.lit(window))
+            ),
+        )
+        return g.select(
+            id_col,
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size(kept).cast("long").alias("n_tokens"),
+            (F.size(F.col("__sds_ws")) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    finally:
+        wins.unpersist()
+
+
+def strip_duplicate_spans_sql(window: int = 4, sample: int = 1) -> str:
+    """DuckDB mirror of strip_duplicate_spans over ``documents`` (indexed
+    rebuild via generate_series + NULL-filter — portable, no indexed
+    lambda)."""
+    keep = (
+        f"AND ('0x' || substring(md5(array_to_string(ws[p : p + {window - 1}], ' ')), 1, 15))::BIGINT % {sample} = 0"
+        if sample > 1
+        else ""
+    )
+    return f"""
+WITH _sdw AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+_swins AS (
+  SELECT doc_id, CAST(p AS INTEGER) AS pos,
+         md5(array_to_string(ws[p : p + {window - 1}], ' ')) AS h
+  FROM _sdw, unnest(generate_series(1, len(ws) - {window} + 1)) AS t(p)
+  WHERE len(ws) >= {window} {keep}
+),
+_sdups AS (SELECT h FROM _swins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+_sstarts AS (
+  SELECT w.doc_id, list_sort(list(w.pos)) AS starts
+  FROM _swins w JOIN _sdups d ON w.h = d.h GROUP BY w.doc_id),
+_skept AS (
+  SELECT s.doc_id,
+         list_filter(
+           list_transform(generate_series(1, len(s.ws)),
+             i -> CASE WHEN len(list_filter(coalesce(t.starts, []),
+                                p -> p <= i AND i < p + {window})) > 0
+                  THEN NULL ELSE s.ws[i] END),
+           x -> x IS NOT NULL) AS kept,
+         len(s.ws) AS n_all
+  FROM _sdw s LEFT JOIN _sstarts t ON t.doc_id = s.doc_id)
+SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_tokens,
+       CAST(n_all - len(kept) AS BIGINT) AS n_removed
+FROM _skept"""

@@ -497,7 +497,9 @@ QF_MAX_RUN = 3
 QF_LANG = "en"
 
 
-def corpus_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_quality_filter(
+    df: DataFrame, text_col: str = "text", carry: tuple = ()
+) -> DataFrame:
     """The end-to-end keep/drop decision a C4/Gopher-style training-data
     pipeline applies per document, composed from the scan-side signal
     family (quality_score, repetition_stats, language_id) in ONE pass:
@@ -540,7 +542,11 @@ def corpus_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     wrong_lang = (F.col("__pred_lang") != QF_LANG).cast("int")
     flags = [too_short, too_long, bad_word_len, too_repetitive, long_run, wrong_lang]
     names = ["too_short", "too_long", "bad_word_len", "too_repetitive", "long_run", "wrong_lang"]
-    out = sig.select("doc_id", *[f.alias(n) for f, n in zip(flags, names)])
+    # ``carry`` passes source columns through alongside the flags (the
+    # signals frame retains every input column), so a consumer that needs
+    # both the decision and the text — e.g. classifier.nb_token_weights'
+    # pseudo-label training — gets them from ONE scan, no doc_id join back
+    out = sig.select("doc_id", *carry, *[f.alias(n) for f, n in zip(flags, names)])
     keep = (sum(F.col(n) for n in names) == 0).cast("int")
     return out.withColumn("keep", keep)
 

@@ -12,6 +12,8 @@ from posextract_spark.operators.dedup import (
     dup_span_stats,
     dup_span_stats_sql,
     dup_span_windows,
+    strip_duplicate_spans,
+    strip_duplicate_spans_sql,
 )
 
 BOILER = "all rights reserved by the synthetic crawl consortium"  # 8 tokens
@@ -119,6 +121,63 @@ def test_duckdb_parity_random_corpus(spark):
         want = want.reindex(sorted(want.columns), axis=1)
         pd.testing.assert_frame_equal(got, want, check_dtype=True)
         assert (got["n_dup_windows"] > 0).any()  # the corpus must carry signal
+
+
+def test_strip_removes_shared_spans_only(spark):
+    rows = [
+        (1, f"alpha beta gamma delta {BOILER} epsilon zeta"),
+        (2, f"one two three four five six {BOILER}"),
+        (3, "entirely unique content with no repeats at all whatsoever today"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_duplicate_spans(_docs(spark, rows), window=4, sample=1).collect()
+    }
+    # doc 3 untouched, byte-identical
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_removed"] == 0
+    # the full 8-token boilerplate is gone from both carriers (every token
+    # of it is covered by some cross-doc-duplicated 4-window)
+    for d in (1, 2):
+        for tok in BOILER.split():
+            assert tok not in out[d]["clean_text"].split()
+        assert out[d]["n_removed"] >= 8
+    # unique flanks survive
+    assert out[1]["clean_text"].split()[:4] == ["alpha", "beta", "gamma", "delta"]
+    assert out[1]["clean_text"].split()[-2:] == ["epsilon", "zeta"]
+    assert out[2]["clean_text"].split() == ["one", "two", "three", "four", "five", "six"]
+    # token accounting: n_tokens + n_removed == original token count
+    for d in (1, 2, 3):
+        assert out[d]["n_tokens"] + out[d]["n_removed"] == len(rows[d - 1][1].split())
+
+
+def test_strip_intra_doc_repeat_survives(spark):
+    # same span twice in ONE doc is not cross-document -> nothing removed
+    rows = [(1, "x1 x2 x3 x4 mid x1 x2 x3 x4"), (2, "totally different words here now")]
+    out = {r["doc_id"]: r.asDict() for r in strip_duplicate_spans(_docs(spark, rows)).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["clean_text"] == rows[0][1]
+    assert out[2]["n_removed"] == 0
+
+
+def test_strip_duckdb_parity_random_corpus(spark):
+    rng = random.Random(77)
+    vocab = [f"w{k}" for k in range(10)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40))))
+        for i in range(50)
+    ]
+    sdf = strip_duplicate_spans(_docs(spark, rows), window=4, sample=1)
+    got = sdf.toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(strip_duplicate_spans_sql(4, 1)).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    con.close()
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    assert (got["n_removed"] > 0).any()  # the corpus must carry signal
 
 
 def test_threshold_filter_composition(spark):
