@@ -578,6 +578,27 @@ def q_strip_duplicate_spans(spark, sf_dir):
     return strip_duplicate_spans(_docs(spark, sf_dir), window=4, sample=1)
 
 
+def q_quality_classifier_weights(spark, sf_dir):
+    """Bootstrapped quality classifier, training half (GPT-3/DCLM
+    pattern, operators/classifier.py): heuristic-filter keep/drop as
+    pseudo-labels -> exact-integer NB posterior weight per token.
+    One explode + vocab-keyed groupBy (map-side partials), scalar
+    totals crossJoin-broadcast."""
+    from posextract_spark.operators.classifier import quality_classifier_weights
+
+    return quality_classifier_weights(_docs(spark, sf_dir))
+
+
+def q_quality_classifier_scores(spark, sf_dir):
+    """Bootstrapped quality classifier, scoring half: every document
+    scored by the trained weight table (broadcast; scan-side explode +
+    doc-keyed groupBy). score_e6 = sum of centered token polarities;
+    pred_keep = evidence leans positive."""
+    from posextract_spark.operators.classifier import quality_classifier_scores
+
+    return quality_classifier_scores(_docs(spark, sf_dir))
+
+
 def q_host_link_graph(spark, sf_dir):
     """Crawl link structure: deterministic linked-pages corpus -> native
     regex outlink extraction -> host-level edge aggregate. All-Catalyst
@@ -1694,6 +1715,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "dup_span_stats": q_dup_span_stats,
         "strip_duplicate_spans": q_strip_duplicate_spans,
+        "quality_classifier_weights": q_quality_classifier_weights,
+        "quality_classifier_scores": q_quality_classifier_scores,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -1755,6 +1778,7 @@ _CC_ORACLE_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from posextract_spark.operators import classifier as _classifier
     from posextract_spark.operators import dedup as _dedup_mod
     from posextract_spark.operators.dedup import (
         EXACT_DEDUP_SQL,
@@ -1885,6 +1909,8 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank_weighted": _oracles.host_pagerank_weighted_sql(300, 42, n_iters=3),
         "dup_span_stats": _dedup_mod.dup_span_stats_sql(window=4, sample=2),
         "strip_duplicate_spans": _dedup_mod.strip_duplicate_spans_sql(window=4, sample=1),
+        "quality_classifier_weights": _classifier.quality_classifier_weights_sql(),
+        "quality_classifier_scores": _classifier.quality_classifier_scores_sql(),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "
