@@ -1018,6 +1018,21 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, ev)
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-gated contamination count (operators/bloom.py): same query
+    as q_decontaminate but membership goes through a 63-bit-word packed
+    Bloom filter built from the eval shingles — the fixed-size scale
+    path (m_bits/8 bytes broadcast, whatever the eval set's cardinality).
+    Superset semantics vs the exact row set are property-pinned in
+    tests/test_bloom.py; here the whole bloom pipeline is value-hashed
+    against its DuckDB mirror."""
+    from posextract_spark.operators.bloom import decontaminate_bloom
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    return decontaminate_bloom(docs, ev, m_bits=63 * 2048, k=5)
+
+
 def q_training_corpus_pipeline(spark, sf_dir):
     """The END-TO-END curation chain a training run actually consumes, as
     ONE composed query: quality filter (keep=1) -> minhash near-dup
@@ -1717,6 +1732,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "quality_classifier_weights": q_quality_classifier_weights,
         "quality_classifier_scores": q_quality_classifier_scores,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -1778,6 +1794,7 @@ _CC_ORACLE_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from posextract_spark.operators import bloom as _bloom
     from posextract_spark.operators import classifier as _classifier
     from posextract_spark.operators import dedup as _dedup_mod
     from posextract_spark.operators.dedup import (
@@ -1911,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_duplicate_spans": _dedup_mod.strip_duplicate_spans_sql(window=4, sample=1),
         "quality_classifier_weights": _classifier.quality_classifier_weights_sql(),
         "quality_classifier_scores": _classifier.quality_classifier_scores_sql(),
+        "decontaminate_bloom": _bloom.bloom_decontaminate_sql(m_bits=63 * 2048, k=5),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "
