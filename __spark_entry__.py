@@ -1018,6 +1018,17 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, ev)
 
 
+def q_bpe_train_merges(spark, sf_dir):
+    """Full sequential BPE tokenizer TRAINING (operators/mldata.py
+    bpe_train): 8 merge iterations over the frequency-weighted distinct
+    word vocabulary; one corpus shuffle total (the localCheckpointed
+    word count), vocabulary-bounded per-iteration jobs, O(n_merges)
+    driver traffic. Oracle: the loop unrolled as CTE levels."""
+    from posextract_spark.operators.mldata import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-gated contamination count (operators/bloom.py): same query
     as q_decontaminate but membership goes through a 63-bit-word packed
@@ -1733,6 +1744,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_weights": q_quality_classifier_weights,
         "quality_classifier_scores": q_quality_classifier_scores,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "bpe_train_merges": q_bpe_train_merges,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -1929,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_weights": _classifier.quality_classifier_weights_sql(),
         "quality_classifier_scores": _classifier.quality_classifier_scores_sql(),
         "decontaminate_bloom": _bloom.bloom_decontaminate_sql(m_bits=63 * 2048, k=5),
+        "bpe_train_merges": "WITH " + _mldata.bpe_train_sql(n_merges=8),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

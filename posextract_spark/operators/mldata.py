@@ -712,3 +712,152 @@ def bpe_encode_token_counts_sql(
 SELECT token, CAST(sum(wn) AS BIGINT) AS n
 FROM (SELECT unnest(string_split({cleaned}, ' ')) AS token, wn FROM _be_wc)
 GROUP BY token {having}"""
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    lowercase: bool = True,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(rank, a, b, n) — TRAIN a BPE tokenizer: the full sequential merge
+    loop (Sennrich-style word-level BPE), closing the train half that
+    bpe_pair_counts (one iteration's counts) and bpe_encode_token_counts
+    (the apply step) bracket. rank t is the t-th merge chosen; (a, b) are
+    the symbols merged; n the pair's corpus frequency when chosen.
+
+    Each iteration: adjacent-SYMBOL pair counts over the current encoding
+    of the distinct-word vocabulary, weighted by word frequency; the
+    winner is the max-n pair with (a, b) lexicographic tie-break (binary
+    collation in both engines — deterministic, partition-independent);
+    the merge applies as one native left-to-right ``replace`` over the
+    wrapped symbol string (the \\x01sym\\x02 framing — see _bpe_wrap).
+
+    Scale shape: ONE corpus-sized shuffle total (the word count, which is
+    localCheckpointed — every iteration reads the materialized blocks,
+    never the corpus); each iteration is then a vocabulary-bounded job
+    (pair explode + alphabet^2 aggregate) plus a SINGLE collected row —
+    the loop ships O(n_merges) values to the driver, same contract as the
+    k-means centroid loop. The replace chain grows one native string op
+    per merge; ``checkpoint_every`` re-materializes the encoded vocab so
+    executed chain depth stays bounded for 10^4-merge production runs.
+
+    Early stop: if no pair remains (every word fused to one symbol), the
+    merge list is returned short — callers see rank < n_merges. The SQL
+    mirror (bpe_train_sql) unrolls fixed levels and assumes n_merges
+    productive iterations, which the contract corpus satisfies.
+    """
+    from posextract_spark.functions.boundary import materialize
+
+    spark = docs.sparkSession
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    wc = (
+        docs.select(F.explode(word_array(src)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wn"))
+    )
+    sym0 = F.concat(
+        F.lit(_BPE_L),
+        F.concat_ws(_BPE_R + _BPE_L, F.split(F.col("w"), "")),
+        F.lit(_BPE_R),
+    )
+    cur = wc.select("wn", sym0.alias("s")).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for t in range(n_merges):
+        g = materialize(cur, __bt_syms=F.split(
+            F.expr("substring(s, 2, length(s) - 2)"), _BPE_R + _BPE_L
+        ))
+        syms = F.col("__bt_syms")
+        # single-symbol words carry no pairs; they must be filtered BEFORE
+        # sequence() (sequence(1, 0) DESCENDS and fabricates indices)
+        pairs = g.filter(F.size(syms) >= 2).select(
+            "wn",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("a"),
+                        F.element_at(syms, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("wn").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
+        merges.append((t, a, b, n))
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(_bpe_wrap(a) + _bpe_wrap(b)), F.lit(_bpe_wrap(a + b))
+            ),
+        )
+        if (t + 1) % checkpoint_every == 0 and t + 1 < n_merges:
+            cur = cur.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, schema="rank int, a string, b string, n long"
+    )
+
+
+def bpe_train_sql(
+    n_merges: int = 8,
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of bpe_train(): the merge loop unrolled as CTE
+    levels — level t computes pair counts over the level-t encoding,
+    picks the winner (same n DESC, a, b ASC order), and the next level's
+    encoding CROSS JOINs the winner into the replace. Assumes every
+    level is productive (the contract corpus at sf0.01 is)."""
+    src = f"lower({text_col})" if lowercase else text_col
+    words = WORD_ARRAY_SQL.format(col=src)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    L, R, RL = q(_BPE_L), q(_BPE_R), q(_BPE_R + _BPE_L)
+    parts = [
+        f"""
+_bt_wc AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS wn,
+         {L} || array_to_string(string_split(w, ''), {RL}) || {R} AS s
+  FROM (SELECT unnest({words}) AS w FROM {docs_rel})
+  GROUP BY w)"""
+    ]
+    prev = "_bt_wc"
+    for t in range(n_merges):
+        parts.append(
+            f"""
+_bt_p{t} AS (
+  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+         CAST(sum(wn) AS BIGINT) AS n
+  FROM (SELECT wn,
+               string_split(substring(s, 2, length(s) - 2), {RL}) AS syms
+        FROM {prev}) t,
+       unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2),
+_bt_b{t} AS (SELECT a, b, n FROM _bt_p{t} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        if t + 1 < n_merges:
+            parts.append(
+                f"""
+_bt_w{t + 1} AS (
+  SELECT wn, replace(s, {L} || m.a || {R} || {L} || m.b || {R},
+                        {L} || m.a || m.b || {R}) AS s
+  FROM {prev} CROSS JOIN _bt_b{t} m)"""
+            )
+            prev = f"_bt_w{t + 1}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT {t} AS rank, a, b, n FROM _bt_b{t}" for t in range(n_merges)
+    )
+    return ",".join(parts) + "\n" + union

@@ -496,3 +496,112 @@ def test_bpe_encode_matches_reference_and_oracle(spark):
     )
     con.close()
     assert got == want
+
+
+# --- bpe_train ---------------------------------------------------------------
+
+def _brute_bpe_train(word_counts, n_merges):
+    """Reference sequential BPE trainer: max-count pair, (a, b) lexicographic
+    tie-break, leftmost-first non-overlapping merge application."""
+    from collections import Counter
+
+    enc = {w: list(w) for w in word_counts}
+    merges = []
+    for t in range(n_merges):
+        pc = Counter()
+        for w, syms in enc.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += word_counts[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((t, a, b, n))
+        for w, syms in enc.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            enc[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    from collections import Counter
+
+    import pandas as pd
+
+    from posextract_spark.operators.mldata import bpe_train
+
+    docs = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "newest lowest low wide wider new"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    wc = Counter(w for _, t in docs for w in t.split(" ") if w)
+    want = _brute_bpe_train(wc, 10)
+    got = [
+        (r["rank"], r["a"], r["b"], r["n"])
+        for r in bpe_train(spark.createDataFrame(pdf), n_merges=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    # later merges consume earlier merges' symbols
+    produced = {a + b for _, a, b, _ in got}
+    assert any(a in produced or b in produced for _, a, b, _ in got[1:])
+
+
+def test_bpe_train_early_stop_and_chained_merges(spark):
+    import pandas as pd
+
+    from posextract_spark.operators.mldata import bpe_train
+
+    # "abab" x3: merge 0 fuses (a,b) -> ab twice per word (leftmost scan),
+    # merge 1 fuses (ab,ab) -> abab; then NOTHING remains -> early stop
+    pdf = pd.DataFrame([(1, "abab abab abab")], columns=["doc_id", "text"])
+    got = [
+        (r["rank"], r["a"], r["b"], r["n"])
+        for r in bpe_train(spark.createDataFrame(pdf), n_merges=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(0, "a", "b", 6), (1, "ab", "ab", 3)]
+
+
+def test_bpe_train_duckdb_parity(spark):
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from posextract_spark.operators.mldata import bpe_train, bpe_train_sql
+
+    rng = random.Random(13)
+    vocab = ["alpha", "alphabet", "bet", "beta", "gamma", "gam", "ma", "aa"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 15))))
+        for i in range(80)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (
+        bpe_train(spark.createDataFrame(pdf), n_merges=8)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute("WITH " + bpe_train_sql(8))
+        .df()
+        .sort_values("rank")
+        .reset_index(drop=True)
+        .astype(got.dtypes.to_dict())
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    assert len(got) == 8
