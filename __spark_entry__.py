@@ -1029,6 +1029,26 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_bpe_trained_vocab(spark, sf_dir):
+    """Train->apply composition: corpus token frequencies after encoding
+    with the merges bpe_train just learned on the SAME corpus — the
+    artifact a tokenizer-coverage analysis reads. Spark side ships the
+    8 learned merges through the driver (O(1) model artifact, k-means
+    precedent); the oracle reuses the unrolled train chain's final
+    encoding directly."""
+    from posextract_spark.operators.mldata import (
+        bpe_encode_token_counts,
+        bpe_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    return bpe_encode_token_counts(docs, merges)
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-gated contamination count (operators/bloom.py): same query
     as q_decontaminate but membership goes through a 63-bit-word packed
@@ -1745,6 +1765,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": q_quality_classifier_scores,
         "decontaminate_bloom": q_decontaminate_bloom,
         "bpe_train_merges": q_bpe_train_merges,
+        "bpe_trained_vocab": q_bpe_trained_vocab,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -1942,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_scores": _classifier.quality_classifier_scores_sql(),
         "decontaminate_bloom": _bloom.bloom_decontaminate_sql(m_bits=63 * 2048, k=5),
         "bpe_train_merges": "WITH " + _mldata.bpe_train_sql(n_merges=8),
+        "bpe_trained_vocab": "WITH " + _mldata.bpe_trained_vocab_sql(n_merges=8),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

@@ -807,17 +807,17 @@ def bpe_train(
     )
 
 
-def bpe_train_sql(
-    n_merges: int = 8,
-    docs_rel: str = "documents",
-    text_col: str = "text",
-    lowercase: bool = True,
-) -> str:
-    """DuckDB mirror of bpe_train(): the merge loop unrolled as CTE
-    levels — level t computes pair counts over the level-t encoding,
-    picks the winner (same n DESC, a, b ASC order), and the next level's
-    encoding CROSS JOINs the winner into the replace. Assumes every
-    level is productive (the contract corpus at sf0.01 is)."""
+def _bpe_train_ctes(
+    n_merges: int,
+    docs_rel: str,
+    text_col: str,
+    lowercase: bool,
+    with_final_encoding: bool = False,
+) -> tuple[str, str]:
+    """(ctes, last_rel) — the unrolled merge-loop CTE chain shared by
+    bpe_train_sql and bpe_trained_vocab_sql. With ``with_final_encoding``
+    the chain also applies the LAST winner, so ``last_rel`` holds the
+    fully-encoded vocabulary."""
     src = f"lower({text_col})" if lowercase else text_col
     words = WORD_ARRAY_SQL.format(col=src)
 
@@ -848,7 +848,7 @@ _bt_p{t} AS (
   GROUP BY 1, 2),
 _bt_b{t} AS (SELECT a, b, n FROM _bt_p{t} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"""
         )
-        if t + 1 < n_merges:
+        if t + 1 < n_merges or with_final_encoding:
             parts.append(
                 f"""
 _bt_w{t + 1} AS (
@@ -857,7 +857,50 @@ _bt_w{t + 1} AS (
   FROM {prev} CROSS JOIN _bt_b{t} m)"""
             )
             prev = f"_bt_w{t + 1}"
+    return ",".join(parts), prev
+
+
+def bpe_train_sql(
+    n_merges: int = 8,
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of bpe_train(): the merge loop unrolled as CTE
+    levels — level t computes pair counts over the level-t encoding,
+    picks the winner (same n DESC, a, b ASC order), and the next level's
+    encoding CROSS JOINs the winner into the replace. Assumes every
+    level is productive (the contract corpus at sf0.01 is)."""
+    ctes, _ = _bpe_train_ctes(n_merges, docs_rel, text_col, lowercase)
     union = "\nUNION ALL\n".join(
         f"SELECT {t} AS rank, a, b, n FROM _bt_b{t}" for t in range(n_merges)
     )
-    return ",".join(parts) + "\n" + union
+    return ctes + "\n" + union
+
+
+def bpe_trained_vocab_sql(
+    n_merges: int = 8,
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> str:
+    """Mirror of the train->apply composition: corpus token frequencies
+    after encoding with the merges bpe_train just learned (the final
+    level's encoding IS the applied tokenizer — no separate replay)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ctes, last = _bpe_train_ctes(
+        n_merges, docs_rel, text_col, lowercase, with_final_encoding=True
+    )
+    spaced = f"replace(s, {q(_BPE_R + _BPE_L)}, ' ')"
+    cleaned = (
+        f"replace(replace({spaced}, {q(_BPE_L)}, ''), {q(_BPE_R)}, '')"
+    )
+    having = f"HAVING CAST(sum(wn) AS BIGINT) >= {min_count}" if min_count > 1 else ""
+    return f"""{ctes}
+SELECT token, CAST(sum(wn) AS BIGINT) AS n
+FROM (SELECT unnest(string_split({cleaned}, ' ')) AS token, wn FROM {last})
+GROUP BY token {having}"""

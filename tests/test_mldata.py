@@ -605,3 +605,53 @@ def test_bpe_train_duckdb_parity(spark):
     con.close()
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
     assert len(got) == 8
+
+
+def test_bpe_trained_vocab_composition_parity(spark):
+    """Train->apply composition: encoding with bpe_train's learned merges
+    must equal the oracle chain's final-level encoding (the trained
+    tokenizer applied to its own training corpus)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from posextract_spark.operators.mldata import (
+        bpe_encode_token_counts,
+        bpe_train,
+        bpe_trained_vocab_sql,
+    )
+
+    rng = random.Random(29)
+    vocab = ["lower", "low", "newer", "new", "er", "we", "wee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(70)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    merges = [
+        (r["a"], r["b"])
+        for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    got = (
+        bpe_encode_token_counts(docs, merges)
+        .toPandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute("WITH " + bpe_trained_vocab_sql(6))
+        .df()
+        .sort_values("token")
+        .reset_index(drop=True)
+        .astype(got.dtypes.to_dict())
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # the trained tokenizer compresses: fewer total tokens than characters
+    base = sum(len(w) for _, t in rows for w in t.split() if w)
+    assert (got["n"] * got["token"].str.len()).sum() == base  # lossless
+    assert got["n"].sum() < base  # and actually merged something
