@@ -1680,7 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
+        "quality_classifier_scores": q_quality_classifier_scores,
         "kg_truth_discovery": q_kg_truth_discovery,
         "kg_fact_history": q_kg_fact_history,
         "events_asof_view": q_events_asof_view,
@@ -1697,12 +1697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard_stats": q_ngram_jaccard_stats,
         "cosine_topk": q_cosine_topk,
-        "lsh_bucket": q_lsh_bucket,
+        "bpe_train_merges": q_bpe_train_merges,
         "ivf_assign": q_ivf_assign,
         "kg_fused_edges": q_kg_fused_edges,
         "embedding_neardup": q_embedding_neardup,
         "media_image_features": q_media_image_features,
-        "media_frame_sample": q_media_frame_sample,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "kg_edges": q_kg_edges,
         "kg_nodes": q_kg_nodes,
         "kg_degree_stats": q_kg_degree_stats,
@@ -1732,7 +1732,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     a hard local correctness signal every round. Rotation choices (r6):
     the two generic TPC-H-style demos (not SURVEY §2 operators), plus
     sample_fraction (P8 keeps sample_n + stratified_take rows) and
-    ivf_topk_kmeans (IVF keeps assign/topk/assign_kmeans rows). r6 late
+    ivf_topk_kmeans (IVF keeps assign/topk/assign_kmeans rows). r7-entry
+    rotation: quality_classifier_scores + bpe_train_merges +
+    decontaminate_bloom (the r6-session flagship additions) enter the
+    checked 50; fingerprint (textops keeps token_count / quality_score /
+    language_id rows), lsh_bucket (the LSH path stays driver-covered via
+    embedding_neardup's bucketed join), and media_frame_sample (media
+    keeps image_features) move here. r6 late
     rotations making room for the graph-analytics trio: sample_n (P8 keeps
     stratified_take), connected_components (the star variant — the scale
     path — keeps the CC row; both share _CC_ORACLE_SQL), media_resize
@@ -1741,6 +1747,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lm_familiarity earn driver-checked rows (their families keep
     image/frame_sample and assign rows in the 50)."""
     return {
+        "fingerprint": q_fingerprint,
+        "lsh_bucket": q_lsh_bucket,
+        "media_frame_sample": q_media_frame_sample,
         "sample_fraction": q_sample_fraction,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
         "events_by_type_day": q_events_by_type_day,
@@ -1762,9 +1771,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "quality_classifier_weights": q_quality_classifier_weights,
-        "quality_classifier_scores": q_quality_classifier_scores,
-        "decontaminate_bloom": q_decontaminate_bloom,
-        "bpe_train_merges": q_bpe_train_merges,
         "bpe_trained_vocab": q_bpe_trained_vocab,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,

@@ -228,6 +228,53 @@ def main() -> None:
         )
     )
 
+    from posextract_spark.operators.classifier import quality_classifier_scores
+
+    sections.append(
+        (
+            "quality_classifier_scores (bootstrapped NB classifier, r6-final)",
+            "Training half: one explode + vocab-keyed HashAggregate pair "
+            "(map-side partials) and a scalar totals BroadcastNestedLoopJoin "
+            "(1 row). Scoring half: the weight table enters via "
+            "BroadcastHashJoin — the scored corpus stream never shuffles "
+            "on token; the only data-sized Exchange is the doc-keyed "
+            "score aggregation.",
+            formatted(quality_classifier_scores(docs)),
+        )
+    )
+
+    from posextract_spark.operators.bloom import decontaminate_bloom
+
+    sections.append(
+        (
+            "decontaminate_bloom (fixed-size membership gate, r6-final)",
+            "Build: shingle explode -> word_idx-keyed bit_or HashAggregate "
+            "(shuffle bounded by m_bits/63 rows, NOT by eval size). Probe: "
+            "BroadcastHashJoin of the word rows onto the probed stream, "
+            "then per-(doc, shingle) and per-doc aggregations. No "
+            "SortMergeJoin anywhere.",
+            formatted(
+                decontaminate_bloom(
+                    docs, docs.filter(F.col("doc_id") % 29 == 0), m_bits=63 * 2048, k=5
+                )
+            ),
+        )
+    )
+
+    from posextract_spark.operators.dedup import strip_duplicate_spans
+
+    sections.append(
+        (
+            "strip_duplicate_spans (corpus-editing substring dedup, r6-final)",
+            "The window frame is persisted across its two consumers "
+            "(InMemoryTableScan below both the dup-hash aggregate and the "
+            "join-back); duplicate starts return per doc as ONE sorted "
+            "array and the rebuild is a scan-side indexed filter over the "
+            "materialized word array — no per-token shuffle.",
+            formatted(strip_duplicate_spans(docs)),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/dump_plans.py at sf0.001)\n"]
     for title, claim, plan in sections:
         out.append(f"## {title}\n\n{claim}\n\n```\n{plan}\n```\n")
