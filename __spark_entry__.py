@@ -1029,6 +1029,33 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_hash_embeddings(spark, sf_dir):
+    """Feature-hash (SRP) document embeddings straight from text — the
+    model-free text->vector bridge that lets the ANN family run on a raw
+    corpus (operators/similarity.py hash_embed). Pure scan-side integer
+    projection: one portable hash per token, literal bit masks, no
+    shuffle, no UDF. Contract shape: the embedding is exploded to
+    (doc_id, j, component) scalar rows — the gate/driver hashers
+    stringify scalars, not arrays (minhash_signatures precedent)."""
+    from pyspark.sql import functions as FF
+
+    from posextract_spark.operators.similarity import hash_embed
+
+    e = hash_embed(_docs(spark, sf_dir), dim=32)
+    return e.select(
+        "doc_id", FF.posexplode("embedding").alias("j", "component")
+    )
+
+
+def q_hash_embed_topk(spark, sf_dir):
+    """End-to-end text ANN: hash_embed the corpus, cosine top-25 against
+    document 0's embedding (O(dim) collected literal; shared persisted
+    embedding scan; TakeOrderedAndProject)."""
+    from posextract_spark.operators.similarity import hash_embed_topk
+
+    return hash_embed_topk(_docs(spark, sf_dir), query_id=0, k=25, dim=32)
+
+
 def q_bpe_trained_vocab(spark, sf_dir):
     """Train->apply composition: corpus token frequencies after encoding
     with the merges bpe_train just learned on the SAME corpus — the
@@ -1772,6 +1799,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "quality_classifier_weights": q_quality_classifier_weights,
         "bpe_trained_vocab": q_bpe_trained_vocab,
+        "hash_embeddings": q_hash_embeddings,
+        "hash_embed_topk": q_hash_embed_topk,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -1970,6 +1999,11 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": _bloom.bloom_decontaminate_sql(m_bits=63 * 2048, k=5),
         "bpe_train_merges": "WITH " + _mldata.bpe_train_sql(n_merges=8),
         "bpe_trained_vocab": "WITH " + _mldata.bpe_trained_vocab_sql(n_merges=8),
+        "hash_embeddings": "WITH "
+        + _sim._hash_embed_ctes(32, "documents", "text", "doc_id", True)
+        + "\nSELECT doc_id, CAST(j - 1 AS INT) AS j, embedding[j] AS component"
+        + "\nFROM _he_e, unnest(generate_series(1, len(embedding))) AS g(j)",
+        "hash_embed_topk": _sim.hash_embed_topk_sql(query_id=0, k=25, dim=32),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

@@ -4,13 +4,15 @@ table" gate) when even the DISTINCT key set of the filter side is too
 large to ship raw but a few bits per key are fine.
 
 Representation: the filter is a DataFrame of (word_idx BIGINT,
-bits BIGINT) rows — a sparse packed bitset. Bits live at positions
-0..62 of each word (63-bit words: DuckDB's ``<<`` range-checks and
-``1 << 63`` overflows a signed BIGINT, so bit 63 is never used; every
-mask stays positive in both engines). Membership hashing is the
-portable md5-based hash64 (functions/hashing.py) with k per-hash salt
-prefixes, so build and probe are deterministic, retry-safe, and
-bit-identical between Spark and the DuckDB mirror.
+bits BIGINT) rows — a sparse packed bitset of 63-bit REGISTER BLOCKS
+(the Impala/Parquet split-block design: a value's k bits all live in
+one block, so membership is one lookup + one mask compare). Bits live
+at positions 0..62 (DuckDB's ``<<`` range-checks and ``1 << 63``
+overflows a signed BIGINT, so bit 63 is never used; every mask stays
+positive in both engines). Block and in-block positions derive from ONE
+portable md5 hash (functions/hashing.py), so build and probe are
+deterministic, retry-safe, and bit-identical between Spark and the
+DuckDB mirror.
 
 Semantics: the standard Bloom guarantee — NO false negatives (every
 inserted value probes true), false positives at a rate set by
@@ -18,16 +20,20 @@ inserted value probes true), false positives at a rate set by
 a false positive quarantines a clean document (cheap), a false negative
 would leak eval data into training (catastrophic).
 
-Scale shape (100 TB): build is one scan of the filter side -> k
-positions per value (scan-side array explode) -> ONE word_idx-keyed
-groupBy with bit_or (map-side partials collapse each partition to at
-most m_bits/63 rows, so the shuffle is bounded by the FILTER SIZE, not
-the data). The built filter is m_bits/8 bytes regardless of item count
-(1 GiB handles ~8.6e8 items at 1% fpp) — broadcast it and the probe is
-scan-side: k positions per value, one broadcast hash join against the
-word rows, groupBy-back on the probed key. Compare decontaminate's
-exact path, whose broadcast grows with the eval set's DISTINCT shingle
-count; the bloom's size is chosen, not inherited.
+Scale shape (100 TB): build is one scan of the filter side -> one
+scan-side (block, mask) projection -> ONE block-keyed groupBy with
+bit_or (map-side partials collapse each partition to at most m_bits/63
+rows, so the shuffle is bounded by the FILTER SIZE, not the data). The
+built filter is m_bits/8 bytes regardless of item count — broadcast it
+and the probe is a row-preserving scan: one hash, one broadcast hash
+join on the block, one mask compare; no explode, no Exchange. Compare
+decontaminate's exact path, whose broadcast grows with the eval set's
+DISTINCT shingle count; the bloom's size is chosen, not inherited.
+Measured honestly at sf1 (2M docs, 2.7M-shingle eval set): the exact
+broadcast join wins while the eval set FITS a broadcast (89s vs ~150s
+— the bloom pays one md5 per probed shingle, the exact join hashes
+JVM-side); the bloom's regime is eval sets beyond broadcast reach,
+where exact degrades to a full shuffle join of the train shingles.
 
 Spark has a builtin BloomFilterAggregate (DataFrame.stat.bloomFilter /
 the bloom_filter_agg expression) — not used here because (a) it
@@ -67,36 +73,71 @@ def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(value: Column, m_bits: int, k: int) -> Column:
-    """Array of the k bit positions for a value (distinct salt per hash)."""
-    return F.array(
-        *[
-            F.pmod(portable_hash64(F.concat(F.lit(f"bf{i}#"), value)), F.lit(m_bits))
-            for i in range(k)
-        ]
+def _with_block_mask(df: DataFrame, value_col: str, m_bits: int, k: int) -> DataFrame:
+    """df + (__bf_block, __bf_mask) columns — REGISTER-BLOCKED bloom
+    hashing (the Impala/Parquet split-block design): all k bits of a
+    value live in ONE 63-bit word, so the probe is a single broadcast
+    join + one mask compare instead of k joins (or a k-fold explode +
+    shuffle back).
+
+    Derivation from ONE portable md5 hash (60 uniform bits):
+      block = (h % 2^30) % n_blocks          (n_blocks = m_bits / 63)
+      p_i   = ((h div 2^30) div 64^i) % 64 % 63          (i < k <= 5)
+      mask  = OR over i of (1 << p_i)
+    Non-negative BIGINT arithmetic only (division/modulo by literal
+    powers of two, no variable shifts) — bit-identical in DuckDB. The
+    hash is materialized once behind a Generate boundary (it is
+    referenced by block AND every bit slice; without the boundary
+    Catalyst pastes the md5 per use site).
+
+    Perf history (sf1, 2M docs, 100M probed shingles, measured): k-salt
+    md5 scheme + explode/groupBy probe: 296s; Kirsch-Mitzenmacher
+    double hash + k narrow broadcast joins: 335s (the per-join stream
+    passes, not the hashing, dominate); this blocked layout: one hash,
+    one join, one compare. Cost: blocked filters need ~1.2-1.5x the
+    bits of a classic bloom for the same fpp (block-load variance);
+    size m_bits accordingly."""
+    from posextract_spark.functions.boundary import materialize
+
+    if not 1 <= k <= 5:
+        raise ValueError("bloom: k must be in [1, 5] (5 x 6-bit in-block slots)")
+    if m_bits % WORD_BITS != 0:
+        raise ValueError(f"bloom: m_bits must be a multiple of {WORD_BITS}")
+    n_blocks = m_bits // WORD_BITS
+    g = materialize(
+        df, __bf_h=portable_hash64(F.concat(F.lit("bf#"), F.col(value_col)))
     )
+    bits = []
+    for i in range(k):
+        # pyspark's F.shiftleft only takes a literal shift amount, so the
+        # variable-amount shift goes through expr()
+        bits.append(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(((__bf_h div {1 << 30}) div {64 ** i}) % 64 % {WORD_BITS} AS INT))"
+            )
+        )
+    mask = bits[0]
+    for b in bits[1:]:
+        mask = mask.bitwiseOR(b)
+    return g.withColumn(
+        "__bf_block", F.expr(f"(__bf_h % {1 << 30}) % {n_blocks}")
+    ).withColumn("__bf_mask", mask)
 
 
 def bloom_build(
     df: DataFrame, value_col: str = "value", m_bits: int = 63 * 1024, k: int = 5
 ) -> DataFrame:
-    """(word_idx, bits) — build the filter from a column of values.
-    Duplicate values cost nothing extra (bit_or is idempotent); absent
-    words mean all-zero (the probe coalesces)."""
-    if m_bits % WORD_BITS != 0:
-        raise ValueError(f"bloom_build: m_bits must be a multiple of {WORD_BITS}")
-    pos = df.select(
-        F.explode(_positions(F.col(value_col), m_bits, k)).alias("h")
-    )
+    """(word_idx, bits) — build the filter from a column of values: one
+    scan-side (block, mask) projection + ONE block-keyed bit_or groupBy
+    (map-side partials collapse each partition to <= m_bits/63 rows, so
+    the shuffle is bounded by the FILTER size, not the data). Duplicate
+    values cost nothing extra (bit_or is idempotent); absent words mean
+    all-zero (the probe coalesces)."""
+    g = _with_block_mask(df, value_col, m_bits, k)
     return (
-        pos.select(
-            F.expr(f"h div {WORD_BITS}").alias("word_idx"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(h % {WORD_BITS} AS INT))").alias(
-                "_mask"
-            ),
-        )
-        .groupBy("word_idx")
-        .agg(F.expr("bit_or(_mask)").alias("bits"))
+        g.groupBy(F.col("__bf_block").alias("word_idx"))
+        .agg(F.expr("bit_or(__bf_mask)").alias("bits"))
     )
 
 
@@ -108,31 +149,22 @@ def bloom_probe(
     k: int = 5,
     id_cols: tuple = (),
 ) -> DataFrame:
-    """(*id_cols, value_col, in_bloom) — probe every row's value; a value
-    is in_bloom=1 iff ALL k bits are set. One broadcast hash join of the
-    exploded probe positions against the word rows, then a groupBy back
-    on the probed row (hit count == k). No driver collect: the filter
-    stays a DataFrame end to end."""
-    cols = [*id_cols, value_col]
-    pos = df.select(
-        *cols, F.posexplode(_positions(F.col(value_col), m_bits, k)).alias("_i", "h")
-    ).select(
-        *cols,
-        "_i",
-        F.expr(f"h div {WORD_BITS}").alias("word_idx"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(h % {WORD_BITS} AS INT))").alias(
-            "_mask"
-        ),
+    """(*df.columns, in_bloom) — annotate every row: in_bloom=1 iff all k
+    of the value's bits are set in its block. Row-preserving projection:
+    one scan-side (block, mask) computation + ONE broadcast hash join on
+    the block + one mask compare. No explode, no Exchange, no driver
+    collect — the probed stream flows through untouched (see
+    _with_block_mask's measured history of the rejected shapes)."""
+    cols = list(df.columns)
+    g = _with_block_mask(df, value_col, m_bits, k)
+    side = F.broadcast(
+        bloom.select(F.col("word_idx").alias("__bf_block"), F.col("bits").alias("__bf_bits"))
     )
     hit = (
-        F.col("_mask").bitwiseAND(F.coalesce(F.col("bits"), F.lit(0))) == F.col("_mask")
+        F.col("__bf_mask").bitwiseAND(F.coalesce(F.col("__bf_bits"), F.lit(0)))
+        == F.col("__bf_mask")
     ).cast("int")
-    return (
-        pos.join(F.broadcast(bloom), "word_idx", "left")
-        .select(*cols, hit.alias("_hit"))
-        .groupBy(*cols)
-        .agg((F.sum("_hit") == F.lit(k)).cast("int").alias("in_bloom"))
-    )
+    return g.join(side, "__bf_block", "left").select(*cols, hit.alias("in_bloom"))
 
 
 def decontaminate_bloom(
@@ -187,21 +219,17 @@ def decontaminate_bloom(
 # --- DuckDB mirrors ----------------------------------------------------------
 
 
-def _positions_sql(value_expr: str, m_bits: int, k: int) -> str:
-    """DuckDB list of the k positions (same salts, same hash)."""
-    items = ", ".join(
-        portable_hash64_sql(f"('bf{i}#' || {value_expr})") + f" % {m_bits}"
-        for i in range(k)
-    )
-    return f"[{items}]"
-
-
 def bloom_decontaminate_sql(m_bits: int = 63 * 1024, k: int = 5) -> str:
     """Mirror of decontaminate_bloom over the contract corpus (eval suite
     = doc_id % 29 = 0, train side = ALL docs — both exactly as
     DECONTAMINATE_SQL, so the bloom row set is a per-doc superset of the
     exact query's)."""
-    pos = _positions_sql("shingle", m_bits, k)
+    n_blocks = m_bits // WORD_BITS
+    h = portable_hash64_sql("('bf#' || shingle)")
+    mask = " | ".join(
+        f"(1::BIGINT << CAST(((hh // {1 << 30}) // {64 ** i}) % 64 % {WORD_BITS} AS INT))"
+        for i in range(k)
+    )
     return f"""
 WITH words AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
@@ -215,25 +243,20 @@ sh AS (
       ELSE [] END)) AS shingle
   FROM words
 ),
-epos AS (
-  SELECT unnest({pos}) AS h FROM sh WHERE doc_id % 29 = 0
+hm AS (
+  SELECT doc_id, shingle, hh,
+         (hh % {1 << 30}) % {n_blocks} AS block,
+         {mask} AS mask
+  FROM (SELECT doc_id, shingle, {h} AS hh FROM sh)
 ),
 bloom AS (
-  SELECT h // {WORD_BITS} AS word_idx,
-         bit_or(1::BIGINT << CAST(h % {WORD_BITS} AS INT)) AS bits
-  FROM epos GROUP BY h // {WORD_BITS}
-),
-tpos AS (
-  SELECT doc_id, shingle, unnest({pos}) AS h FROM sh
+  SELECT block AS word_idx, bit_or(mask) AS bits
+  FROM hm WHERE doc_id % 29 = 0 GROUP BY block
 ),
 hits AS (
-  SELECT t.doc_id, t.shingle,
-         CAST(count(*) FILTER (WHERE
-           (1::BIGINT << CAST(t.h % {WORD_BITS} AS INT)) & coalesce(b.bits, 0)
-             = (1::BIGINT << CAST(t.h % {WORD_BITS} AS INT))
-         ) = {k} AS INT) AS in_bloom
-  FROM tpos t LEFT JOIN bloom b ON t.h // {WORD_BITS} = b.word_idx
-  GROUP BY t.doc_id, t.shingle
+  SELECT t.doc_id,
+         CAST((t.mask & coalesce(b.bits, 0)) = t.mask AS INT) AS in_bloom
+  FROM hm t LEFT JOIN bloom b ON t.block = b.word_idx
 )
 SELECT doc_id, count(*) AS n_contaminated
 FROM hits WHERE in_bloom = 1

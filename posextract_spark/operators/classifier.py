@@ -119,30 +119,33 @@ def nb_score_documents(
         docs.select(F.col(id_col).alias("id"), txt.alias("_nb_t")),
         __nb_ws=word_array(F.col("_nb_t")),
     )
-    occ = g.select("id", F.explode("__nb_ws").alias("token"))
+    # explode_OUTER: an empty document keeps one NULL-token row, so every
+    # doc survives the groupBy and no doc-list join-back is needed (the
+    # first formulation's left join-back was the plan's only
+    # SortMergeJoin — a second corpus scan + a doc-keyed shuffle for
+    # nothing but the empty docs)
+    occ = g.select("id", F.explode_outer("__nb_ws").alias("token"))
     default_w = F.expr(
         "CAST((CAST(1000000 AS DECIMAL(38,0)) * (t_neg + vocab)) div "
         "(CAST(t_neg AS DECIMAL(38,0)) + t_pos + vocab + vocab) AS BIGINT)"
     )
-    per_doc = (
+    contrib = F.when(
+        F.col("token").isNotNull(),
+        F.coalesce(F.col("weight_e6"), default_w) - F.lit(NEUTRAL_E6),
+    ).otherwise(F.lit(0))
+    return (
         occ.join(F.broadcast(weights.select("token", "weight_e6")), "token", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(
-                F.coalesce(F.col("weight_e6"), default_w) - F.lit(NEUTRAL_E6)
-            ).cast("long").alias("score_e6"),
+            F.count(F.col("token")).cast("long").alias("n_tokens"),
+            F.sum(contrib).cast("long").alias("score_e6"),
         )
-    )
-    return (
-        g.select("id")
-        .join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce("score_e6", F.lit(0)).cast("long").alias("score_e6"),
-            (F.coalesce("score_e6", F.lit(0)) >= 0).cast("int").alias("pred_keep"),
+            "n_tokens",
+            "score_e6",
+            (F.col("score_e6") >= 0).cast("int").alias("pred_keep"),
         )
     )
 

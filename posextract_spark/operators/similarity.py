@@ -875,3 +875,161 @@ SELECT v.vec_id AS id, CAST({total} AS BIGINT) AS adc_e6
 FROM _pqv v {joins}
 ORDER BY adc_e6 DESC, id ASC LIMIT {k}"""
     )
+
+
+# --- feature-hash document embeddings ----------------------------------------
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, n_tokens, embedding array<bigint> length ``dim``) — sign-
+    random-projection document embeddings from TEXT, with no model:
+    emb[j] = sum over token occurrences of (+1 if bit j of the token's
+    portable hash is set else -1). This is classic feature hashing /
+    SRP: cosine between two embeddings estimates the angular similarity
+    of the documents' bag-of-words vectors, which makes the ANN family
+    (cosine_topk / LSH / IVF / PQ) runnable straight off a text corpus —
+    previously those operators required a pre-supplied embedding column.
+
+    Exactness: ONE portable hash per token occurrence (materialized
+    behind a Generate boundary; bit j tested with a literal power-of-two
+    mask, never a variable shift), integer accumulation — bit-identical
+    in the DuckDB mirror, partition-order independent. ``dim`` <= 60
+    (the portable hash carries 60 bits). Empty documents embed as the
+    zero vector (n_tokens = 0).
+
+    Scale shape: pure scan-side projection — no shuffle, no UDF; per-doc
+    cost O(tokens * dim) integer ops over the materialized hash array.
+    """
+    if not 1 <= dim <= 60:
+        raise ValueError("hash_embed: dim must be in [1, 60]")
+    from posextract_spark.functions.boundary import materialize
+    from posextract_spark.functions.hashing import portable_hash64, word_array
+
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    g = materialize(
+        docs.select(F.col(id_col), src.alias("_he_t")),
+        __he_ws=word_array(F.col("_he_t")),
+    )
+    g = materialize(
+        g, __he_hs=F.transform(F.col("__he_ws"), lambda w: portable_hash64(w))
+    )
+    hs = F.col("__he_hs")
+    def _component(j: int):
+        # closure (NOT a default arg: pyspark builds one lambda variable
+        # per positional parameter, so a default would become a third
+        # lambda var instead of the captured constant)
+        mask = F.lit(1 << j)
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    emb = F.array(*[_component(j) for j in range(dim)])
+    return g.select(
+        F.col(id_col),
+        F.size(hs).cast("long").alias("n_tokens"),
+        emb.alias("embedding"),
+    )
+
+
+def _hash_embed_ctes(
+    dim: int,
+    docs_rel: str,
+    text_col: str,
+    id_col: str,
+    lowercase: bool,
+) -> str:
+    """CTE chain (no WITH keyword) to _he_e(id, n_tokens, embedding)."""
+    from posextract_spark.functions.hashing import WORD_ARRAY_SQL, portable_hash64_sql
+
+    src = f"lower({text_col})" if lowercase else text_col
+    words = WORD_ARRAY_SQL.format(col=src)
+    h = portable_hash64_sql("w")
+    comps = ", ".join(
+        f"CAST(coalesce(list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END)), 0) AS BIGINT)"
+        for j in range(dim)
+    )
+    return f"""
+_he_h AS (
+  SELECT {id_col}, list_transform({words}, w -> {h}) AS hs FROM {docs_rel}),
+_he_e AS MATERIALIZED (
+  SELECT {id_col}, CAST(len(hs) AS BIGINT) AS n_tokens, [{comps}] AS embedding
+  FROM _he_h)"""
+
+
+def hash_embed_sql(
+    dim: int = 32,
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of hash_embed() (same per-token hash, same literal
+    bit masks, coalesced zero for empty docs)."""
+    ctes = _hash_embed_ctes(dim, docs_rel, text_col, id_col, lowercase)
+    return f"{ctes}\nSELECT {id_col}, n_tokens, embedding FROM _he_e"
+
+
+def hash_embed_topk(
+    docs: DataFrame,
+    query_id: int = 0,
+    k: int = 25,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sim_e6) — end-to-end text ANN: hash_embed the corpus, then
+    brute-force cosine top-k against the embedding of document
+    ``query_id`` (collected as an O(dim) literal — model-artifact-sized
+    driver traffic, same contract as the k-means centroids). The scan is
+    shared: one embedding pass feeds both the query lookup and the
+    ranking (TakeOrderedAndProject, never a full sort)."""
+    emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col).persist()
+    try:
+        q = emb.filter(F.col(id_col) == query_id).select("embedding").collect()
+        if not q:
+            raise ValueError(f"hash_embed_topk: query id {query_id} not found")
+        qv = [float(x) for x in q[0]["embedding"]]
+        return cosine_topk(emb, qv, k=k, id_col=id_col, vec_col="embedding")
+    finally:
+        emb.unpersist()
+
+
+def hash_embed_topk_sql(
+    query_id: int = 0,
+    k: int = 25,
+    dim: int = 32,
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror of hash_embed_topk: embeddings CTE + the cosine_topk formula
+    (identical float evaluation order: sequential left-fold dot product,
+    sqrt norms, zero-norm -> -2.0)."""
+    ctes = _hash_embed_ctes(dim, docs_rel, text_col, id_col, lowercase=True)
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> e.embedding[i]::DOUBLE * q.qv[i]), 'sum')"
+    )
+    na = (
+        "sqrt(list_aggregate(list_transform(e.embedding, "
+        "x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    )
+    nb = "sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))"
+    return f"""WITH {ctes},
+_he_q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+          FROM _he_e WHERE {id_col} = {query_id})
+SELECT e.{id_col},
+       CAST(floor((CASE WHEN ({na} * {nb}) = 0 THEN -2.0
+                        ELSE {dot} / ({na} * {nb}) END) * 1000000.0) AS BIGINT)
+         AS sim_e6
+FROM _he_e e CROSS JOIN _he_q q
+ORDER BY sim_e6 DESC, e.{id_col} ASC LIMIT {k}"""

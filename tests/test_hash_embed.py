@@ -1,0 +1,95 @@
+"""Feature-hash document embeddings (operators/similarity.py hash_embed):
+SRP semantics (similar bags -> similar vectors), exact integer contract,
+empty-doc zero vector, end-to-end text ANN, and DuckDB-mirror parity."""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from posextract_spark.operators.similarity import (
+    hash_embed,
+    hash_embed_sql,
+    hash_embed_topk,
+    hash_embed_topk_sql,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), "doc_id long, text string"
+    )
+
+
+def test_embedding_shape_and_determinism(spark):
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, ""), (4, "zz")]
+    out = {r["doc_id"]: r.asDict() for r in hash_embed(_docs(spark, rows), dim=16).collect()}
+    # identical text -> identical embedding (content-deterministic)
+    assert out[1]["embedding"] == out[2]["embedding"]
+    assert out[1]["n_tokens"] == 3
+    # empty doc -> zero vector
+    assert out[3]["embedding"] == [0] * 16 and out[3]["n_tokens"] == 0
+    # single token -> every component is exactly +-1
+    assert all(abs(v) == 1 for v in out[4]["embedding"])
+    # parity bound: |emb[j]| <= n_tokens and emb[j] == n_tokens (mod 2)
+    for d in (1, 2):
+        for v in out[d]["embedding"]:
+            assert abs(v) <= 3 and (v - 3) % 2 == 0
+
+
+def test_similar_bags_embed_closer(spark):
+    """The SRP property the embedding exists for: overlapping bags land
+    closer in cosine than disjoint ones."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(27)) + " x1 x2 x3"
+    far = " ".join(f"zzz{i}" for i in range(30))
+    rows = [(0, base), (1, near), (2, far)]
+    top = hash_embed_topk(_docs(spark, rows), query_id=0, k=3, dim=32).collect()
+    order = [r["doc_id"] for r in top]
+    assert order == [0, 1, 2]  # self, near-duplicate, unrelated
+    sims = {r["doc_id"]: r["sim_e6"] for r in top}
+    assert sims[0] == 1000000  # self-similarity exactly 1
+    assert sims[1] > 700000 > sims[2]
+
+
+def test_dim_validation(spark):
+    with pytest.raises(ValueError):
+        hash_embed(_docs(spark, [(1, "a")]), dim=61)
+    with pytest.raises(ValueError):
+        hash_embed(_docs(spark, [(1, "a")]), dim=0)
+    with pytest.raises(ValueError):
+        hash_embed_topk(_docs(spark, [(1, "a")]), query_id=99)
+
+
+def test_duckdb_parity(spark):
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(100)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = _docs(spark, rows)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = (
+        hash_embed(docs, dim=24).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        con.execute("WITH " + hash_embed_sql(dim=24))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    assert [list(e) for e in got["embedding"]] == [list(e) for e in want["embedding"]]
+    gt = (
+        hash_embed_topk(docs, query_id=0, k=15, dim=24)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    wt = con.execute(hash_embed_topk_sql(query_id=0, k=15, dim=24)).df().reset_index(drop=True)
+    con.close()
+    assert gt["doc_id"].tolist() == wt["doc_id"].tolist()
+    assert gt["sim_e6"].tolist() == wt["sim_e6"].tolist()

@@ -247,11 +247,12 @@ def main() -> None:
 
     sections.append(
         (
-            "decontaminate_bloom (fixed-size membership gate, r6-final)",
-            "Build: shingle explode -> word_idx-keyed bit_or HashAggregate "
-            "(shuffle bounded by m_bits/63 rows, NOT by eval size). Probe: "
-            "BroadcastHashJoin of the word rows onto the probed stream, "
-            "then per-(doc, shingle) and per-doc aggregations. No "
+            "decontaminate_bloom (register-blocked membership gate, r6-final)",
+            "Build: scan-side (block, mask) projection -> block-keyed "
+            "bit_or HashAggregate (shuffle bounded by m_bits/63 rows, NOT "
+            "by eval size). Probe: ONE BroadcastHashJoin of the block rows "
+            "onto the probed stream + one mask compare (row-preserving; "
+            "no explode, no Exchange), then the per-doc count. No "
             "SortMergeJoin anywhere.",
             formatted(
                 decontaminate_bloom(
