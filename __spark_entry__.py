@@ -1029,6 +1029,32 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_kg_shortest_paths(spark, sf_dir):
+    """Weighted cheapest-evidence-chain distances from the 's%' seed
+    entities over the triple graph (delta-frontier Bellman-Ford,
+    operators/graph_analytics.shortest_paths). Edge cost = 1000000 div
+    co-occurrence count + 1, so strongly-evidenced links are cheap —
+    integer, positive, oracle-exact. Oracle = unrolled full-relaxation
+    levels (same fixpoint: min is idempotent)."""
+    from posextract_spark.operators.graph_analytics import shortest_paths
+
+    edges = (
+        _kg_edge_list(spark, sf_dir)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "src", "dst", (F.expr("1000000 div _n") + F.lit(1)).alias("weight")
+        )
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node").startswith("s"))
+        .distinct()
+    )
+    return shortest_paths(edges, seeds, max_iters=4)
+
+
 def q_hash_embeddings(spark, sf_dir):
     """Feature-hash (SRP) document embeddings straight from text — the
     model-free text->vector bridge that lets the ANN family run on a raw
@@ -1801,6 +1827,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_trained_vocab": q_bpe_trained_vocab,
         "hash_embeddings": q_hash_embeddings,
         "hash_embed_topk": q_hash_embed_topk,
+        "kg_shortest_paths": q_kg_shortest_paths,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -2034,6 +2061,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.label_propagation_sql("kg_e", n_iters=4),
+        "kg_shortest_paths": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + ", kg_we AS (SELECT src, dst, 1000000 // count(*) + 1 AS weight "
+        "FROM kg_e GROUP BY src, dst)"
+        + _ga.shortest_paths_sql(
+            "kg_we",
+            "SELECT src AS node FROM kg_we WHERE src LIKE 's%' "
+            "UNION SELECT dst FROM kg_we WHERE dst LIKE 's%'",
+            max_iters=4,
+        ),
         "kg_khop": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.khop_sql(

@@ -1484,3 +1484,104 @@ JOIN _rw_all r ON r.start = l.start AND r.walk = l.walk
 WHERE abs(r.step - l.step) > 0 AND abs(r.step - l.step) <= {window}
 GROUP BY l.node, r.node
 HAVING count(*) >= {min_count}"""
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iters: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted single-source-set shortest paths, delta-frontier
+    Bellman-Ford: (node, dist BIGINT) where dist is the minimum total
+    edge weight from any seed reachable within ``max_iters`` edges
+    (seeds at 0; unreachable nodes absent). DIRECTED edges; weights must
+    be non-negative integers (the repo-wide exactness contract — float
+    costs would make the min order-dependent only in ties, but integer
+    sums keep the oracle hash exact).
+
+    The weighted generalization of khop_nodes (hop = weight 1): the
+    "cheapest evidence chain from trusted entities" query over a KG
+    whose edge costs encode co-occurrence strength.
+
+    Scale shape per round: the FRONTIER (only nodes whose dist improved
+    last round, not the whole visited set) joins the edge table once;
+    candidate dists min-combine per node (map-side partials); one
+    left join against the current dists keeps genuine improvements.
+    localCheckpoint per round bounds lineage like the CC/khop loops;
+    early-exits when no dist improves. Rounds <= max_iters, each one
+    shuffle on dst + one on node. Bellman-Ford relaxation count is
+    bounded by the longest useful path, not graph size.
+    """
+    e = edges.select(
+        F.col(src).alias("_sp_s"),
+        F.col(dst).alias("_sp_d"),
+        F.col(weight).cast("long").alias("_sp_w"),
+    ).localCheckpoint(eager=True)
+    seed_col = seeds.columns[0]
+    dists = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dists
+    for _ in range(max_iters):
+        cand = (
+            e.join(frontier, e["_sp_s"] == frontier["node"])
+            .select(F.col("_sp_d").alias("node"), (F.col("dist") + F.col("_sp_w")).alias("_cd"))
+            .groupBy("node")
+            .agg(F.min("_cd").alias("_cd"))
+        )
+        improved = (
+            cand.join(dists, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("_cd") < F.col("dist")))
+            .select("node", F.col("_cd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if not improved.head(1):
+            break
+        dists = (
+            dists.join(improved.select("node"), "node", "anti")
+            .unionAll(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dists
+
+
+def shortest_paths_sql(
+    edges_rel: str,
+    seeds_sql: str,
+    max_iters: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> str:
+    """SQL suffix mirroring shortest_paths(): ``max_iters`` unrolled
+    relaxation levels, each one level-t dist table = min-combine of
+    level-(t-1) dists with all one-edge extensions of them. Unrolling
+    relaxes from ALL current dists each level (not the delta frontier) —
+    same fixpoint, simpler SQL; exact because min is idempotent."""
+    parts = [
+        f"""
+, _spe AS MATERIALIZED (
+  SELECT {src} AS s, {dst} AS d, CAST({weight} AS BIGINT) AS w FROM {edges_rel}),
+_spd0 AS MATERIALIZED (
+  SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))"""
+    ]
+    for t in range(1, max_iters + 1):
+        parts.append(
+            f"""
+, _spd{t} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM _spd{t - 1}
+    UNION ALL
+    SELECT e.d AS node, p.dist + e.w AS dist
+    FROM _spd{t - 1} p JOIN _spe e ON e.s = p.node
+  ) GROUP BY node)"""
+        )
+    parts.append(f"\nSELECT node, dist FROM _spd{max_iters}")
+    return "".join(parts)

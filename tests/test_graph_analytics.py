@@ -1053,3 +1053,91 @@ def test_node_features_assembly_parity(spark):
         assert r["n_triangles"] == tri.get(n, 0)
         assert r["rank_e12"] == pr.get(n, 0)
     _assert_frame_match(nf, _duck(pdf, ga.node_features_sql("edges_base")))
+
+
+# --- shortest_paths (weighted delta-frontier Bellman-Ford) -------------------
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src", "dst", "weight"]),
+        "src string, dst string, weight long",
+    )
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame(pd.DataFrame({"node": nodes}), "node string")
+
+
+def test_shortest_paths_picks_cheaper_indirect_route(spark):
+    # a->c direct costs 10; a->b->c costs 3; directed (no back-edges)
+    rows = [("a", "c", 10), ("a", "b", 1), ("b", "c", 2), ("c", "d", 5)]
+    got = {
+        r["node"]: r["dist"]
+        for r in ga.shortest_paths(_wedges(spark, rows), _seeds(spark, ["a"]), max_iters=6).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 3, "d": 8}
+
+
+def test_shortest_paths_respects_direction_and_multi_seed(spark):
+    rows = [("a", "b", 4), ("c", "b", 1), ("b", "z", 1)]
+    got = {
+        r["node"]: r["dist"]
+        for r in ga.shortest_paths(_wedges(spark, rows), _seeds(spark, ["a", "c"]), max_iters=4).collect()
+    }
+    # b reachable from both seeds: min(4, 1) = 1; direction matters (no a<-b)
+    assert got == {"a": 0, "c": 0, "b": 1, "z": 2}
+
+
+def test_shortest_paths_iteration_bound_and_early_exit(spark):
+    # chain a->b->c->d of weight-1 edges: max_iters=2 must stop at c
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+    got = {
+        r["node"]: r["dist"]
+        for r in ga.shortest_paths(_wedges(spark, rows), _seeds(spark, ["a"]), max_iters=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
+    # early exit: fixpoint after 3 rounds even with max_iters=50
+    full = {
+        r["node"]: r["dist"]
+        for r in ga.shortest_paths(_wedges(spark, rows), _seeds(spark, ["a"]), max_iters=50).collect()
+    }
+    assert full == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_shortest_paths_python_mirror_and_duckdb_parity(spark):
+    rng = random.Random(71)
+    nodes = [f"n{i}" for i in range(25)]
+    rows = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes)): None
+            for _ in range(120)
+        }
+    )
+    rows = [(s, d, rng.randint(1, 9)) for (s, d) in rows if s != d]
+    seeds = ["n0", "n1"]
+    K = 5
+    # pure-Python bounded Bellman-Ford
+    dist = {s: 0 for s in seeds}
+    for _ in range(K):
+        new = dict(dist)
+        for s, d, w in rows:
+            if s in dist and dist[s] + w < new.get(d, 1 << 60):
+                new[d] = min(new.get(d, 1 << 60), dist[s] + w)
+        if new == dist:
+            break
+        dist = new
+    got = {
+        r["node"]: r["dist"]
+        for r in ga.shortest_paths(_wedges(spark, rows), _seeds(spark, seeds), max_iters=K).collect()
+    }
+    assert got == dist
+    pdf = pd.DataFrame(rows, columns=["src", "dst", "weight"])
+    want = _duck(
+        pdf,
+        ga.shortest_paths_sql(
+            "edges_base",
+            "SELECT 'n0' AS node UNION SELECT 'n1'",
+            max_iters=K,
+        ),
+    )
+    assert {r.node: r.dist for r in want.itertuples()} == got
