@@ -1029,6 +1029,36 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_corpus_index_pipeline(spark, sf_dir):
+    """END-TO-END curate->embed->index chain as ONE query: learned
+    quality filter (the bootstrapped NB classifier's pred_keep, NOT the
+    raw heuristic) -> SRP hash embeddings of the kept docs -> LSH bucket
+    histogram (the index-shard size table a retrieval build produces).
+    Each stage is the already-oracle-checked operator; this pins their
+    COMPOSITION (bucket populations genuinely depend on the learned keep
+    set). Oracle: classifier mirror nested as a derived table ->
+    hash-embed CTEs over the kept docs -> the same plane-sign bucket
+    formula."""
+    from posextract_spark.operators.classifier import quality_classifier_scores
+    from posextract_spark.operators.similarity import hash_embed, lsh_bucket_expr
+
+    docs = _docs(spark, sf_dir)
+    kept = (
+        quality_classifier_scores(docs)
+        .filter(F.col("pred_keep") == 1)
+        .select("doc_id")
+    )
+    emb = hash_embed(docs.join(kept, "doc_id"), dim=32)
+    return (
+        emb.select(lsh_bucket_expr(6, "embedding").alias("bucket"), "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+    )
+
+
 def q_kg_shortest_paths(spark, sf_dir):
     """Weighted cheapest-evidence-chain distances from the 's%' seed
     entities over the triple graph (delta-frontier Bellman-Ford,
@@ -1828,6 +1858,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embeddings": q_hash_embeddings,
         "hash_embed_topk": q_hash_embed_topk,
         "kg_shortest_paths": q_kg_shortest_paths,
+        "corpus_index_pipeline": q_corpus_index_pipeline,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -2031,6 +2062,19 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT doc_id, CAST(j - 1 AS INT) AS j, embedding[j] AS component"
         + "\nFROM _he_e, unnest(generate_series(1, len(embedding))) AS g(j)",
         "hash_embed_topk": _sim.hash_embed_topk_sql(query_id=0, k=25, dim=32),
+        "corpus_index_pipeline": (
+            "WITH kept AS (SELECT doc_id FROM ("
+            + _classifier.quality_classifier_scores_sql()
+            + ") WHERE pred_keep = 1),\n"
+            "kept_docs AS (SELECT d.doc_id, d.text FROM documents d "
+            "JOIN kept USING (doc_id)),"
+            + _sim._hash_embed_ctes(32, "kept_docs", "text", "doc_id", True)
+            + f""",
+_cip AS (SELECT {_sim.lsh_bucket_expr_sql(6)} AS bucket, doc_id FROM _he_e)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM _cip GROUP BY bucket"""
+        ),
         "kg_edges": SVO_TRIPLES_CTE
         + (
             "SELECT subject, verb, object, count(*) AS weight, "

@@ -624,7 +624,9 @@ SELECT vec_id, sim_e6 FROM sims ORDER BY sim_e6 DESC, vec_id LIMIT {k_results}
     )
 
 
-def lsh_bucket_sql(n_planes: int = 4) -> str:
+def lsh_bucket_expr_sql(n_planes: int, vec_expr: str = "embedding") -> str:
+    """DuckDB rendering of lsh_bucket_expr over any list-valued
+    expression (shared by lsh_bucket_sql and composed pipelines)."""
     terms = []
     for p in range(n_planes):
         sign = (
@@ -632,12 +634,17 @@ def lsh_bucket_sql(n_planes: int = 4) -> str:
             f"THEN 1.0 ELSE -1.0 END"
         )
         s = (
-            f"list_aggregate(list_transform(generate_series(1, len(embedding)), "
-            f"i -> embedding[i]::DOUBLE * ({sign})), 'sum')"
+            f"list_aggregate(list_transform(generate_series(1, len({vec_expr})), "
+            f"i -> {vec_expr}[i]::DOUBLE * ({sign})), 'sum')"
         )
         terms.append(f"CASE WHEN ({s}) > 0 THEN {1 << p} ELSE 0 END")
-    total = " + ".join(terms)
-    return f"SELECT vec_id, CAST({total} AS INT) AS bucket FROM embeddings"
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def lsh_bucket_sql(n_planes: int = 4) -> str:
+    return (
+        f"SELECT vec_id, {lsh_bucket_expr_sql(n_planes)} AS bucket FROM embeddings"
+    )
 
 
 # --- product quantization (IVF-PQ's compression half) -------------------------
