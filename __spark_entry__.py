@@ -1029,6 +1029,16 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_minhash_dedup_best_survivors(spark, sf_dir):
+    """Quality-aware dedup survivor selection: same near-dup clusters as
+    minhash_dedup_survivors, but each cluster keeps its LONGEST member
+    (ties by min id) — 'keep the most complete copy'. Winner per cluster
+    via the shared map-side argmax (no ranking Window on hot clusters)."""
+    from posextract_spark.operators.dedup import minhash_dedup_best_survivors
+
+    return minhash_dedup_best_survivors(_docs(spark, sf_dir))
+
+
 def q_corpus_index_pipeline(spark, sf_dir):
     """END-TO-END curate->embed->index chain as ONE query: learned
     quality filter (the bootstrapped NB classifier's pred_keep, NOT the
@@ -1859,6 +1869,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed_topk": q_hash_embed_topk,
         "kg_shortest_paths": q_kg_shortest_paths,
         "corpus_index_pipeline": q_corpus_index_pipeline,
+        "minhash_dedup_best_survivors": q_minhash_dedup_best_survivors,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -2052,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank_weighted": _oracles.host_pagerank_weighted_sql(300, 42, n_iters=3),
         "dup_span_stats": _dedup_mod.dup_span_stats_sql(window=4, sample=2),
         "strip_duplicate_spans": _dedup_mod.strip_duplicate_spans_sql(window=4, sample=1),
+        "minhash_dedup_best_survivors": _dedup_mod.minhash_dedup_best_survivors_sql(),
         "quality_classifier_weights": _classifier.quality_classifier_weights_sql(),
         "quality_classifier_scores": _classifier.quality_classifier_scores_sql(),
         "decontaminate_bloom": _bloom.bloom_decontaminate_sql(m_bits=63 * 2048, k=5),

@@ -906,3 +906,66 @@ SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
        CAST(len(kept) AS BIGINT) AS n_tokens,
        CAST(n_all - len(kept) AS BIGINT) AS n_removed
 FROM _skept"""
+
+
+def minhash_dedup_best_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_seeds: int = MINHASH_SEEDS,
+    band_size: int = 2,
+) -> DataFrame:
+    """Quality-aware survivor selection: same near-dup clusters as
+    minhash_dedup_survivors, but each cluster keeps its LONGEST member
+    (token count, ties by min id) instead of the smallest id — "keep the
+    most complete copy", the rule curation pipelines actually want when
+    near-dups are truncated/paginated variants of one page. Output:
+    (doc_id, cluster_id, n_tokens, is_best 0/1).
+
+    Shape: the dedup path is unchanged (star edges, leaf-contracted CC);
+    on top, one column-pruned length scan joins cluster rows by id (both
+    sides doc-keyed — AQE-splittable equi-join) and the winner per
+    cluster is the shared map-side-combinable argmax aggregate
+    (functions/selection.argmax_min_tie — no ranking Window, hot
+    boilerplate clusters never serialize onto one task), broadcast back
+    against the cluster rows (cluster count <= doc count; at production
+    scale swap the join-back broadcast for a plain shuffle join if the
+    cluster table outgrows it).
+    """
+    from posextract_spark.functions.selection import argmax_min_tie
+
+    clusters = minhash_dedup_survivors(
+        df, text_col=text_col, id_col=id_col, n_seeds=n_seeds, band_size=band_size
+    ).select(id_col, "cluster_id")
+    lens = df.select(
+        F.col(id_col), F.size(word_array(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    rows = clusters.join(lens, id_col)
+    best = rows.groupBy("cluster_id").agg(
+        argmax_min_tie(F.col("n_tokens"), F.col(id_col)).alias("m")
+    ).select("cluster_id", F.col("m.v").alias("_best_id"))
+    return rows.join(F.broadcast(best), "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "n_tokens",
+        (F.col(id_col) == F.col("_best_id")).cast("int").alias("is_best"),
+    )
+
+
+def minhash_dedup_best_survivors_sql(rel: str = "documents") -> str:
+    """Oracle: the survivors closure CTEs (recursive opener required) +
+    length ranking with the same (n_tokens DESC, id ASC) rule."""
+    return (
+        "WITH RECURSIVE "
+        + minhash_dedup_survivors_ctes(rel)
+        + f""",
+_bl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM {rel}),
+_bj AS (SELECT s.doc_id, s.cluster_id, l.n_tokens
+        FROM surv s JOIN _bl l USING (doc_id)),
+_bb AS (SELECT cluster_id, min(struct_pack(neg := -n_tokens, v := doc_id)) AS m
+        FROM _bj GROUP BY cluster_id)
+SELECT j.doc_id, j.cluster_id, j.n_tokens,
+       CAST(j.doc_id = b.m.v AS INT) AS is_best
+FROM _bj j JOIN _bb b USING (cluster_id)"""
+    )

@@ -194,3 +194,54 @@ def test_against_base_flags_and_bucket_summary_plan(spark):
         assert rows[i].n_hit_bands == 4 and rows[i].matched_base_id == 0
         assert rows[i].is_new == 0
     assert rows[9001].is_new == 1 and rows[9001].matched_base_id == -1
+
+
+def test_best_survivors_picks_longest_per_cluster(spark):
+    """Quality-aware selection: same clusters as the min-id survivors,
+    winner = longest member (ties -> min id), exactly one per cluster."""
+    import pandas as pd
+
+    from posextract_spark.operators.dedup import (
+        minhash_dedup_best_survivors,
+        minhash_dedup_survivors,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),                       # cluster A, short
+        (2, base + " extended with an extra trailing clause"),  # cluster A, LONGEST
+        (3, base),                       # cluster A, short (tie with 1)
+        (9, "completely different words making an unrelated singleton document here"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in minhash_dedup_best_survivors(docs).collect()}
+    # cluster structure identical to the min-id survivors path
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in minhash_dedup_survivors(docs).collect()
+    }
+    assert {d: o["cluster_id"] for d, o in out.items()} == clusters
+    # doc 2 (longest) wins its cluster even though doc 1 has the min id
+    assert out[2]["is_best"] == 1 and out[1]["is_best"] == 0 and out[3]["is_best"] == 0
+    assert out[9]["is_best"] == 1  # singleton is its own best
+    # exactly one winner per cluster
+    by_cluster = {}
+    for o in out.values():
+        by_cluster.setdefault(o["cluster_id"], 0)
+        by_cluster[o["cluster_id"]] += o["is_best"]
+    assert all(v == 1 for v in by_cluster.values())
+
+
+def test_best_survivors_tie_breaks_min_id(spark):
+    import pandas as pd
+
+    from posextract_spark.operators.dedup import minhash_dedup_best_survivors
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        pd.DataFrame([(7, t), (4, t)], columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["is_best"] for r in minhash_dedup_best_survivors(docs).collect()}
+    assert out == {4: 1, 7: 0}  # equal lengths -> min id wins
