@@ -1029,6 +1029,30 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_cms_top_tokens(spark, sf_dir):
+    """Count-Min sketch heavy-hitter check (operators/sketches.py
+    cms_build/cms_estimate): build a 4x1024 sketch of token frequencies,
+    then point-estimate the top-20 exact tokens through it — emits
+    (token, n_exact, n_est); n_est >= n_exact is the CMS one-sided
+    guarantee the oracle value-checks. Sketch hashing is
+    vocabulary-bounded (built over the distinct-word count frame)."""
+    from posextract_spark.operators.sketches import cms_build, cms_estimate
+    from posextract_spark.functions.hashing import word_array
+
+    docs = _docs(spark, sf_dir)
+    sketch = cms_build(docs, width=1024, depth=4)
+    wc = (
+        docs.select(F.explode(word_array(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("w").asc())
+        .limit(20)
+        .select(F.col("w").alias("token"), "n_exact")
+    )
+    est = cms_estimate(wc.select("token"), sketch, width=1024, depth=4)
+    return wc.join(est, "token").select("token", "n_exact", "n_est")
+
+
 def q_minhash_dedup_best_survivors(spark, sf_dir):
     """Quality-aware dedup survivor selection: same near-dup clusters as
     minhash_dedup_survivors, but each cluster keeps its LONGEST member
@@ -1870,6 +1894,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shortest_paths": q_kg_shortest_paths,
         "corpus_index_pipeline": q_corpus_index_pipeline,
         "minhash_dedup_best_survivors": q_minhash_dedup_best_survivors,
+        "cms_top_tokens": q_cms_top_tokens,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -2180,6 +2205,7 @@ FROM _cip GROUP BY bucket"""
         + _textops.lm_familiarity_sql("documents", n=2),
         "lang_distinct_texts_kmv": "WITH _kmv_dummy AS (SELECT 1)"
         + _sketches.distinct_kmv_sql("documents", "lang", "text", k=16),
+        "cms_top_tokens": _sketches.cms_top_tokens_sql(width=1024, depth=4, k=20),
         "seed_relevance": "WITH _sr_dummy AS (SELECT 1)"
         + _textops.seed_relevance_topk_sql(_SEED_TERMS, k=25),
         "pq_encode": _sim.pq_encode_sql(),

@@ -116,3 +116,122 @@ SELECT key AS {key_col}, CAST(count(*) AS BIGINT) AS n_buckets,
        CAST((count(*)::HUGEINT - 1) * count(*) * {HASH_M}
             // sum(m::HUGEINT) AS BIGINT) AS est_distinct
 FROM _kmv GROUP BY key"""
+
+
+def cms_build(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+    lowercase: bool = True,
+) -> DataFrame:
+    """(row INT, idx BIGINT, c BIGINT) — a Count-Min sketch of corpus
+    token frequencies (Cormode & Muthukrishnan): depth hash rows of
+    width counters; every token occurrence increments one counter per
+    row; a point estimate is the MIN over rows (cms_estimate below).
+    The heavy-hitter companion to the KMV distinct sketch: fixed
+    width*depth memory for frequency queries over an unbounded
+    vocabulary, one-sided error (never underestimates — collisions only
+    ADD), overestimate <= 2e/width * total with prob 1 - e^-depth.
+
+    Scale shape: token counting is the ONE corpus-sized shuffle
+    (map-side combinable); the depth hash evaluations then run over the
+    DISTINCT-word frame weighted by count (vocabulary-bounded, the
+    bpe_pair_counts argument), and the final (row, idx) aggregation has
+    at most width*depth groups. The sketch is mergeable across
+    partitions/corpora by summing counters — a plain sum groupBy.
+    """
+    from posextract_spark.functions.hashing import word_array
+
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    wc = (
+        docs.select(F.explode(word_array(src)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wn"))
+    )
+    rows = []
+    for r in range(depth):
+        rows.append(
+            wc.select(
+                F.lit(r).cast("int").alias("row"),
+                F.pmod(
+                    portable_hash64(F.concat(F.lit(f"cms{r}#"), F.col("w"))),
+                    F.lit(width),
+                ).alias("idx"),
+                F.col("wn"),
+            )
+        )
+    u = rows[0]
+    for fr in rows[1:]:
+        u = u.unionAll(fr)
+    return u.groupBy("row", "idx").agg(F.sum("wn").cast("long").alias("c"))
+
+
+def cms_estimate(
+    tokens: DataFrame,
+    sketch: DataFrame,
+    token_col: str = "token",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """(token, n_est) — point-estimate each token's corpus frequency from
+    a cms_build sketch: min over the depth rows of the addressed
+    counter. The sketch is width*depth rows — broadcast; the token frame
+    explodes to depth probe rows and min-combines back (token-keyed
+    groupBy over depth*|tokens| rows; for a handful of query tokens this
+    is all driver-trivial, for a full-vocab scoring pass it is one
+    bounded shuffle). Missing counters read 0 (token never seen)."""
+    probes = None
+    for r in range(depth):
+        p = tokens.select(
+            F.col(token_col).alias("token"),
+            F.lit(r).cast("int").alias("row"),
+            F.pmod(
+                portable_hash64(F.concat(F.lit(f"cms{r}#"), F.col(token_col))),
+                F.lit(width),
+            ).alias("idx"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(F.broadcast(sketch), ["row", "idx"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n_est"))
+    )
+
+
+def cms_top_tokens_sql(
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+    k: int = 20,
+) -> str:
+    """Mirror of the composed contract query: build the sketch, take the
+    top-k exact tokens (count DESC, token ASC), emit
+    (token, n_exact, n_est) — n_est >= n_exact is the CMS guarantee the
+    gate then value-checks."""
+    words = f"list_filter(string_split(lower({text_col}), ' '), w -> w <> '')"
+    h_w = [portable_hash64_sql(f"('cms{r}#' || w)") for r in range(depth)]
+    h_tw = [portable_hash64_sql(f"('cms{r}#' || t.w)") for r in range(depth)]
+    row_selects = "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS row, ({h_w[r]} % {width}) AS idx, wn FROM _cms_wc"
+        for r in range(depth)
+    )
+    est_terms = ",\n    ".join(
+        f"(SELECT coalesce(min(c), 0) FROM _cms_sk s WHERE s.row = {r} AND "
+        f"s.idx = ({h_tw[r]} % {width}))"
+        for r in range(depth)
+    )
+    return f"""
+WITH _cms_wc AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wn
+  FROM (SELECT unnest({words}) AS w FROM {docs_rel})
+  GROUP BY w),
+_cms_sk AS MATERIALIZED (
+  SELECT row, idx, CAST(sum(wn) AS BIGINT) AS c FROM (
+{row_selects}
+  ) GROUP BY row, idx),
+_cms_top AS (SELECT w, wn FROM _cms_wc ORDER BY wn DESC, w ASC LIMIT {k})
+SELECT t.w AS token, t.wn AS n_exact,
+       CAST(least({est_terms}) AS BIGINT) AS n_est
+FROM _cms_top t"""
