@@ -1029,6 +1029,17 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_corpus_length_quantiles(spark, sf_dir):
+    """One-row corpus length report with EXACT nearest-rank percentiles
+    (operators/textops.corpus_length_quantiles): groupBy on the bounded
+    token-count domain, cumulative sum over that domain-sized frame
+    (never the corpus), integer rank math — approx_percentile would be
+    engine-divergent."""
+    from posextract_spark.operators.textops import corpus_length_quantiles
+
+    return corpus_length_quantiles(_docs(spark, sf_dir))
+
+
 def q_cms_top_tokens(spark, sf_dir):
     """Count-Min sketch heavy-hitter check (operators/sketches.py
     cms_build/cms_estimate): build a 4x1024 sketch of token frequencies,
@@ -1895,6 +1906,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_index_pipeline": q_corpus_index_pipeline,
         "minhash_dedup_best_survivors": q_minhash_dedup_best_survivors,
         "cms_top_tokens": q_cms_top_tokens,
+        "corpus_length_quantiles": q_corpus_length_quantiles,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -2206,6 +2218,8 @@ FROM _cip GROUP BY bucket"""
         "lang_distinct_texts_kmv": "WITH _kmv_dummy AS (SELECT 1)"
         + _sketches.distinct_kmv_sql("documents", "lang", "text", k=16),
         "cms_top_tokens": _sketches.cms_top_tokens_sql(width=1024, depth=4, k=20),
+        "corpus_length_quantiles": "WITH _clq_dummy AS (SELECT 1)"
+        + _textops.corpus_length_quantiles_sql("documents"),
         "seed_relevance": "WITH _sr_dummy AS (SELECT 1)"
         + _textops.seed_relevance_topk_sql(_SEED_TERMS, k=25),
         "pq_encode": _sim.pq_encode_sql(),

@@ -1086,3 +1086,90 @@ _srsc AS (
   GROUP BY t.id)
 SELECT id, n_hits, relevance_e6 FROM _srsc
 ORDER BY relevance_e6 DESC, id ASC LIMIT {k}"""
+
+
+def corpus_length_quantiles(
+    df: DataFrame,
+    text_col: str = "text",
+    quantiles: tuple = (50, 90, 99),
+) -> DataFrame:
+    """One-row corpus length report: doc count, token totals, and EXACT
+    integer percentiles of the per-doc token count — the summary a
+    curation run logs per snapshot (and the input to threshold tuning
+    for the quality filter). Percentile rule: p-th percentile = the
+    smallest length L whose cumulative doc count reaches ceil(p/100 * N)
+    (the classic nearest-rank definition — integer-exact, no
+    interpolation, so the DuckDB mirror hash-matches; approx_percentile
+    would be engine-divergent).
+
+    Scale shape: ONE corpus scan -> groupBy on the token count (the
+    domain is bounded by the longest document, thousands of distinct
+    values at most — NOT corpus-sized) -> cumulative sum via a window
+    over that tiny frame (a Window here is safe: the frame is
+    domain-sized; the corpus never passes through it) -> one-row
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(word_array(F.col(text_col))).cast("long")
+    hist = df.select(n_tokens.alias("len")).groupBy("len").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "len", "n", F.sum("n").over(w).alias("cn")
+    )
+    totals = hist.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") * F.col("len")).cast("long").alias("n_tokens_total"),
+        F.max("len").cast("long").alias("max_len"),
+        F.min("len").cast("long").alias("min_len"),
+    )
+    qcols = []
+    for p in quantiles:
+        # rank = ceil(p/100 * N), integer: (p*N + 99) div 100
+        qcols.append(
+            F.min(
+                F.when(
+                    F.col("cn") >= F.expr(f"({p} * n_docs + 99) div 100"), F.col("len")
+                )
+            ).cast("long").alias(f"p{p}_len")
+        )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_docs", "n_tokens_total", "min_len", "max_len")
+        .agg(*qcols)
+        .select(
+            "n_docs", "n_tokens_total", "min_len", "max_len",
+            *[f"p{p}_len" for p in quantiles],
+        )
+    )
+
+
+def corpus_length_quantiles_sql(
+    docs_rel: str = "documents",
+    text_col: str = "text",
+    quantiles: tuple = (50, 90, 99),
+) -> str:
+    """DuckDB mirror (same nearest-rank rule, same integer rank math)."""
+    words = WORD_ARRAY_SQL.format(col=text_col)
+    qsel = ",\n       ".join(
+        f"CAST(min(CASE WHEN cn >= ({p} * n_docs + 99) // 100 THEN len END) AS BIGINT) AS p{p}_len"
+        for p in quantiles
+    )
+    return f"""
+, _clq_h AS MATERIALIZED (
+  SELECT len({words}) AS len, CAST(count(*) AS BIGINT) AS n
+  FROM {docs_rel} GROUP BY 1),
+_clq_c AS (
+  SELECT len, n, CAST(sum(n) OVER (ORDER BY len) AS BIGINT) AS cn FROM _clq_h),
+_clq_t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(n * len) AS BIGINT) AS n_tokens_total,
+         CAST(min(len) AS BIGINT) AS min_len,
+         CAST(max(len) AS BIGINT) AS max_len
+  FROM _clq_h)
+SELECT n_docs, n_tokens_total, min_len, max_len,
+       {qsel}
+FROM _clq_c CROSS JOIN _clq_t
+GROUP BY n_docs, n_tokens_total, min_len, max_len"""

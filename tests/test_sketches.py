@@ -72,3 +72,52 @@ def test_cms_tight_width_overestimates_only(spark):
         assert est[t] >= n
         over += est[t] - n
     assert over > 0  # width 8 << 40 tokens MUST collide somewhere
+
+
+# --- corpus_length_quantiles (lives with the report-style ops) ----------------
+
+def test_corpus_length_quantiles_nearest_rank(spark):
+    import pandas as pd
+
+    from posextract_spark.operators.textops import corpus_length_quantiles
+
+    # lengths: 1,2,3,...,10 (one doc each) -> P50 = 5th value = 5,
+    # P90 = 9, P99 = ceil(9.9) = 10th value = 10
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 11)]
+    out = corpus_length_quantiles(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r == {
+        "n_docs": 10, "n_tokens_total": 55, "min_len": 1, "max_len": 10,
+        "p50_len": 5, "p90_len": 9, "p99_len": 10,
+    }
+
+
+def test_corpus_length_quantiles_duckdb_parity(spark):
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from posextract_spark.operators.textops import (
+        corpus_length_quantiles,
+        corpus_length_quantiles_sql,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, " ".join(["t"] * rng.randint(0, 60))) for i in range(200)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = corpus_length_quantiles(spark.createDataFrame(pdf)).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        "WITH _d AS (SELECT 1)" + corpus_length_quantiles_sql("documents")
+    ).df().astype(got.dtypes.to_dict())
+    con.close()
+    pd.testing.assert_frame_equal(
+        got.reindex(sorted(got.columns), axis=1),
+        want.reindex(sorted(want.columns), axis=1),
+        check_dtype=True,
+    )
