@@ -1029,6 +1029,16 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
 
 
+def q_source_quality_report(spark, sf_dir):
+    """Per-ingestion-source curation dashboard: classifier keep rate and
+    total score per source (operators/classifier.source_quality_report).
+    Score reported as a TOTAL, never a mean — negative integer division
+    truncates in Spark but floors in DuckDB."""
+    from posextract_spark.operators.classifier import source_quality_report
+
+    return source_quality_report(_docs(spark, sf_dir))
+
+
 def q_corpus_length_quantiles(spark, sf_dir):
     """One-row corpus length report with EXACT nearest-rank percentiles
     (operators/textops.corpus_length_quantiles): groupBy on the bounded
@@ -1907,6 +1917,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_best_survivors": q_minhash_dedup_best_survivors,
         "cms_top_tokens": q_cms_top_tokens,
         "corpus_length_quantiles": q_corpus_length_quantiles,
+        "source_quality_report": q_source_quality_report,
         "kg_kcore": q_kg_kcore,
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         "kg_communities": q_kg_communities,
@@ -2220,6 +2231,7 @@ FROM _cip GROUP BY bucket"""
         "cms_top_tokens": _sketches.cms_top_tokens_sql(width=1024, depth=4, k=20),
         "corpus_length_quantiles": "WITH _clq_dummy AS (SELECT 1)"
         + _textops.corpus_length_quantiles_sql("documents"),
+        "source_quality_report": _classifier.source_quality_report_sql("documents"),
         "seed_relevance": "WITH _sr_dummy AS (SELECT 1)"
         + _textops.seed_relevance_topk_sql(_SEED_TERMS, k=25),
         "pq_encode": _sim.pq_encode_sql(),

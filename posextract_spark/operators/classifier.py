@@ -257,3 +257,57 @@ SELECT d.doc_id,
        CAST(coalesce(p.score_e6, 0) >= 0 AS INT) AS pred_keep
 FROM {docs_rel} d LEFT JOIN _nbper p USING (doc_id)"""
     )
+
+
+def source_quality_report(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(source, n_docs, n_keep, keep_rate_e4, total_score_e6) — the
+    per-source curation dashboard: how each ingestion source scores
+    under the bootstrapped classifier. keep_rate_e4 = floor(1e4 *
+    n_keep / n_docs); the score is reported as a TOTAL, not a mean —
+    score sums can be negative, and integer division of negatives
+    truncates toward zero in Spark but floors in DuckDB, so a mean
+    column would silently diverge the mirror (consumers divide however
+    they like).
+
+    Shape: the classifier's two corpus passes plus ONE doc-keyed
+    equi-join to attach the source dimension (AQE-splittable; source
+    could instead ride through the scoring groupBy as a carry column if
+    this join ever mattered), then a source-keyed aggregate — source
+    cardinality is tiny, so the final shuffle is trivial.
+    """
+    scores = quality_classifier_scores(docs, text_col=text_col, id_col=id_col)
+    dims = docs.select(F.col(id_col), F.col("source"))
+    j = scores.join(dims, id_col)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pred_keep").cast("long").alias("n_keep"),
+            F.sum("score_e6").cast("long").alias("total_score_e6"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            F.expr("10000 * n_keep div n_docs").cast("long").alias("keep_rate_e4"),
+            "total_score_e6",
+        )
+    )
+
+
+def source_quality_report_sql(docs_rel: str = "documents") -> str:
+    """Mirror: the scores mirror nested as a derived table + the same
+    source rollup."""
+    return f"""
+WITH _sqr AS (
+  SELECT d.source, s.pred_keep, s.score_e6
+  FROM ({quality_classifier_scores_sql(docs_rel)}) s
+  JOIN {docs_rel} d USING (doc_id))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pred_keep) AS BIGINT) AS n_keep,
+       CAST(10000 * sum(pred_keep) // count(*) AS BIGINT) AS keep_rate_e4,
+       CAST(sum(score_e6) AS BIGINT) AS total_score_e6
+FROM _sqr GROUP BY source"""

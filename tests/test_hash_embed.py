@@ -93,3 +93,14 @@ def test_duckdb_parity(spark):
     con.close()
     assert gt["doc_id"].tolist() == wt["doc_id"].tolist()
     assert gt["sim_e6"].tolist() == wt["sim_e6"].tolist()
+
+
+def test_hash_embed_is_scan_side(spark):
+    """The embedding is a pure projection: no Exchange, no Python, one
+    Generate boundary pair (word split + hash materialization)."""
+    docs = _docs(spark, [(1, "a b c"), (2, "d e")])
+    plan = (
+        hash_embed(docs, dim=8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
