@@ -1114,6 +1114,20 @@ def q_corpus_index_pipeline(spark, sf_dir):
     )
 
 
+def q_hash_embeddings_idf(spark, sf_dir):
+    """IDF-weighted SRP embeddings (operators/similarity.hash_embed_idf):
+    token votes weighted by the binary-length integer idf so stopwords
+    stop dominating the signs — the tf-idf upgrade over hash_embeddings.
+    Costs one extra vocab-keyed shuffle (the df table, broadcast back).
+    Contract shape: exploded to scalars like hash_embeddings."""
+    from pyspark.sql import functions as FF
+
+    from posextract_spark.operators.similarity import hash_embed_idf
+
+    e = hash_embed_idf(_docs(spark, sf_dir), dim=32)
+    return e.select("doc_id", FF.posexplode("embedding").alias("j", "component"))
+
+
 def q_kg_shortest_paths(spark, sf_dir):
     """Weighted cheapest-evidence-chain distances from the 's%' seed
     entities over the triple graph (delta-frontier Bellman-Ford,
@@ -1912,6 +1926,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_trained_vocab": q_bpe_trained_vocab,
         "hash_embeddings": q_hash_embeddings,
         "hash_embed_topk": q_hash_embed_topk,
+        "hash_embeddings_idf": q_hash_embeddings_idf,
         "kg_shortest_paths": q_kg_shortest_paths,
         "corpus_index_pipeline": q_corpus_index_pipeline,
         "minhash_dedup_best_survivors": q_minhash_dedup_best_survivors,
@@ -2122,6 +2137,11 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT doc_id, CAST(j - 1 AS INT) AS j, embedding[j] AS component"
         + "\nFROM _he_e, unnest(generate_series(1, len(embedding))) AS g(j)",
         "hash_embed_topk": _sim.hash_embed_topk_sql(query_id=0, k=25, dim=32),
+        "hash_embeddings_idf": (
+            "SELECT doc_id, CAST(j - 1 AS INT) AS j, embedding[j] AS component\n"
+            "FROM (WITH " + _sim.hash_embed_idf_sql(dim=32) + ") t,\n"
+            "unnest(generate_series(1, len(embedding))) AS g(j)"
+        ),
         "corpus_index_pipeline": (
             "WITH kept AS (SELECT doc_id FROM ("
             + _classifier.quality_classifier_scores_sql()

@@ -104,3 +104,63 @@ def test_hash_embed_is_scan_side(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_idf_weighting_downweights_stopwords(spark):
+    """The point of the idf variant: a doc sharing only STOPWORDS with
+    the query ranks below a doc sharing distinctive terms, even when the
+    stopword overlap is larger; unweighted SRP gets this wrong by
+    construction (every token votes +-1 equally)."""
+    from posextract_spark.operators.similarity import cosine_topk, hash_embed_idf
+
+    stop = "the of and in to is was it on as"          # in EVERY doc -> df = N
+    rows = [
+        (0, stop + " quantum entanglement spectroscopy"),
+        # shares the distinctive terms, few stopwords
+        (1, "quantum entanglement spectroscopy results"),
+        # shares ONLY the ubiquitous stopwords, in bulk
+        (2, stop + " " + stop + " " + stop + " pottery"),
+    ] + [
+        # filler docs so df(stopwords) >> df(distinctive terms)
+        (10 + i, stop + f" filler{i} words here") for i in range(12)
+    ]
+    docs = _docs(spark, rows)
+    emb = hash_embed_idf(docs, dim=48)
+    qv = [float(x) for x in emb.filter("doc_id = 0").collect()[0]["embedding"]]
+    order = [
+        r["doc_id"]
+        for r in cosine_topk(emb, qv, k=3, id_col="doc_id", vec_col="embedding").collect()
+    ]
+    assert order[0] == 0          # self
+    assert order[1] == 1          # distinctive-term overlap wins...
+    assert 2 not in order[:2]     # ...over bulk stopword overlap
+
+
+def test_idf_embed_duckdb_parity_and_empty_docs(spark):
+    import duckdb
+
+    from posextract_spark.operators.similarity import hash_embed_idf, hash_embed_idf_sql
+
+    rng = random.Random(19)
+    vocab = ["the", "of"] + [f"w{k}" for k in range(15)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(80)
+    ]
+    rows[5] = (5, "")  # force an empty doc
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = _docs(spark, rows)
+    got = hash_embed_idf(docs, dim=20).toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute("WITH " + hash_embed_idf_sql(dim=20))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    assert [list(e) for e in got["embedding"]] == [list(e) for e in want["embedding"]]
+    empty = got[got.doc_id == 5].iloc[0]
+    assert empty["n_tokens"] == 0 and list(empty["embedding"]) == [0] * 20
