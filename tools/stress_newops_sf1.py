@@ -85,6 +85,28 @@ def main() -> None:
         ).collect()[0][0],
     )
 
+    # late-r6 additions at the same 2M-doc scale
+    from posextract_spark.operators.sketches import cms_build
+    from posextract_spark.operators.similarity import hash_embed, hash_embed_idf
+    from posextract_spark.operators.textops import corpus_length_quantiles
+
+    timed(
+        "corpus_length_quantiles",
+        lambda: corpus_length_quantiles(docs).collect()[0]["p99_len"],
+    )
+    timed(
+        "cms_build_4x1024",
+        lambda: cms_build(docs, width=1024, depth=4).count(),
+    )
+    timed(
+        "hash_embed_dim32",
+        lambda: hash_embed(docs, dim=32).agg(F.sum("n_tokens")).collect()[0][0],
+    )
+    timed(
+        "hash_embed_idf_dim32",
+        lambda: hash_embed_idf(docs, dim=32).agg(F.sum("n_tokens")).collect()[0][0],
+    )
+
     print("\n=== summary (paste into BENCH/BASELINE.md) ===")
     for k, (dt, out) in results.items():
         print(f"{k}: {dt}s -> {out}")
