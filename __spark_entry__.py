@@ -1114,6 +1114,28 @@ def q_corpus_index_pipeline(spark, sf_dir):
     )
 
 
+def q_passage_search_topk(spark, sf_dir):
+    """Passage-level retrieval, the RAG-indexing composition: documents
+    -> fixed-size overlapping chunks (textops.chunk_documents) -> SRP
+    embeddings per chunk -> cosine top-25 against chunk (doc 0, chunk 0).
+    Surrogate pid = doc_id*1000 + chunk_id keeps the embedding/topk
+    machinery single-keyed; the output splits it back. Every stage is
+    the already-oracle-checked operator; this row pins the composition."""
+    from posextract_spark.operators.similarity import hash_embed_topk
+    from posextract_spark.operators.textops import chunk_documents
+
+    ch = chunk_documents(_docs(spark, sf_dir), chunk_size=32, overlap=8)
+    p = ch.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"), "chunk_text"
+    )
+    top = hash_embed_topk(p, query_id=0, k=25, dim=16, text_col="chunk_text", id_col="pid")
+    return top.select(
+        F.expr("pid div 1000").cast("long").alias("doc_id"),
+        F.expr("pid % 1000").cast("long").alias("chunk_id"),
+        "sim_e6",
+    )
+
+
 def q_hash_embeddings_idf(spark, sf_dir):
     """IDF-weighted SRP embeddings (operators/similarity.hash_embed_idf):
     token votes weighted by the binary-length integer idf so stopwords
@@ -1927,6 +1949,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embeddings": q_hash_embeddings,
         "hash_embed_topk": q_hash_embed_topk,
         "hash_embeddings_idf": q_hash_embeddings_idf,
+        "passage_search_topk": q_passage_search_topk,
         "kg_shortest_paths": q_kg_shortest_paths,
         "corpus_index_pipeline": q_corpus_index_pipeline,
         "minhash_dedup_best_survivors": q_minhash_dedup_best_survivors,
@@ -2141,6 +2164,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(j - 1 AS INT) AS j, embedding[j] AS component\n"
             "FROM (WITH " + _sim.hash_embed_idf_sql(dim=32) + ") t,\n"
             "unnest(generate_series(1, len(embedding))) AS g(j)"
+        ),
+        "passage_search_topk": (
+            "SELECT CAST(pid // 1000 AS BIGINT) AS doc_id, "
+            "CAST(pid % 1000 AS BIGINT) AS chunk_id, sim_e6 FROM ("
+            + _sim.hash_embed_topk_sql(
+                query_id=0,
+                k=25,
+                dim=16,
+                docs_rel="_ps_c",
+                text_col="chunk_text",
+                id_col="pid",
+                extra_ctes=(
+                    "_ps_c AS (SELECT doc_id * 1000 + chunk_id AS pid, chunk_text "
+                    "FROM (" + _textops.chunk_documents_sql(32, 8) + ")),"
+                ),
+            )
+            + ") t"
         ),
         "corpus_index_pipeline": (
             "WITH kept AS (SELECT doc_id FROM ("

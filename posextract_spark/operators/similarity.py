@@ -1017,11 +1017,14 @@ def hash_embed_topk_sql(
     docs_rel: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra_ctes: str = "",
 ) -> str:
     """Mirror of hash_embed_topk: embeddings CTE + the cosine_topk formula
     (identical float evaluation order: sequential left-fold dot product,
-    sqrt norms, zero-norm -> -2.0)."""
-    ctes = _hash_embed_ctes(dim, docs_rel, text_col, id_col, lowercase=True)
+    sqrt norms, zero-norm -> -2.0). ``extra_ctes`` (a 'name AS (...),'
+    chain) is prepended so composed callers can define ``docs_rel``
+    inline (passage_search_topk)."""
+    ctes = extra_ctes + _hash_embed_ctes(dim, docs_rel, text_col, id_col, lowercase=True)
     dot = (
         "list_aggregate(list_transform(generate_series(1, len(e.embedding)), "
         "i -> e.embedding[i]::DOUBLE * q.qv[i]), 'sum')"
