@@ -276,6 +276,32 @@ def main() -> None:
         )
     )
 
+    from posextract_spark.operators.similarity import hash_embed
+
+    sections.append(
+        (
+            "hash_embed (SRP text embeddings, r6-final)",
+            "Pure scan-side projection: no Exchange, no Python; one "
+            "Generate pair materializes the word split and the per-token "
+            "hash, then 32 integer array-aggregates read the materialized "
+            "attribute. Measured 6.5s for 108M tokens x 32 dims at sf1.",
+            formatted(hash_embed(docs, dim=32)),
+        )
+    )
+
+    from posextract_spark.operators.sketches import cms_build
+
+    sections.append(
+        (
+            "cms_build (Count-Min sketch, r6-final)",
+            "Two map-side-combinable Exchanges: the vocabulary word count "
+            "(the one corpus-sized shuffle) and the (row, idx) counter "
+            "aggregation bounded by width*depth groups. Hashing runs over "
+            "the distinct-word frame, never per occurrence.",
+            formatted(cms_build(docs, width=1024, depth=4)),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/dump_plans.py at sf0.001)\n"]
     for title, claim, plan in sections:
         out.append(f"## {title}\n\n{claim}\n\n```\n{plan}\n```\n")
