@@ -158,3 +158,39 @@ def test_scoring_join_is_broadcast(spark):
     # shuffle of the exploded occurrence stream against the vocab
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_source_quality_report_rollup(spark):
+    """Per-source rollup: counts and keep totals reconcile with the
+    underlying scores; keep_rate_e4 uses integer floor division."""
+    from posextract_spark.operators.classifier import (
+        quality_classifier_scores,
+        source_quality_report,
+    )
+
+    rows = []
+    for i in range(30):
+        # source A: clean medium docs; source B: degenerate repetition
+        if i % 2 == 0:
+            rows.append((i, "en", "srcA", " ".join(f"tok{j}" for j in range(30))))
+        else:
+            rows.append((i, "en", "srcB", " ".join(["zz"] * 40)))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"]),
+        "doc_id long, lang string, source string, text string",
+    )
+    rep = {r["source"]: r.asDict() for r in source_quality_report(docs).collect()}
+    scores = quality_classifier_scores(docs).collect()
+    srcof = {i: ("srcA" if i % 2 == 0 else "srcB") for i in range(30)}
+    want_keep = {"srcA": 0, "srcB": 0}
+    want_total = {"srcA": 0, "srcB": 0}
+    for r in scores:
+        want_keep[srcof[r["doc_id"]]] += r["pred_keep"]
+        want_total[srcof[r["doc_id"]]] += r["score_e6"]
+    for s in ("srcA", "srcB"):
+        assert rep[s]["n_docs"] == 15
+        assert rep[s]["n_keep"] == want_keep[s]
+        assert rep[s]["total_score_e6"] == want_total[s]
+        assert rep[s]["keep_rate_e4"] == 10000 * want_keep[s] // 15
+    # the clean source must outrank the degenerate one
+    assert rep["srcA"]["keep_rate_e4"] > rep["srcB"]["keep_rate_e4"]

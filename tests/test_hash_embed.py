@@ -164,3 +164,34 @@ def test_idf_embed_duckdb_parity_and_empty_docs(spark):
     assert [list(e) for e in got["embedding"]] == [list(e) for e in want["embedding"]]
     empty = got[got.doc_id == 5].iloc[0]
     assert empty["n_tokens"] == 0 and list(empty["embedding"]) == [0] * 20
+
+
+def test_passage_search_finds_the_matching_chunk(spark):
+    """Chunk -> embed -> top-k composition: the chunk sharing the query
+    chunk's vocabulary outranks chunks from the same doc with different
+    vocabulary."""
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.similarity import hash_embed_topk
+    from posextract_spark.operators.textops import chunk_documents
+
+    part_a = " ".join(f"alpha{j}" for j in range(32))   # doc0 chunk0 vocab
+    part_b = " ".join(f"beta{j}" for j in range(32))    # doc0 chunk1+ vocab
+    rows = [
+        (0, part_a + " " + part_b),
+        (1, part_a),      # pure chunk-0-vocab doc -> its chunk must rank top-2
+        (2, part_b),      # pure chunk-1-vocab doc
+        (3, " ".join(f"gamma{j}" for j in range(40))),  # unrelated
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), "doc_id long, text string"
+    )
+    ch = chunk_documents(docs, chunk_size=32, overlap=0)
+    p = ch.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"), "chunk_text"
+    )
+    top = hash_embed_topk(p, query_id=0, k=4, dim=32, text_col="chunk_text", id_col="pid")
+    order = [(r["pid"] // 1000, r["pid"] % 1000) for r in top.collect()]
+    assert order[0] == (0, 0)            # the query chunk itself
+    assert order[1] == (1, 0)            # same-vocab chunk from doc 1
+    assert (3, 0) not in order[:3]       # unrelated doc ranks last
