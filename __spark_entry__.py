@@ -1118,20 +1118,24 @@ def q_passage_search_topk(spark, sf_dir):
     """Passage-level retrieval, the RAG-indexing composition: documents
     -> fixed-size overlapping chunks (textops.chunk_documents) -> SRP
     embeddings per chunk -> cosine top-25 against chunk (doc 0, chunk 0).
-    Surrogate pid = doc_id*1000 + chunk_id keeps the embedding/topk
-    machinery single-keyed; the output splits it back. Every stage is
-    the already-oracle-checked operator; this row pins the composition."""
+    Surrogate pid = doc_id*1000000 + chunk_id keeps the embedding/topk
+    machinery single-keyed; the output splits it back. The multiplier
+    bounds chunk_id at 1e6 (a ~24M-word doc at chunk_size=32/overlap=8)
+    and the filter below makes an overflow LOUD (row count drops and the
+    oracle — which keeps all chunks — mismatches) instead of silently
+    mis-keying. Every stage is the already-oracle-checked operator; this
+    row pins the composition."""
     from posextract_spark.operators.similarity import hash_embed_topk
     from posextract_spark.operators.textops import chunk_documents
 
     ch = chunk_documents(_docs(spark, sf_dir), chunk_size=32, overlap=8)
-    p = ch.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"), "chunk_text"
+    p = ch.filter(F.col("chunk_id") < 1000000).select(
+        (F.col("doc_id") * 1000000 + F.col("chunk_id")).alias("pid"), "chunk_text"
     )
     top = hash_embed_topk(p, query_id=0, k=25, dim=16, text_col="chunk_text", id_col="pid")
     return top.select(
-        F.expr("pid div 1000").cast("long").alias("doc_id"),
-        F.expr("pid % 1000").cast("long").alias("chunk_id"),
+        F.expr("pid div 1000000").cast("long").alias("doc_id"),
+        F.expr("pid % 1000000").cast("long").alias("chunk_id"),
         "sim_e6",
     )
 
@@ -2166,8 +2170,8 @@ def oracle_sql() -> dict[str, str]:
             "unnest(generate_series(1, len(embedding))) AS g(j)"
         ),
         "passage_search_topk": (
-            "SELECT CAST(pid // 1000 AS BIGINT) AS doc_id, "
-            "CAST(pid % 1000 AS BIGINT) AS chunk_id, sim_e6 FROM ("
+            "SELECT CAST(pid // 1000000 AS BIGINT) AS doc_id, "
+            "CAST(pid % 1000000 AS BIGINT) AS chunk_id, sim_e6 FROM ("
             + _sim.hash_embed_topk_sql(
                 query_id=0,
                 k=25,
@@ -2176,7 +2180,7 @@ def oracle_sql() -> dict[str, str]:
                 text_col="chunk_text",
                 id_col="pid",
                 extra_ctes=(
-                    "_ps_c AS (SELECT doc_id * 1000 + chunk_id AS pid, chunk_text "
+                    "_ps_c AS (SELECT doc_id * 1000000 + chunk_id AS pid, chunk_text "
                     "FROM (" + _textops.chunk_documents_sql(32, 8) + ")),"
                 ),
             )

@@ -147,7 +147,6 @@ def bloom_probe(
     value_col: str = "value",
     m_bits: int = 63 * 1024,
     k: int = 5,
-    id_cols: tuple = (),
 ) -> DataFrame:
     """(*df.columns, in_bloom) — annotate every row: in_bloom=1 iff all k
     of the value's bits are set in its block. Row-preserving projection:
@@ -207,7 +206,6 @@ def decontaminate_bloom(
         value_col="shingle",
         m_bits=m_bits,
         k=k,
-        id_cols=(id_col,),
     )
     return (
         probed.filter(F.col("in_bloom") == 1)

@@ -1142,7 +1142,8 @@ def hash_embed_idf_sql(
 _hi_w AS (
   SELECT {id_col} AS id, {words} AS ws FROM {docs_rel}),
 _hi_o AS (
-  SELECT id, unnest(CASE WHEN len(ws) = 0 THEN [NULL::VARCHAR] ELSE ws END) AS token
+  SELECT id,
+         unnest(CASE WHEN ws IS NULL OR len(ws) = 0 THEN [NULL::VARCHAR] ELSE ws END) AS token
   FROM _hi_w),
 _hi_df AS (
   SELECT token, CAST(count(*) AS BIGINT) AS df
