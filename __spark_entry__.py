@@ -1547,6 +1547,34 @@ def q_pq_adc_topk(spark, sf_dir):
     )
 
 
+def q_pq_encode_kmeans(spark, sf_dir):
+    """PQ encoding with TRAINED per-subspace k-means codebooks (Lloyd on
+    each subvector space, 2 iterations, engine-exact fixed-point
+    arithmetic) — the production quantizer replacing the id-slice
+    convention (operators/similarity.pq_codebooks_kmeans; oracle = m
+    unrolled per-subspace Lloyd CTE chains)."""
+    from posextract_spark.operators.similarity import pq_codebooks_kmeans, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_encode(emb, codebooks=pq_codebooks_kmeans(emb, n_iter=2))
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ search, the production billion-vector ANN index shape:
+    coarse IVF probe (nprobe=2 ranked inverted lists) narrows the corpus,
+    PQ asymmetric-distance re-ranks only the probed rows — one scan, a
+    centroid-id filter (partition pruning in production), no joins
+    (operators/similarity.ivf_pq_topk)."""
+    from posextract_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        query_id=0,
+        k=10,
+        nprobe=2,
+    )
+
+
 def q_seed_relevance(spark, sf_dir):
     """Top-25 documents by integer BM25-style relevance to a fixed seed
     vocabulary — the CCNet-style "looks like the seed corpus" curation
@@ -2005,6 +2033,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_relevance": q_seed_relevance,
         "pq_encode": q_pq_encode,
         "pq_adc_topk": q_pq_adc_topk,
+        "pq_encode_kmeans": q_pq_encode_kmeans,
+        "ivf_pq_topk": q_ivf_pq_topk,
     }
 
 
@@ -2300,6 +2330,8 @@ FROM _cip GROUP BY bucket"""
         + _textops.seed_relevance_topk_sql(_SEED_TERMS, k=25),
         "pq_encode": _sim.pq_encode_sql(),
         "pq_adc_topk": _sim.pq_adc_topk_sql(query_id=0, k=10),
+        "pq_encode_kmeans": _sim.pq_encode_kmeans_sql(n_iter=2),
+        "ivf_pq_topk": _sim.ivf_pq_topk_sql(query_id=0, k=10, nprobe=2),
         "kg_fused_weighted": SVO_TRIPLES_CTE
         + (
             ", kg_w AS (SELECT t.subject AS src, t.verb AS predicate, "

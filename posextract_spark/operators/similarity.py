@@ -735,6 +735,99 @@ def pq_encode(
     )
 
 
+def pq_codebooks_kmeans(
+    df: DataFrame,
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """TRAINED per-subspace PQ codebooks: Lloyd's k-means on each of the m
+    subvector spaces (init = the _pq_codebooks id-slices), the production
+    quantizer (VERDICT r6 item 2). Same engine-exact arithmetic contract as
+    kmeans_centroids — fixed-point sim_e6 assignment with smallest-cid
+    tie-break, integer fixed-point member sums (partition-order free),
+    floor(sum/count)/1e6 updates, empty clusters keep their centroid — so
+    the DuckDB mirror (per-subspace unrolled CTE chains) reproduces
+    bit-identical codebooks.
+
+    Scale shape per iteration: ALL m subspaces train in ONE fused pass —
+    a scan-side projection computes every subspace's argmax over the
+    Generate-materialized double vector, one explode + posexplode emits
+    (subspace, code, dim, val) rows, and a single map-side-combinable
+    groupBy reduces them to m * k_sub * dsub longs on the driver (the
+    model artifact). m separate kmeans runs would scan the corpus
+    m * n_iter times; this scans it n_iter times."""
+    import math
+
+    from posextract_spark.functions.boundary import materialize
+
+    books = _pq_codebooks(df, m, k_sub, id_col, vec_col)
+    dsub = len(books[0][0][1])
+    g = materialize(
+        df.select(id_col, vec_col),
+        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
+    )
+    for _ in range(n_iter):
+        subs = []
+        for s in range(m):
+            e_s = F.slice(F.col("__pq_e"), s * dsub + 1, dsub)
+            norm_s = F.sqrt(
+                F.aggregate(
+                    F.transform(e_s, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+                )
+            )
+            best = _best_centroid_expr(e_s, norm_s, _centroid_struct_array(books[s]))
+            subs.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    (-best["ncid"]).cast("int").alias("code"),
+                    e_s.alias("vals"),
+                )
+            )
+        # three selects: lambda-struct resolution must not share a
+        # projection with a generator (kmeans_centroids' FIELD_NOT_FOUND
+        # note); CollapseProject fuses the stages back together.
+        ex = (
+            g.select(F.array(*subs).alias("_ts"))
+            .select(F.explode("_ts").alias("_t"))
+            .select(
+                F.col("_t.s").alias("s"),
+                F.col("_t.code").alias("code"),
+                F.posexplode(F.col("_t.vals")).alias("pos", "val"),
+            )
+        )
+        rows = (
+            ex.groupBy("s", "code", "pos")
+            .agg(
+                F.sum(F.floor(F.col("val") * F.lit(1000000.0)).cast("long")).alias("ssum"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        acc: dict = {}
+        for r in rows:
+            # float(s)/c matches the mirror's CAST(sum AS DOUBLE)/count
+            # (see kmeans_centroids)
+            acc.setdefault((r.s, r.code), {})[r.pos] = (
+                math.floor(float(r.ssum) / r.c) / 1000000.0
+            )
+        books = [
+            [
+                (
+                    cid,
+                    [acc[(s, cid)][p] for p in range(dsub)]
+                    if (s, cid) in acc
+                    else vec,
+                )
+                for cid, vec in books[s]
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
 def pq_adc_topk(
     df: DataFrame,
     query_id: int = 0,
@@ -743,6 +836,8 @@ def pq_adc_topk(
     k_sub: int = PQ_KSUB,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks=None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(id, adc_e6) — asymmetric-distance top-k: the query (the embedding
     of ``query_id``) is scored against every row's PQ CODES via
@@ -755,14 +850,38 @@ def pq_adc_topk(
     (Catalyst constant-folds them once; DuckDB mirrors the same
     expressions) — computing them in Python could differ in the last ulp
     of the float fold and break the oracle hash. Top-k is a
-    TakeOrderedAndProject with total-order (adc desc, id) tie-break."""
+    TakeOrderedAndProject with total-order (adc desc, id) tie-break.
+
+    ``codebooks`` overrides the deterministic id-slice quantizer (pass
+    pq_codebooks_kmeans(df) for trained ones); ``candidates`` (a 1-column
+    id frame, broadcast) restricts scoring to those rows — the IVF-PQ
+    composition's probe set."""
     from posextract_spark.functions.boundary import materialize
 
-    books = _pq_codebooks(df, m, k_sub, id_col, vec_col)
+    books = codebooks or _pq_codebooks(df, m, k_sub, id_col, vec_col)
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head(1)
     if not qrow:
         raise ValueError(f"pq_adc_topk: query_id {query_id} not found")
     qvec = [float(x) for x in qrow[0][0]]
+
+    base = df.select(id_col, vec_col)
+    if candidates is not None:
+        base = base.join(F.broadcast(candidates), id_col)
+    g = materialize(
+        base,
+        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
+    )
+    codes = g.select(F.col(id_col).alias("id"), _pq_sub_structs(books, m).alias("_ss"))
+    adc = codes.select("id", _adc_sum_expr(books, qvec, m).alias("adc_e6"))
+    return adc.orderBy(F.col("adc_e6").desc(), F.col("id").asc()).limit(k)
+
+
+def _adc_sum_expr(books, qvec, m):
+    """sum-over-subspaces ADC lookup column (expects the per-row code
+    structs in ``_ss``): table_s = literal map code -> sim_e6(query_sub_s,
+    codebook_s[code]), built as literal-vs-literal IN-ENGINE arithmetic so
+    Catalyst constant-folds each table once and the DuckDB mirror's
+    identical expressions fold to the same bits."""
     dsub = len(qvec) // m
 
     def table_lookup(s, code_col):
@@ -790,28 +909,91 @@ def pq_adc_topk(
         )
         return F.element_at(table, code_col)
 
+    return sum(
+        table_lookup(s, F.col("_ss")[s]["code"]) for s in range(m)
+    ).cast("long")
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = IVF_K,
+    nprobe: int = 1,
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """(id, adc_e6) — the production billion-vector ANN index shape
+    (VERDICT r6 item 2): IVF coarse probe narrows the corpus to the
+    ``nprobe`` inverted lists nearest the query, then PQ asymmetric-
+    distance re-ranks ONLY those rows via per-subspace lookup tables.
+    Pass ``centroids=kmeans_centroids(df)`` / ``codebooks=
+    pq_codebooks_kmeans(df)`` for the trained quantizers.
+
+    Scale shape — ONE scan, no joins: a single projection computes both
+    the row's coarse assignment (scan-side argmax over centroid literals,
+    same plan as ivf_assign) and its PQ codes; the probe is a FILTER on
+    centroid_id against ``nprobe`` driver-side ints (the query's ranked
+    centroids — an O(n_centroids * dim) driver computation), then ADC +
+    TakeOrderedAndProject. In production the encoded table is stored
+    partitioned by centroid_id, so this filter is partition pruning: the
+    scan touches ~nprobe/n_centroids of the data and reads m codes per
+    row, not the raw vectors. Contrast pq_adc_topk(candidates=...): no
+    id-list is ever broadcast here, only centroid ids."""
+    from posextract_spark.functions.boundary import materialize
+
+    cents = centroids if centroids is not None else _centroid_literals(
+        df, n_centroids, id_col, vec_col
+    )
+    books = codebooks or _pq_codebooks(df, m, k_sub, id_col, vec_col)
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head(1)
+    if not qrow:
+        raise ValueError(f"ivf_pq_topk: query_id {query_id} not found")
+    qvec = [float(x) for x in qrow[0][0]]
+    probe_cids = [
+        cid
+        for cid, _ in sorted(
+            cents, key=lambda cv: (-_fixed_sim_e6(qvec, cv[1]), cv[0])
+        )[:nprobe]
+    ]
     g = materialize(
         df.select(id_col, vec_col),
         __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
     )
-    codes = g.select(F.col(id_col).alias("id"), _pq_sub_structs(books, m).alias("_ss"))
-    adc = codes.select(
-        "id",
-        sum(
-            table_lookup(s, F.col("_ss")[s]["code"]) for s in range(m)
-        ).cast("long").alias("adc_e6"),
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__pq_e"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
     )
+    best = _best_centroid_expr(F.col("__pq_e"), norm, _centroid_struct_array(cents))
+    assigned = g.select(
+        F.col(id_col).alias("id"),
+        (-best["ncid"]).alias("centroid_id"),
+        _pq_sub_structs(books, m).alias("_ss"),
+    ).filter(F.col("centroid_id").isin(probe_cids))
+    adc = assigned.select("id", _adc_sum_expr(books, qvec, m).alias("adc_e6"))
     return adc.orderBy(F.col("adc_e6").desc(), F.col("id").asc()).limit(k)
 
 
-def _pq_sub_sql(s: int, dsub: int, k_sub: int) -> str:
-    """Per-subspace assign CTE chain (mirrors one _pq_sub_structs entry)."""
+def _pq_sub_sql(s: int, dsub: int, k_sub: int, cb_name: str | None = None) -> str:
+    """Per-subspace assign CTE chain (mirrors one _pq_sub_structs entry).
+    ``cb_name`` points the assignment at an externally-defined codebook CTE
+    (cols cid, cvec — the trained-kmeans chain) instead of defining the
+    deterministic id-slice codebook inline."""
     lo, hi = s * dsub + 1, (s + 1) * dsub
-    return f"""
+    cb = cb_name or f"_pqc{s}"
+    cb_def = "" if cb_name else f"""
 _pqc{s} AS (
   SELECT vec_id AS cid,
          list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS cvec
-  FROM embeddings WHERE vec_id < {k_sub}),
+  FROM embeddings WHERE vec_id < {k_sub}),"""
+    return f"""{cb_def}
 _pqp{s} AS (
   SELECT v.vec_id, CAST(c.cid AS INTEGER) AS code,
     CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(v.e{s}, x -> x * x), 'sum'))
@@ -820,19 +1002,57 @@ _pqp{s} AS (
       / (sqrt(list_aggregate(list_transform(v.e{s}, x -> x * x), 'sum'))
          * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) END)
       * 1000000.0) AS BIGINT) AS sim_e6
-  FROM _pqv v CROSS JOIN _pqc{s} c),
+  FROM _pqv v CROSS JOIN {cb} c),
 _pqa{s} AS (
   SELECT vec_id, code, sim_e6 FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e6 DESC, code ASC) AS rn
     FROM _pqp{s}) WHERE rn = 1)"""
 
 
-def _pq_vecs_sql(m: int, dsub: int) -> str:
+def _pq_vecs_sql(m: int, dsub: int, from_sql: str = "embeddings") -> str:
     slices = ", ".join(
         f"list_transform(embedding[{s * dsub + 1}:{(s + 1) * dsub}], x -> x::DOUBLE) AS e{s}"
         for s in range(m)
     )
-    return f"_pqv AS (SELECT vec_id, {slices} FROM embeddings)"
+    return f"_pqv AS (SELECT vec_id, {slices} FROM {from_sql})"
+
+
+def _pq_query_tables_sql(query_id: int, m: int, dsub: int, cb_names=None):
+    """_pqq{s} (query subvector) + _pqt{s} (code -> qsim_e6 lookup table)
+    CTEs — the SQL rendering of _adc_sum_expr's literal tables.
+    ``cb_names[s]`` points table s at an external codebook CTE (trained
+    k-means chain); default is the inline id-slice codebook _pqc{s}."""
+    parts = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        cb = cb_names[s] if cb_names else f"_pqc{s}"
+        parts.append(f"""
+_pqq{s} AS (
+  SELECT list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS q
+  FROM embeddings WHERE vec_id = {query_id}),
+_pqt{s} AS (
+  SELECT c.cid,
+    CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(q.q, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
+      list_aggregate(list_transform(generate_series(1, len(q.q)), i -> q.q[i] * c.cvec[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(q.q, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) END)
+      * 1000000.0) AS BIGINT) AS qsim_e6
+  FROM {cb} c CROSS JOIN _pqq{s} q)""")
+    return parts
+
+
+def _pq_adc_final_sql(k: int, m: int) -> str:
+    joins = " ".join(
+        f"JOIN _pqa{s} a{s} ON a{s}.vec_id = v.vec_id "
+        f"JOIN _pqt{s} t{s} ON t{s}.cid = a{s}.code"
+        for s in range(m)
+    )
+    total = " + ".join(f"t{s}.qsim_e6" for s in range(m))
+    return f"""
+SELECT v.vec_id AS id, CAST({total} AS BIGINT) AS adc_e6
+FROM _pqv v {joins}
+ORDER BY adc_e6 DESC, id ASC LIMIT {k}"""
 
 
 def pq_encode_sql(m: int = PQ_M, k_sub: int = PQ_KSUB, dim: int = 64) -> str:
@@ -854,34 +1074,112 @@ def pq_adc_topk_sql(
     dsub = dim // m
     parts = [_pq_vecs_sql(m, dsub)]
     parts += [_pq_sub_sql(s, dsub, k_sub) for s in range(m)]
+    parts += _pq_query_tables_sql(query_id, m, dsub)
+    return "WITH " + ",".join(parts) + _pq_adc_final_sql(k, m)
+
+
+def _pq_kmeans_chain(s: int, dsub: int, k_sub: int, n_iter: int):
+    """(cte_fragment, final_codebook_name) — the per-subspace unrolled
+    Lloyd chain mirroring one subspace of pq_codebooks_kmeans(): id-slice
+    init, fixed-point cosine assignment with (sim desc, cid asc) argmax,
+    integer fixed-point member sums, floor(sum/count)/1e6 updates,
+    COALESCE keeps empty clusters. Same contract as kmeans_cents_cte but
+    over the _pqv subvector column e{s}."""
+    lo, hi = s * dsub + 1, (s + 1) * dsub
+    norms = (
+        f"(sqrt(list_aggregate(list_transform(v.e{s}, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum')))"
+    )
+    cos = (
+        "CAST(floor((CASE WHEN " + norms + " = 0 THEN -2.0 ELSE "
+        f"list_aggregate(list_transform(generate_series(1, len(v.e{s})), j -> v.e{s}[j] * c.cvec[j]), 'sum')"
+        " / " + norms + " END)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    parts = [
+        f"""sp{s}c0 AS (
+  SELECT vec_id AS cid, list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS cvec
+  FROM embeddings WHERE vec_id < {k_sub})"""
+    ]
+    for i in range(n_iter):
+        parts.append(f"""sp{s}p{i} AS (
+  SELECT v.vec_id, c.cid, {cos} AS sim_e6
+  FROM _pqv v CROSS JOIN sp{s}c{i} c),
+sp{s}a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e6 DESC, cid ASC) AS rn
+    FROM sp{s}p{i}) WHERE rn = 1),
+sp{s}u{i} AS (
+  SELECT a.cid, t.d,
+    CAST(floor(CAST(sum(CAST(floor(v.e{s}[t.d] * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*)) AS DOUBLE)
+      / 1000000.0 AS x
+  FROM sp{s}a{i} a JOIN _pqv v ON a.vec_id = v.vec_id
+  CROSS JOIN UNNEST(generate_series(1, len(v.e{s}))) AS t(d)
+  GROUP BY a.cid, t.d),
+sp{s}cu{i} AS (SELECT cid, list(x ORDER BY d) AS cvec FROM sp{s}u{i} GROUP BY cid),
+sp{s}c{i+1} AS (
+  SELECT c.cid, COALESCE(u.cvec, c.cvec) AS cvec
+  FROM sp{s}c{i} c LEFT JOIN sp{s}cu{i} u ON c.cid = u.cid)""")
+    return ",\n".join(parts), f"sp{s}c{n_iter}"
+
+
+def pq_encode_kmeans_sql(
+    m: int = PQ_M, k_sub: int = PQ_KSUB, n_iter: int = 2, dim: int = 64
+) -> str:
+    """DuckDB mirror of pq_encode(df, codebooks=pq_codebooks_kmeans(df)):
+    m unrolled per-subspace Lloyd chains feed the per-subspace assignment
+    CTEs via _pq_sub_sql's cb_name hook."""
+    dsub = dim // m
+    parts = [_pq_vecs_sql(m, dsub)]
+    finals = []
     for s in range(m):
-        lo, hi = s * dsub + 1, (s + 1) * dsub
-        parts.append(f"""
-_pqq{s} AS (
-  SELECT list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS q
-  FROM embeddings WHERE vec_id = {query_id}),
-_pqt{s} AS (
-  SELECT c.cid,
-    CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(q.q, x -> x * x), 'sum'))
-         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
-      list_aggregate(list_transform(generate_series(1, len(q.q)), i -> q.q[i] * c.cvec[i]), 'sum')
-      / (sqrt(list_aggregate(list_transform(q.q, x -> x * x), 'sum'))
-         * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum'))) END)
-      * 1000000.0) AS BIGINT) AS qsim_e6
-  FROM _pqc{s} c CROSS JOIN _pqq{s} q)""")
-    joins = " ".join(
-        f"JOIN _pqa{s} a{s} ON a{s}.vec_id = v.vec_id "
-        f"JOIN _pqt{s} t{s} ON t{s}.cid = a{s}.code"
+        chain, final = _pq_kmeans_chain(s, dsub, k_sub, n_iter)
+        parts.append(chain)
+        finals.append(final)
+    parts += [_pq_sub_sql(s, dsub, k_sub, cb_name=finals[s]) for s in range(m)]
+    union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({s} AS INTEGER) AS subspace, code, sim_e6 FROM _pqa{s}"
         for s in range(m)
     )
-    total = " + ".join(f"t{s}.qsim_e6" for s in range(m))
-    return (
-        "WITH " + ",".join(parts)
-        + f"""
-SELECT v.vec_id AS id, CAST({total} AS BIGINT) AS adc_e6
-FROM _pqv v {joins}
-ORDER BY adc_e6 DESC, id ASC LIMIT {k}"""
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
+def ivf_pq_topk_sql(
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 1,
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of ivf_pq_topk(): coarse assign (the IVF_ASSIGN CTE),
+    query-ranked probe centroids (same fixed-point sim + (sim desc, cid)
+    order as the driver-side _fixed_sim_e6 ranking), then PQ codes + ADC
+    restricted to the probed inverted lists."""
+    dsub = dim // m
+    qnorms = (
+        "(sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(c.cvec, x -> x * x), 'sum')))"
     )
+    qcos = (
+        "CAST(floor((CASE WHEN " + qnorms + " = 0 THEN -2.0 ELSE "
+        "list_aggregate(list_transform(generate_series(1, len(q.qv)), j -> q.qv[j] * c.cvec[j]), 'sum')"
+        " / " + qnorms + " END)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    parts = [
+        f"""q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = {query_id}),
+qprobe AS (
+  SELECT CAST(c.cid AS INTEGER) AS cid
+  FROM cents c CROSS JOIN q
+  ORDER BY {qcos} DESC, c.cid ASC LIMIT {nprobe}),
+probe AS (SELECT a.vec_id FROM assign a JOIN qprobe ON a.centroid_id = qprobe.cid)""",
+        _pq_vecs_sql(m, dsub, from_sql="embeddings JOIN probe USING (vec_id)"),
+    ]
+    parts += [_pq_sub_sql(s, dsub, k_sub) for s in range(m)]
+    parts += _pq_query_tables_sql(query_id, m, dsub)
+    return _IVF_ASSIGN_CTE + ", " + ",".join(parts) + _pq_adc_final_sql(k, m)
 
 
 # --- feature-hash document embeddings ----------------------------------------

@@ -248,3 +248,50 @@ def test_pq_adc_query_ranks_itself_first(spark):
     # its ADC total is the global maximum
     assert top[0]["id"] == 7
     assert top[0]["adc_e6"] >= top[-1]["adc_e6"]
+
+
+def test_pq_kmeans_codebooks_train_and_improve(spark):
+    """Trained codebooks (VERDICT r6 item 2): training actually moves the
+    id-slice init, cluster counts stay k_sub per subspace, and the trained
+    quantizer's total encode distortion (sum of assignment sim_e6) is no
+    worse than the untrained one."""
+    from posextract_spark.operators.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        _pq_codebooks,
+        pq_codebooks_kmeans,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    init = _pq_codebooks(emb, PQ_M, PQ_KSUB, "vec_id", "embedding")
+    trained = pq_codebooks_kmeans(emb, n_iter=2)
+    assert len(trained) == PQ_M
+    assert all(len(book) == PQ_KSUB for book in trained)
+    assert trained != init  # Lloyd moved at least one centroid
+    # same cid labels, same dsub
+    for s in range(PQ_M):
+        assert [cid for cid, _ in trained[s]] == [cid for cid, _ in init[s]]
+        assert all(len(vec) == len(init[s][0][1]) for _, vec in trained[s])
+
+    sum_init = pq_encode(emb, codebooks=init).agg({"sim_e6": "sum"}).head()[0]
+    sum_trained = pq_encode(emb, codebooks=trained).agg({"sim_e6": "sum"}).head()[0]
+    assert sum_trained >= sum_init  # Lloyd is monotone in total similarity
+
+
+def test_ivf_pq_full_probe_equals_adc_and_plan_has_no_join(spark):
+    """nprobe == n_centroids degenerates IVF-PQ to plain full-corpus ADC,
+    and the physical plan is ONE scan with a centroid filter — no join, no
+    broadcast of id lists (the partition-pruning production shape)."""
+    from posextract_spark.operators.similarity import IVF_K, ivf_pq_topk, pq_adc_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = [tuple(r) for r in ivf_pq_topk(emb, query_id=3, k=10, nprobe=IVF_K).collect()]
+    adc = [tuple(r) for r in pq_adc_topk(emb, query_id=3, k=10).collect()]
+    assert full == adc
+
+    q = ivf_pq_topk(emb, query_id=3, k=10, nprobe=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
