@@ -1575,6 +1575,23 @@ def q_ivf_pq_topk(spark, sf_dir):
     )
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    """Retrieval QUALITY measured, not assumed (VERDICT r6 item 1): recall@10
+    of IVF search vs brute-force cosine over the 20 smallest-id query
+    vectors, one row per nprobe — the index family's analogue of the
+    triples DIFFERENTIAL. Exact integer hit counts, so oracle-hashable
+    (operators/similarity.ann_recall_ivf; tools/recall.py sweeps the whole
+    index family into RECALL.md)."""
+    from posextract_spark.operators.similarity import ann_recall_ivf
+
+    return ann_recall_ivf(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_queries=20,
+        k=10,
+        nprobes=(1, 2, 4),
+    )
+
+
 def q_seed_relevance(spark, sf_dir):
     """Top-25 documents by integer BM25-style relevance to a fixed seed
     vocabulary — the CCNet-style "looks like the seed corpus" curation
@@ -1892,36 +1909,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_view": q_events_asof_view,
         "url_dedup_groups": q_url_dedup_groups,
         "corpus_quality_filter": q_corpus_quality_filter,
-        "mask_pii": q_mask_pii,
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
-        "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
+        "minhash_dedup_best_survivors": q_minhash_dedup_best_survivors,
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
-        "lm_familiarity": q_lm_familiarity,
         "simhash": q_simhash,
         "ngram_jaccard_stats": q_ngram_jaccard_stats,
         "cosine_topk": q_cosine_topk,
         "bpe_train_merges": q_bpe_train_merges,
-        "ivf_assign": q_ivf_assign,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "pq_encode_kmeans": q_pq_encode_kmeans,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "hash_embeddings": q_hash_embeddings,
+        "cms_top_tokens": q_cms_top_tokens,
+        "corpus_index_pipeline": q_corpus_index_pipeline,
         "kg_fused_edges": q_kg_fused_edges,
         "embedding_neardup": q_embedding_neardup,
         "media_image_features": q_media_image_features,
         "decontaminate_bloom": q_decontaminate_bloom,
         "kg_edges": q_kg_edges,
-        "kg_nodes": q_kg_nodes,
-        "kg_degree_stats": q_kg_degree_stats,
         "kg_triangles": q_kg_triangles,
         "kg_pagerank": q_kg_pagerank,
+        "kg_shortest_paths": q_kg_shortest_paths,
         "entity_link": q_entity_link,
         "entity_link_scored": q_entity_link_scored,
         "connected_components_star": q_connected_components_star,
         "kg_pages_pipeline": q_kg_pages_pipeline,
         "kg_nodes_canonical": q_kg_nodes_canonical,
         "validate_data": q_validate_data,
-        "syntax_check": q_syntax_check,
-        "tag_sentence": q_tag_sentence,
         "stratified_take": q_stratified_take,
         "salted_doc_counts": q_salted_doc_counts,
         "hash_split": q_hash_split,
@@ -1953,6 +1970,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lm_familiarity earn driver-checked rows (their families keep
     image/frame_sample and assign rows in the 50)."""
     return {
+        # r7 rotation OUT (VERDICT r6 item 3: the r6-final flagships +
+        # the r7 trained-PQ/recall trio earn driver rows; these leave the
+        # 50 from multiply-covered families): minhash keeps signatures +
+        # both survivor variants; evalops keeps validate_data +
+        # stratified_take; textops keeps token_count / quality_score /
+        # language_id / corpus_quality_filter; IVF keeps cosine_topk +
+        # ann_recall_ivf + ivf_pq_topk; the KG graph suite keeps
+        # edges/triangles/pagerank/shortest_paths + the pipeline rows.
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "lm_familiarity": q_lm_familiarity,
+        "ivf_assign": q_ivf_assign,
+        "kg_nodes": q_kg_nodes,
+        "kg_degree_stats": q_kg_degree_stats,
+        "syntax_check": q_syntax_check,
+        "tag_sentence": q_tag_sentence,
+        "mask_pii": q_mask_pii,
         "fingerprint": q_fingerprint,
         "lsh_bucket": q_lsh_bucket,
         "media_frame_sample": q_media_frame_sample,
@@ -1978,14 +2011,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "quality_classifier_weights": q_quality_classifier_weights,
         "bpe_trained_vocab": q_bpe_trained_vocab,
-        "hash_embeddings": q_hash_embeddings,
         "hash_embed_topk": q_hash_embed_topk,
         "hash_embeddings_idf": q_hash_embeddings_idf,
         "passage_search_topk": q_passage_search_topk,
-        "kg_shortest_paths": q_kg_shortest_paths,
-        "corpus_index_pipeline": q_corpus_index_pipeline,
-        "minhash_dedup_best_survivors": q_minhash_dedup_best_survivors,
-        "cms_top_tokens": q_cms_top_tokens,
         "corpus_length_quantiles": q_corpus_length_quantiles,
         "source_quality_report": q_source_quality_report,
         "kg_kcore": q_kg_kcore,
@@ -2033,8 +2061,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_relevance": q_seed_relevance,
         "pq_encode": q_pq_encode,
         "pq_adc_topk": q_pq_adc_topk,
-        "pq_encode_kmeans": q_pq_encode_kmeans,
-        "ivf_pq_topk": q_ivf_pq_topk,
     }
 
 
@@ -2332,6 +2358,7 @@ FROM _cip GROUP BY bucket"""
         "pq_adc_topk": _sim.pq_adc_topk_sql(query_id=0, k=10),
         "pq_encode_kmeans": _sim.pq_encode_kmeans_sql(n_iter=2),
         "ivf_pq_topk": _sim.ivf_pq_topk_sql(query_id=0, k=10, nprobe=2),
+        "ann_recall_ivf": _sim.ann_recall_ivf_sql(n_queries=20, k=10, nprobes=(1, 2, 4)),
         "kg_fused_weighted": SVO_TRIPLES_CTE
         + (
             ", kg_w AS (SELECT t.subject AS src, t.verb AS predicate, "

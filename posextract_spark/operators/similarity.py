@@ -1182,6 +1182,221 @@ probe AS (SELECT a.vec_id FROM assign a JOIN qprobe ON a.centroid_id = qprobe.ci
     return _IVF_ASSIGN_CTE + ", " + ",".join(parts) + _pq_adc_final_sql(k, m)
 
 
+# --- ANN retrieval-quality measurement ----------------------------------------
+
+
+def ann_recall_ivf(
+    df: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    nprobes=(1, 2, 4),
+    n_centroids: int = IVF_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """(nprobe, hits, recall_e2) — recall@k of IVF search vs brute-force
+    cosine, measured over the ``n_queries`` smallest-id vectors as queries
+    (VERDICT r6 item 1: the retrieval-quality analogue of DIFFERENTIAL.md
+    — every index previously proved only its own arithmetic). hits = how
+    many of the Q*k brute-force top-k pairs the nprobe-probe IVF search
+    also returns; recall_e2 = floor(100 * hits / (Q * k)).
+
+    Exact by construction (ties broken (sim desc, id asc) on both engines;
+    integer hit counts), so the DuckDB mirror hash-matches.
+
+    Scale shape — an EVALUATION harness, run on a bounded query sample,
+    not a per-row production path: ONE Q x N similarity materialization
+    (queries broadcast) feeds both the brute-force ground truth and every
+    nprobe arm; per-query top-k is a groupBy collect_list/sort_array/slice
+    (no ranking Window, bounded by the sample); the per-row centroid
+    assignment rides the same scan; the query-side centroid ranking is
+    scan-side over Q rows. Cost is Q scans' worth of dot products — the
+    price of ground truth, independent of corpus partitioning."""
+    cents = centroids if centroids is not None else _centroid_literals(
+        df, n_centroids, id_col, vec_col
+    )
+    cent_arr = _centroid_struct_array(cents)
+    base = _ivf_base(df, id_col, vec_col)
+    best = _best_centroid(cent_arr)
+    rows = base.select(
+        F.col(id_col).alias("id"),
+        F.col("_e"),
+        F.col("_norm"),
+        (-best["ncid"]).alias("centroid_id"),
+    )
+    qf = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"),
+        F.col("_e").alias("_qe"),
+        F.col("_norm").alias("_qnorm"),
+    )
+
+    def fixed_cos(dot, denom):
+        cos = F.when(denom != 0, dot / denom).otherwise(F.lit(-2.0))
+        return F.floor(cos * F.lit(1000000.0)).cast("bigint")
+
+    sims = rows.crossJoin(F.broadcast(qf)).select(
+        "qid",
+        "id",
+        "centroid_id",
+        fixed_cos(
+            F.aggregate(
+                F.zip_with(F.col("_e"), F.col("_qe"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            F.col("_norm") * F.col("_qnorm"),
+        ).alias("sim_e6"),
+    )
+
+    def topk_per(grp_cols, frame):
+        # no-Window per-group top-k: sort_array of (-sim, id) structs,
+        # slice k, explode — total order (sim desc, id asc)
+        return (
+            frame.groupBy(*grp_cols)
+            .agg(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.struct((-F.col("sim_e6")).alias("ns"), F.col("id").alias("id")))
+                    ),
+                    1,
+                    k,
+                ).alias("_top")
+            )
+            .select(*grp_cols, F.explode("_top").alias("_t"))
+            .select(*grp_cols, F.col("_t.id").alias("id"))
+        )
+
+    brute = topk_per(["qid"], sims)
+
+    # query-side centroid ranking: scan-side sort of the centroid literal
+    # array by (sim desc, cid asc); two selects around the generator
+    # (lambda-struct + Generate analysis trap, see kmeans_centroids)
+    def qsim(c):
+        dot = F.aggregate(
+            F.zip_with(F.col("_qe"), c["cvec"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        return fixed_cos(dot, F.col("_qnorm") * c["cnorm"])
+
+    ranked = F.sort_array(
+        F.transform(
+            cent_arr, lambda c: F.struct((-qsim(c)).alias("ns"), c["cid"].alias("cid"))
+        )
+    )
+    qrk = (
+        qf.select("qid", ranked.alias("_ra"))
+        .select("qid", F.posexplode("_ra").alias("pos", "rc"))
+        .select("qid", (F.col("pos") + 1).alias("rnk"), F.col("rc.cid").alias("cid"))
+    )
+
+    probed = (
+        sims.join(
+            F.broadcast(qrk),
+            (sims["qid"] == qrk["qid"]) & (sims["centroid_id"] == qrk["cid"]),
+        )
+        .select(sims["qid"], "id", "sim_e6", "rnk")
+        .select(
+            "*", F.explode(F.array(*[F.lit(int(p)) for p in nprobes])).alias("nprobe")
+        )
+        .filter(F.col("rnk") <= F.col("nprobe"))
+    )
+    ivfk = topk_per(["qid", "nprobe"], probed)
+    hits = (
+        ivfk.join(brute, ["qid", "id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    np_df = df.sparkSession.createDataFrame([(int(p),) for p in nprobes], "nprobe int")
+    denom = n_queries * k
+    return (
+        np_df.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.floor(
+                F.coalesce(F.col("hits"), F.lit(0)) * F.lit(100.0) / F.lit(float(denom))
+            )
+            .cast("bigint")
+            .alias("recall_e2"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _cos_pair_sql(a: str, b: str) -> str:
+    """DuckDB fixed-point cosine between two list expressions — the same
+    sequential-fold arithmetic as _COS_SQL with explicit operands."""
+    norms = (
+        f"(sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))"
+    )
+    return (
+        "CAST(floor((CASE WHEN " + norms + " = 0 THEN -2.0 ELSE "
+        f"list_aggregate(list_transform(generate_series(1, len({a})), j -> {a}[j] * {b}[j]), 'sum')"
+        " / " + norms + " END)"
+        " * 1000000.0) AS BIGINT)"
+    )
+
+
+def ann_recall_ivf_sql(
+    n_queries: int = 20, k: int = 10, nprobes=(1, 2, 4), n_centroids: int = IVF_K
+) -> str:
+    """DuckDB mirror of ann_recall_ivf (id-slice centroids)."""
+    np_values = ", ".join(f"({int(p)})" for p in nprobes)
+    denom = n_queries * k
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec
+  FROM embeddings WHERE vec_id < {n_centroids}),
+vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+qs AS (SELECT vec_id AS qid, e AS qe FROM vecs WHERE vec_id < {n_queries}),
+sims AS (
+  SELECT q.qid, v.vec_id, {_cos_pair_sql("v.e", "q.qe")} AS sim_e6
+  FROM vecs v CROSS JOIN qs q),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, vec_id ASC) AS rn
+    FROM sims) WHERE rn <= {k}),
+cpairs AS (
+  SELECT v.vec_id, c.cid, {_cos_pair_sql("v.e", "c.cvec")} AS sim_e6
+  FROM vecs v CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim_e6 DESC, cid ASC) AS rn
+    FROM cpairs) WHERE rn = 1),
+qcent AS (
+  SELECT q.qid, c.cid, {_cos_pair_sql("q.qe", "c.cvec")} AS sim_e6
+  FROM qs q CROSS JOIN cents c),
+qrank AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, cid ASC) AS rnk
+  FROM qcent),
+probed AS (
+  SELECT s.qid, s.vec_id, s.sim_e6, np.nprobe
+  FROM sims s
+  JOIN assign a ON s.vec_id = a.vec_id
+  JOIN qrank r ON r.qid = s.qid AND r.cid = a.centroid_id
+  CROSS JOIN (VALUES {np_values}) AS np(nprobe)
+  WHERE r.rnk <= np.nprobe),
+ivfk AS (
+  SELECT qid, nprobe, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid, nprobe ORDER BY sim_e6 DESC, vec_id ASC) AS rn
+    FROM probed) WHERE rn <= {k}),
+hit_counts AS (
+  SELECT i.nprobe, count(*) AS hits
+  FROM ivfk i JOIN brute b ON b.qid = i.qid AND b.vec_id = i.vec_id
+  GROUP BY i.nprobe)
+SELECT np.nprobe,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(floor(COALESCE(h.hits, 0) * 100.0 / {denom}.0) AS BIGINT) AS recall_e2
+FROM (VALUES {np_values}) AS np(nprobe)
+LEFT JOIN hit_counts h ON h.nprobe = np.nprobe
+ORDER BY np.nprobe
+"""
+
+
 # --- feature-hash document embeddings ----------------------------------------
 
 
