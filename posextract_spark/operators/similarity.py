@@ -1285,18 +1285,25 @@ def ann_recall_ivf(
             cent_arr, lambda c: F.struct((-qsim(c)).alias("ns"), c["cid"].alias("cid"))
         )
     )
+    # rename the rank frame's keys: sims and qrk share lineage (both derive
+    # from base), so joining on same-named attributes would hit Spark's
+    # ambiguous-self-join resolution — explicit names sidestep it
     qrk = (
         qf.select("qid", ranked.alias("_ra"))
         .select("qid", F.posexplode("_ra").alias("pos", "rc"))
-        .select("qid", (F.col("pos") + 1).alias("rnk"), F.col("rc.cid").alias("cid"))
+        .select(
+            F.col("qid").alias("_rqid"),
+            (F.col("pos") + 1).alias("rnk"),
+            F.col("rc.cid").alias("_rcid"),
+        )
     )
 
     probed = (
         sims.join(
             F.broadcast(qrk),
-            (sims["qid"] == qrk["qid"]) & (sims["centroid_id"] == qrk["cid"]),
+            (F.col("qid") == F.col("_rqid")) & (F.col("centroid_id") == F.col("_rcid")),
         )
-        .select(sims["qid"], "id", "sim_e6", "rnk")
+        .select("qid", "id", "sim_e6", "rnk")
         .select(
             "*", F.explode(F.array(*[F.lit(int(p)) for p in nprobes])).alias("nprobe")
         )
