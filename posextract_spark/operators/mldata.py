@@ -81,12 +81,24 @@ def pack_sequences(
     bucket hash bounds it (one sort + running sum per bucket, no global
     order). n_tokens is the whitespace token count (textops token_count
     semantics)."""
+    n_tokens = F.size(word_array(F.col(text_col))).cast("bigint")
+    return _pack_assignment(
+        df.select(F.col(id_col), n_tokens.alias("n_tokens")), id_col, budget, n_buckets
+    )
+
+
+def _pack_assignment(
+    counts: DataFrame, id_col: str, budget: int, n_buckets: int
+) -> DataFrame:
+    """The packing core over a precomputed (id, n_tokens) frame — shared by
+    the whitespace path (pack_sequences) and the BPE-tokenizer path
+    (pack_bpe_sequence_spans); the token-counting policy is the only
+    difference between them."""
     from pyspark.sql import Window
 
-    n_tokens = F.size(word_array(F.col(text_col))).cast("bigint")
-    with_meta = df.select(
+    with_meta = counts.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(n_buckets)).alias(
             "bucket"
         ),
@@ -138,6 +150,12 @@ def pack_sequence_spans(
     packed = pack_sequences(
         df, text_col=text_col, id_col=id_col, budget=budget, n_buckets=n_buckets
     )
+    return _spans_of(packed, id_col, budget)
+
+
+def _spans_of(packed: DataFrame, id_col: str, budget: int) -> DataFrame:
+    """Span export over a _pack_assignment frame (see pack_sequence_spans
+    for the span semantics)."""
     first_bin = F.col("seq_bin")  # floor(bin_offset / budget) by construction
     last_bin = F.floor((F.col("bin_offset") + F.col("n_tokens") - 1) / F.lit(budget)).cast(
         "bigint"
@@ -155,6 +173,80 @@ def pack_sequence_spans(
         F.least(F.col("n_tokens"), b0 + F.lit(budget) - F.col("bin_offset")).alias("tok_end"),
         F.greatest(F.lit(0).cast("bigint"), F.col("bin_offset") - b0).alias("seq_offset"),
     )
+
+
+def bpe_doc_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, n_tokens) — PER-DOCUMENT token counts under a fixed BPE merge
+    list: the real tokenizer's length, not the whitespace proxy
+    (bpe_encode_token_counts gives the corpus-wide frequency table; this
+    gives the per-doc sizes a packer needs).
+
+    Scale shape: the merge chain runs once per DISTINCT word (vocabulary-
+    bounded, the bpe_encode_token_counts argument), never per occurrence —
+    (doc, word) occurrence counts are one map-side-combinable shuffle,
+    then an equi-join on the word against the vocab-sized token-length
+    table and a per-doc re-aggregation. Whitespace-empty documents drop
+    out of the explode; callers that need their zero rows left-join (the
+    span export filters n_tokens > 0 anyway)."""
+    words = word_array(F.lower(F.col(text_col)) if lowercase else F.col(text_col))
+    occ = (
+        docs.select(F.col(id_col), F.explode(words).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    )
+    sym = F.concat(
+        F.lit(_BPE_L),
+        F.concat_ws(_BPE_R + _BPE_L, F.split(F.col("w"), "")),
+        F.lit(_BPE_R),
+    )
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(_bpe_wrap(a) + _bpe_wrap(b)), F.lit(_bpe_wrap(a + b)))
+    spaced = F.replace(sym, F.lit(_BPE_R + _BPE_L), F.lit(" "))
+    tokn = F.size(
+        F.split(
+            F.replace(
+                F.replace(spaced, F.lit(_BPE_L), F.lit("")), F.lit(_BPE_R), F.lit("")
+            ),
+            " ",
+        )
+    ).cast("long")
+    vocab = occ.select("w").distinct().select("w", tokn.alias("tokn"))
+    return (
+        occ.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("occ") * F.col("tokn")).cast("long").alias("n_tokens"))
+    )
+
+
+def pack_bpe_sequence_spans(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_buckets: int = 32,
+    lowercase: bool = True,
+) -> DataFrame:
+    """pack_sequence_spans, but budgeted by the REAL BPE tokenizer's
+    per-document token counts instead of the whitespace proxy (VERDICT r6
+    item 4: the composition a pretraining pipeline actually packs by —
+    bpe_doc_token_counts feeding the _pack_assignment/_spans_of core).
+    Same output contract as pack_sequence_spans: every full (bucket,
+    seq_bin) sums to exactly ``budget`` BPE tokens.
+
+    Scale shape = bpe_doc_token_counts (vocab-bounded merge chain + two
+    combinable shuffles) + the per-bucket packing window + the scan-side
+    span explode."""
+    counts = bpe_doc_token_counts(
+        docs, merges, text_col=text_col, id_col=id_col, lowercase=lowercase
+    )
+    return _spans_of(_pack_assignment(counts, id_col, budget, n_buckets), id_col, budget)
 
 
 def decontaminate(
@@ -278,6 +370,64 @@ SELECT doc_id, bucket, CAST(seq_bin AS BIGINT) AS seq_bin,
        CAST(greatest(0, bin_offset - seq_bin * 512) AS BIGINT) AS seq_offset
 FROM spans
 """
+
+def pack_bpe_sequence_spans_sql(
+    merges: list[tuple[str, str]],
+    budget: int = 512,
+    n_buckets: int = 32,
+    docs_rel: str = "documents",
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of pack_bpe_sequence_spans(): the
+    bpe_encode_token_counts_sql replace chain computes per-distinct-word
+    token lengths, re-aggregated per doc, feeding the
+    PACK_SEQUENCE_SPANS_SQL window + generate_series span export."""
+    src = "lower(text)" if lowercase else "text"
+    words = WORD_ARRAY_SQL.format(col=src)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    sym = (
+        f"{q(_BPE_L)} || array_to_string(string_split(w, ''), "
+        f"{q(_BPE_R + _BPE_L)}) || {q(_BPE_R)}"
+    )
+    for a, b in merges:
+        sym = f"replace({sym}, {q(_bpe_wrap(a) + _bpe_wrap(b))}, {q(_bpe_wrap(a + b))})"
+    spaced = f"replace({sym}, {q(_BPE_R + _BPE_L)}, ' ')"
+    cleaned = f"replace(replace({spaced}, {q(_BPE_L)}, ''), {q(_BPE_R)}, '')"
+    return f"""
+WITH occ AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ
+  FROM (SELECT doc_id, unnest({words}) AS w FROM {docs_rel})
+  GROUP BY doc_id, w),
+vt AS (
+  SELECT w, CAST(len(string_split({cleaned}, ' ')) AS BIGINT) AS tokn
+  FROM (SELECT DISTINCT w FROM occ)),
+meta AS (
+  SELECT o.doc_id, CAST(sum(o.occ * v.tokn) AS BIGINT) AS n_tokens,
+         (('0x' || substring(md5(CAST(o.doc_id AS VARCHAR)), 1, 15))::BIGINT) % {n_buckets} AS bucket
+  FROM occ o JOIN vt v USING (w)
+  GROUP BY o.doc_id),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS bin_offset
+  FROM meta),
+spans AS (
+  SELECT doc_id, bucket, n_tokens, bin_offset,
+         unnest(generate_series(CAST(floor(bin_offset / {budget}.0) AS BIGINT),
+                                CAST(floor((bin_offset + n_tokens - 1) / {budget}.0) AS BIGINT)))
+           AS seq_bin
+  FROM packed WHERE n_tokens > 0)
+SELECT doc_id, bucket, CAST(seq_bin AS BIGINT) AS seq_bin,
+       CAST(greatest(0, seq_bin * {budget} - bin_offset) AS BIGINT) AS tok_start,
+       CAST(least(n_tokens, seq_bin * {budget} + {budget} - bin_offset) AS BIGINT) AS tok_end,
+       CAST(greatest(0, bin_offset - seq_bin * {budget}) AS BIGINT) AS seq_offset
+FROM spans
+"""
+
 
 DECONTAMINATE_SQL = """
 WITH words AS (

@@ -655,3 +655,64 @@ def test_bpe_trained_vocab_composition_parity(spark):
     base = sum(len(w) for _, t in rows for w in t.split() if w)
     assert (got["n"] * got["token"].str.len()).sum() == base  # lossless
     assert got["n"].sum() < base  # and actually merged something
+
+
+def test_pack_bpe_spans_budget_by_real_tokenizer(spark):
+    """BPE-budgeted packing (VERDICT r6 item 4): per-doc n_tokens must
+    equal the merge chain's actual per-word token counts re-aggregated
+    (Python replay), full bins sum to exactly budget, and the counts
+    differ from the whitespace proxy (the composition matters)."""
+    from collections import defaultdict
+
+    from posextract_spark.operators.mldata import (
+        bpe_doc_token_counts,
+        pack_bpe_sequence_spans,
+    )
+
+    merges = [("e", "r"), ("t", "h"), ("th", "e"), ("a", "n")]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 64
+
+    def bpe_len(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    counts = {
+        r.doc_id: r.n_tokens
+        for r in bpe_doc_token_counts(docs, merges).collect()
+    }
+    ws_differs = 0
+    for row in docs.select("doc_id", "text").collect():
+        words = [w for w in row.text.lower().split(" ") if w]
+        if not words:
+            assert row.doc_id not in counts
+            continue
+        expect = sum(bpe_len(w) for w in words)
+        assert counts[row.doc_id] == expect, row.doc_id
+        if expect != len(words):
+            ws_differs += 1
+    assert ws_differs > 0  # BPE counts are not the whitespace proxy
+
+    spans = pack_bpe_sequence_spans(docs, merges, budget=budget).collect()
+    per_bin = defaultdict(int)
+    per_doc = defaultdict(int)
+    for r in spans:
+        per_bin[(r.bucket, r.seq_bin)] += r.tok_end - r.tok_start
+        per_doc[r.doc_id] += r.tok_end - r.tok_start
+    assert per_doc == {d: n for d, n in counts.items() if n > 0}
+    last_bin = defaultdict(int)
+    for bucket, seq_bin in per_bin:
+        last_bin[bucket] = max(last_bin[bucket], seq_bin)
+    for (bucket, seq_bin), filled in per_bin.items():
+        if seq_bin < last_bin[bucket]:
+            assert filled == budget, (bucket, seq_bin, filled)
