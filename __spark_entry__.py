@@ -1587,6 +1587,23 @@ def q_ivf_pq_topk(spark, sf_dir):
     )
 
 
+def q_ivf_pq_refine_topk(spark, sf_dir):
+    """IVF-PQ with the standard REFINEMENT stage: ADC produces a
+    50-candidate shortlist, exact cosine re-ranks only those raw vectors
+    — how production deployments recover recall lost to quantization
+    (RECALL.md quantifies the jump); only the shortlist's raw vectors are
+    ever read (operators/similarity.ivf_pq_topk(refine=...))."""
+    from posextract_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        query_id=0,
+        k=10,
+        nprobe=2,
+        refine=50,
+    )
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """Retrieval QUALITY measured, not assumed (VERDICT r6 item 1): recall@10
     of IVF search vs brute-force cosine over the 20 smallest-id query
@@ -2074,6 +2091,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_adc_topk": q_pq_adc_topk,
         "pack_bpe_sequences": q_pack_bpe_sequences,
+        "ivf_pq_refine_topk": q_ivf_pq_refine_topk,
     }
 
 
@@ -2374,6 +2392,7 @@ FROM _cip GROUP BY bucket"""
         "pq_adc_topk": _sim.pq_adc_topk_sql(query_id=0, k=10),
         "pq_encode_kmeans": _sim.pq_encode_kmeans_sql(n_iter=2),
         "ivf_pq_topk": _sim.ivf_pq_topk_sql(query_id=0, k=10, nprobe=2),
+        "ivf_pq_refine_topk": _sim.ivf_pq_topk_sql(query_id=0, k=10, nprobe=2, refine=50),
         "ann_recall_ivf": _sim.ann_recall_ivf_sql(n_queries=20, k=10, nprobes=(1, 2, 4)),
         "kg_fused_weighted": SVO_TRIPLES_CTE
         + (

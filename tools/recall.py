@@ -219,6 +219,31 @@ def main():
                 k,
             )
             lines.append(f"| IVF-PQ nprobe={nprobe} | {label} | {r:.2f} |")
+    # the refinement stage (ADC shortlist -> exact re-rank): the production
+    # answer to raw-ADC recall — quantization error only has to keep the
+    # true neighbors inside the shortlist, not rank them
+    for refine in (25, 50):
+        for nprobe in (2, 4):
+            r = recall_loop(
+                ground,
+                lambda q, p=nprobe, rf=refine: [
+                    int(x[0])
+                    for x in ivf_pq_topk(
+                        emb,
+                        query_id=q,
+                        k=k,
+                        nprobe=p,
+                        centroids=cents_km,
+                        codebooks=books_km,
+                        refine=rf,
+                    ).collect()
+                ],
+                qids,
+                k,
+            )
+            lines.append(
+                f"| IVF-PQ nprobe={nprobe} + refine={refine} | k-means (2 iter) | {r:.2f} |"
+            )
     print("IVF-PQ done", time.time() - t0, flush=True)
 
     # --- LSH bucket-restricted ----------------------------------------------
