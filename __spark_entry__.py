@@ -1275,6 +1275,43 @@ def q_training_corpus_pipeline(spark, sf_dir):
     return hash_split(final.select("doc_id"))
 
 
+def q_training_corpus_pipeline_bloom(spark, sf_dir):
+    """The curation chain in its 100-TB configuration (VERDICT r6 item 6):
+    the TRAINED NB classifier replaces the heuristic keep rule
+    (pred_keep=1) and the register-blocked BLOOM filter replaces the
+    exact broadcast decontamination — the regime where the eval shingle
+    set no longer fits a broadcast. Composition: classifier keep ->
+    minhash survivors within kept -> bloom-flagged drop (superset of the
+    exact flag set: false positives only COST coverage, never leak eval
+    data) -> hash split. Oracle: one WITH RECURSIVE chain embedding the
+    classifier mirror as a derived table, the survivors CTEs over the
+    kept set, and bloom_decontaminate_ctes over the cleaned set."""
+    from posextract_spark.operators.bloom import decontaminate_bloom
+    from posextract_spark.operators.classifier import quality_classifier_scores
+    from posextract_spark.operators.dedup import minhash_dedup_survivors
+    from posextract_spark.operators.mldata import hash_split
+
+    docs = _docs(spark, sf_dir)
+    kept_ids = (
+        quality_classifier_scores(docs)
+        .filter(F.col("pred_keep") == 1)
+        .select("doc_id")
+    )
+    kept_docs = docs.join(kept_ids, "doc_id")
+    surv_ids = (
+        minhash_dedup_survivors(kept_docs)
+        .filter(F.col("is_survivor") == 1)
+        .select("doc_id")
+    )
+    clean_docs = kept_docs.join(surv_ids, "doc_id")
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    contaminated = decontaminate_bloom(
+        clean_docs, ev, m_bits=63 * 2048, k=5
+    ).select("doc_id")
+    final = clean_docs.join(contaminated, "doc_id", "anti")
+    return hash_split(final.select("doc_id"))
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -2092,6 +2129,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "pack_bpe_sequences": q_pack_bpe_sequences,
         "ivf_pq_refine_topk": q_ivf_pq_refine_topk,
+        "training_corpus_pipeline_bloom": q_training_corpus_pipeline_bloom,
     }
 
 
@@ -2371,6 +2409,17 @@ FROM _cip GROUP BY bucket"""
         + f"contam AS (SELECT doc_id FROM ({_mldata.DECONTAMINATE_SQL})),\n"
         + "final AS (SELECT doc_id FROM clean WHERE doc_id NOT IN "
         + "(SELECT doc_id FROM contam))\n"
+        + _mldata.hash_split_sql("final"),
+        "training_corpus_pipeline_bloom": "WITH RECURSIVE "
+        + f"kept AS (SELECT doc_id FROM ({_classifier.quality_classifier_scores_sql()}) WHERE pred_keep = 1),\n"
+        + "kept_docs AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),\n"
+        + _dedup_mod.minhash_dedup_survivors_ctes("kept_docs")
+        + ",\nclean AS (SELECT kd.doc_id FROM kept_docs kd JOIN surv USING (doc_id) "
+        + "WHERE surv.is_survivor = 1),\n"
+        + "clean_docs AS (SELECT d.doc_id, d.text FROM documents d JOIN clean USING (doc_id)),\n"
+        + _bloom.bloom_decontaminate_ctes("clean_docs", m_bits=63 * 2048, k=5)
+        + ",\nfinal AS (SELECT doc_id FROM clean WHERE doc_id NOT IN "
+        + "(SELECT doc_id FROM bcontam))\n"
         + _mldata.hash_split_sql("final"),
         "ngram_lm_counts": _textops.ngram_counts_sql(
             "documents", n=3, min_count=3

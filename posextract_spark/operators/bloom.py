@@ -217,6 +217,54 @@ def decontaminate_bloom(
 # --- DuckDB mirrors ----------------------------------------------------------
 
 
+def bloom_decontaminate_ctes(
+    train_rel: str,
+    m_bits: int = 63 * 1024,
+    k: int = 5,
+    eval_filter: str = "doc_id % 29 = 0",
+) -> str:
+    """CTE chain (no WITH prefix) ending in ``bcontam(doc_id,
+    n_contaminated)`` — the composable form of bloom_decontaminate_sql
+    for pipeline oracles: the eval side is documents WHERE
+    ``eval_filter``; the probed side is ``train_rel`` (doc_id, text),
+    typically a filtered intermediate CTE. Same hash/block/mask
+    arithmetic as the standalone mirror."""
+    n_blocks = m_bits // WORD_BITS
+    h = portable_hash64_sql("('bf#' || shingle)")
+    mask = " | ".join(
+        f"(1::BIGINT << CAST(((hh // {1 << 30}) // {64 ** i}) % 64 % {WORD_BITS} AS INT))"
+        for i in range(k)
+    )
+    shingles = (
+        "unnest(list_distinct(CASE WHEN len(ws) >= 5 THEN "
+        "list_transform(generate_series(1, len(ws) - 4), "
+        "i -> array_to_string(ws[i:i+4], ' ')) ELSE [] END)) AS shingle"
+    )
+    return f"""
+bw_ev AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents WHERE {eval_filter}),
+bsh_ev AS (SELECT doc_id, {shingles} FROM bw_ev),
+bhm_ev AS (
+  SELECT (hh % {1 << 30}) % {n_blocks} AS block, {mask} AS mask
+  FROM (SELECT {h} AS hh FROM bsh_ev)),
+bbloom AS (SELECT block AS word_idx, bit_or(mask) AS bits FROM bhm_ev GROUP BY block),
+bw_tr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM {train_rel}),
+bsh_tr AS (SELECT doc_id, {shingles} FROM bw_tr),
+bhm_tr AS (
+  SELECT doc_id, (hh % {1 << 30}) % {n_blocks} AS block, {mask} AS mask
+  FROM (SELECT doc_id, {h} AS hh FROM bsh_tr)),
+bcontam AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM (
+    SELECT t.doc_id,
+           CAST((t.mask & coalesce(b.bits, 0)) = t.mask AS INT) AS in_bloom
+    FROM bhm_tr t LEFT JOIN bbloom b ON t.block = b.word_idx)
+  WHERE in_bloom = 1 GROUP BY doc_id)"""
+
+
 def bloom_decontaminate_sql(m_bits: int = 63 * 1024, k: int = 5) -> str:
     """Mirror of decontaminate_bloom over the contract corpus (eval suite
     = doc_id % 29 = 0, train side = ALL docs — both exactly as
