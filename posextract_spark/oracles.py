@@ -484,6 +484,33 @@ def anchor_alias_sql(
     return _values_sql(replay_anchor_alias(n, seed, min_count, min_share_e6), cols)
 
 
+def link_from_anchors_sql(
+    n_dict: int = 300,
+    n_probe: int = 120,
+    seed_dict: int = 42,
+    seed_probe: int = 7,
+    min_count: int = 2,
+    min_share_e6: int = 60_000,
+) -> str:
+    """Expected (canonical, n_mentions, n_linked) for
+    __spark_entry__.q_kg_link_from_anchors: generator replay of the mined
+    alias dictionary applied to a second crawl's anchor surfaces
+    (sources/weblinks.replay_link_from_anchors)."""
+    from posextract_spark.sources.weblinks import replay_link_from_anchors
+
+    cols = [
+        ("canonical", "VARCHAR"),
+        ("n_mentions", "BIGINT"),
+        ("n_linked", "BIGINT"),
+    ]
+    return _values_sql(
+        replay_link_from_anchors(
+            n_dict, n_probe, seed_dict, seed_probe, min_count, min_share_e6
+        ),
+        cols,
+    )
+
+
 def _recrawl_values_sql(n: int, seed: int) -> str:
     """Replayed recrawl corpus as a (url, ts, fp, lang) SELECT body —
     the shared input relation of the three temporal mirrors."""

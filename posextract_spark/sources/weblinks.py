@@ -169,3 +169,45 @@ def replay_anchor_alias(
         if c >= min_count and share >= min_share_e6:
             out.append((host, surface, c, share))
     return sorted(out)
+
+
+def replay_link_from_anchors(
+    n_dict: int,
+    n_probe: int,
+    seed_dict: int = 42,
+    seed_probe: int = 7,
+    min_count: int = 2,
+    min_share_e6: int = 60_000,
+    alias_min_share_e6: int = 100_000,
+) -> List[Tuple[str, int, int]]:
+    """Expected (canonical, n_mentions, n_linked) rows sorted — replay of
+    __spark_entry__.q_kg_link_from_anchors: the alias dictionary is mined
+    from the (n_dict, seed_dict) crawl (replay_anchor_alias +
+    alias_df_from_anchors' max-share/min-host winner rule), then the
+    (n_probe, seed_probe) crawl's kept anchor surfaces are linked against
+    it (trim+lower normalization, canonical falls back to the surface)."""
+    cands = replay_anchor_alias(n_dict, seed_dict, min_count, min_share_e6)
+    best: dict = {}
+    for host, surface, c, share in cands:
+        if share < alias_min_share_e6:
+            continue
+        key = (-share, host)
+        cur = best.get(surface)
+        if cur is None or key < cur:
+            best[surface] = key
+    alias = {s: k[1] for s, k in best.items()}
+    agg: dict = {}
+    for i in range(n_probe):
+        page = gen_linked_page(i, seed_probe)
+        for elem in _ANCHOR_ELEM_RE.findall(page["html"].decode("utf-8")):
+            target = _HREF_RE.search(elem).group(1)
+            if not _ABS_RE.match(target):
+                continue
+            if not _HOST_RE.match(target):
+                continue
+            surface_norm = _ANCHOR_TEXT_RE.search(elem).group(1).strip().lower()
+            linked = surface_norm in alias
+            canonical = alias.get(surface_norm, surface_norm)
+            tot, lk = agg.get(canonical, (0, 0))
+            agg[canonical] = (tot + 1, lk + (1 if linked else 0))
+    return sorted((c, t, l) for c, (t, l) in agg.items())
