@@ -191,9 +191,13 @@ def bpe_doc_token_counts(
     bounded, the bpe_encode_token_counts argument), never per occurrence —
     (doc, word) occurrence counts are one map-side-combinable shuffle,
     then an equi-join on the word against the vocab-sized token-length
-    table and a per-doc re-aggregation. Whitespace-empty documents drop
-    out of the explode; callers that need their zero rows left-join (the
-    span export filters n_tokens > 0 anyway)."""
+    table (broadcast at contract scale, AQE's call in general) and a
+    per-doc re-aggregation. The vocab arm re-scans the input absent
+    plan-level reuse (BENCH/PLANS.md shows the two scans) — persist the
+    occurrence frame in a production run to make it one scan.
+    Whitespace-empty documents drop out of the explode; callers that need
+    their zero rows left-join (the span export filters n_tokens > 0
+    anyway)."""
     words = word_array(F.lower(F.col(text_col)) if lowercase else F.col(text_col))
     occ = (
         docs.select(F.col(id_col), F.explode(words).alias("w"))

@@ -302,6 +302,42 @@ def main() -> None:
         )
     )
 
+    from posextract_spark.operators.similarity import ivf_pq_topk
+
+    sections.append(
+        (
+            "ivf_pq_topk (composed IVF-PQ index search, r7)",
+            "ONE FileScan, no Join anywhere: the same projection computes "
+            "the coarse centroid assignment (array_max over centroid "
+            "literals) and the m per-subspace PQ codes; the probe is a "
+            "Filter on centroid_id against driver-side ints (partition "
+            "pruning when the encoded table is stored bucketed by "
+            "centroid), then the constant-folded ADC lookup sum feeds "
+            "TakeOrderedAndProject.",
+            formatted(ivf_pq_topk(emb, query_id=0, k=10, nprobe=2)),
+        )
+    )
+
+    from posextract_spark.operators.mldata import pack_bpe_sequence_spans
+
+    sections.append(
+        (
+            "pack_bpe_sequence_spans (BPE-budgeted packing, r7)",
+            "The merge chain (native replace cascade) runs on the DISTINCT "
+            "word frame only, which Spark broadcasts into the occurrence "
+            "join. Three map-side-combinable Exchanges ((doc, word) "
+            "occurrence counts; the vocab distinct; per-doc re-aggregation) "
+            "+ the bucket-bounded packing Window + a scan-side span "
+            "Generate. Note the vocab arm re-scans the corpus (no plan-level "
+            "CTE reuse) — a production run persists the occurrence frame to "
+            "make it one scan; both arms' work is a single explode+combine "
+            "either way.",
+            formatted(
+                pack_bpe_sequence_spans(docs, [("e", "r"), ("t", "h")], budget=512)
+            ),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/dump_plans.py at sf0.001)\n"]
     for title, claim, plan in sections:
         out.append(f"## {title}\n\n{claim}\n\n```\n{plan}\n```\n")
