@@ -1691,6 +1691,23 @@ def q_ann_recall_ivf(spark, sf_dir):
     )
 
 
+def q_ann_recall_ivf_kmeans(spark, sf_dir):
+    """ann_recall_ivf with the TRAINED coarse quantizer: the 2-iteration
+    k-means centroids (engine-exact, mirrored by the unrolled Lloyd CTE
+    chain) replace the id-slice init, so the production quantizer's
+    retrieval quality carries a driver hash signal too."""
+    from posextract_spark.operators.similarity import ann_recall_ivf, kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_recall_ivf(
+        emb,
+        n_queries=20,
+        k=10,
+        nprobes=(1, 2, 4),
+        centroids=kmeans_centroids(emb, n_iter=2),
+    )
+
+
 def q_seed_relevance(spark, sf_dir):
     """Top-25 documents by integer BM25-style relevance to a fixed seed
     vocabulary — the CCNet-style "looks like the seed corpus" curation
@@ -2164,6 +2181,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_refine_topk": q_ivf_pq_refine_topk,
         "training_corpus_pipeline_bloom": q_training_corpus_pipeline_bloom,
         "kg_link_from_anchors": q_kg_link_from_anchors,
+        "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
     }
 
 
@@ -2480,6 +2498,9 @@ FROM _cip GROUP BY bucket"""
         "ivf_pq_topk": _sim.ivf_pq_topk_sql(query_id=0, k=10, nprobe=2),
         "ivf_pq_refine_topk": _sim.ivf_pq_topk_sql(query_id=0, k=10, nprobe=2, refine=50),
         "ann_recall_ivf": _sim.ann_recall_ivf_sql(n_queries=20, k=10, nprobes=(1, 2, 4)),
+        "ann_recall_ivf_kmeans": _sim.ann_recall_ivf_sql(
+            n_queries=20, k=10, nprobes=(1, 2, 4), trained_iters=2
+        ),
         "kg_fused_weighted": SVO_TRIPLES_CTE
         + (
             ", kg_w AS (SELECT t.subject AS src, t.verb AS predicate, "

@@ -1384,16 +1384,29 @@ def _cos_pair_sql(a: str, b: str) -> str:
 
 
 def ann_recall_ivf_sql(
-    n_queries: int = 20, k: int = 10, nprobes=(1, 2, 4), n_centroids: int = IVF_K
+    n_queries: int = 20,
+    k: int = 10,
+    nprobes=(1, 2, 4),
+    n_centroids: int = IVF_K,
+    trained_iters: int | None = None,
 ) -> str:
-    """DuckDB mirror of ann_recall_ivf (id-slice centroids)."""
+    """DuckDB mirror of ann_recall_ivf. Default quantizer = id-slice
+    centroids; ``trained_iters`` swaps in the unrolled k-means chain
+    (kmeans_cents_cte) so the TRAINED quantizer's recall carries the same
+    hash signal."""
     np_values = ", ".join(f"({int(p)})" for p in nprobes)
     denom = n_queries * k
-    return f"""
+    if trained_iters is None:
+        head = f"""
 WITH cents AS (
   SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec
   FROM embeddings WHERE vec_id < {n_centroids}),
-vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),"""
+    else:
+        ctes, final = kmeans_cents_cte(trained_iters, n_centroids)
+        # kmeans_cents_cte defines vecs itself
+        head = ctes + f",\ncents AS (SELECT cid, cvec FROM {final}),"
+    return head + f"""
 qs AS (SELECT vec_id AS qid, e AS qe FROM vecs WHERE vec_id < {n_queries}),
 sims AS (
   SELECT q.qid, v.vec_id, {_cos_pair_sql("v.e", "q.qe")} AS sim_e6
