@@ -1147,6 +1147,29 @@ def q_corpus_index_pipeline(spark, sf_dir):
     )
 
 
+def q_corpus_ann_index_pipeline(spark, sf_dir):
+    """Raw text -> STORED IVF-PQ index, end to end: classifier keep ->
+    SRP hash embeddings (dim 32) -> one scan-side projection emitting
+    each kept doc's coarse inverted-list assignment + m PQ codes — the
+    (doc, centroid_id, subspace, code) table a 100-TB deployment writes
+    partitioned by centroid_id so ivf_pq_topk's probe filter becomes
+    partition pruning. Quantizers are the id-slice convention over the
+    embedded KEPT set (so the model depends on the learned keep set —
+    the composition carries signal). Oracle: classifier mirror ->
+    hash-embed CTEs -> pq_index_ctes over the same derived relation."""
+    from posextract_spark.operators.classifier import quality_classifier_scores
+    from posextract_spark.operators.similarity import hash_embed, pq_index_rows
+
+    docs = _docs(spark, sf_dir)
+    kept = (
+        quality_classifier_scores(docs)
+        .filter(F.col("pred_keep") == 1)
+        .select("doc_id")
+    )
+    embd = hash_embed(docs.join(kept, "doc_id"), dim=32)
+    return pq_index_rows(embd, id_col="doc_id", vec_col="embedding")
+
+
 def q_passage_search_topk(spark, sf_dir):
     """Passage-level retrieval, the RAG-indexing composition: documents
     -> fixed-size overlapping chunks (textops.chunk_documents) -> SRP
@@ -2182,6 +2205,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_pipeline_bloom": q_training_corpus_pipeline_bloom,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
+        "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
     }
 
 
@@ -2378,6 +2402,17 @@ _cip AS (SELECT {_sim.lsh_bucket_expr_sql(6)} AS bucket, doc_id FROM _he_e)
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS min_doc
 FROM _cip GROUP BY bucket"""
+        ),
+        "corpus_ann_index_pipeline": (
+            "WITH kept AS (SELECT doc_id FROM ("
+            + _classifier.quality_classifier_scores_sql()
+            + ") WHERE pred_keep = 1),\n"
+            "kept_docs AS (SELECT d.doc_id, d.text FROM documents d "
+            "JOIN kept USING (doc_id)),"
+            + _sim._hash_embed_ctes(32, "kept_docs", "text", "doc_id", True)
+            + ",\n"
+            + _sim.pq_index_ctes("_he_e", dim=32, id_col="doc_id")
+            + "\nSELECT vec_id AS doc_id, centroid_id, subspace, code FROM pq_index"
         ),
         "kg_edges": SVO_TRIPLES_CTE
         + (

@@ -1453,6 +1453,108 @@ ORDER BY np.nprobe
 """
 
 
+def pq_index_rows(
+    df: DataFrame,
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    n_centroids: int = IVF_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """(id, centroid_id, subspace, code) — the STORED IVF-PQ index layout:
+    each vector's coarse inverted-list assignment plus its m subspace
+    codes, emitted in ONE scan-side projection (the write path
+    ivf_pq_topk's search assumes — store partitioned by centroid_id and
+    the probe filter becomes partition pruning). Quantizers default to
+    the deterministic id-slices over ``df`` itself; pass trained ones.
+
+    Scale shape: single scan, no shuffle — centroid argmax + m code
+    argmaxes over constant-folded literals, then one Generate for the
+    per-subspace rows."""
+    from posextract_spark.functions.boundary import materialize
+
+    cents = centroids if centroids is not None else _centroid_literals(
+        df, n_centroids, id_col, vec_col
+    )
+    books = codebooks or _pq_codebooks(df, m, k_sub, id_col, vec_col)
+    g = materialize(
+        df.select(id_col, vec_col),
+        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__pq_e"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    best = _best_centroid_expr(F.col("__pq_e"), norm, _centroid_struct_array(cents))
+    return (
+        g.select(
+            F.col(id_col),
+            (-best["ncid"]).alias("centroid_id"),
+            _pq_sub_structs(books, m).alias("_ss"),
+        )
+        .select(id_col, "centroid_id", F.explode("_ss").alias("_s"))
+        .select(
+            id_col,
+            "centroid_id",
+            F.col("_s.subspace").alias("subspace"),
+            F.col("_s.code").alias("code"),
+        )
+    )
+
+
+def pq_index_ctes(
+    rel: str,
+    m: int = PQ_M,
+    k_sub: int = PQ_KSUB,
+    n_centroids: int = IVF_K,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> str:
+    """CTE chain (no WITH prefix) mirroring pq_index_rows over a generic
+    (``id_col``, embedding) relation, ending in
+    ``pq_index(vec_id, centroid_id, subspace, code)``. Codebooks and
+    centroids are the id-slice convention over ``rel`` itself."""
+    dsub = dim // m
+    src = f"(SELECT {id_col} AS vec_id, embedding FROM {rel})"
+    parts = [
+        f"""_pxc AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec
+  FROM {src} WHERE vec_id < {n_centroids}),
+_pxv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM {src}),
+_pxa AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT v.vec_id, c.cid,
+           {_cos_pair_sql("v.e", "c.cvec")} AS sim_e6,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_pair_sql("v.e", "c.cvec")} DESC, c.cid ASC) AS rn
+    FROM _pxv v CROSS JOIN _pxc c) WHERE rn = 1)""",
+        _pq_vecs_sql(m, dsub, from_sql=src),
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"""_pxcb{s} AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding[{lo}:{hi}], x -> x::DOUBLE) AS cvec
+  FROM {src} WHERE vec_id < {k_sub})""")
+        parts.append(_pq_sub_sql(s, dsub, k_sub, cb_name=f"_pxcb{s}").lstrip().rstrip(","))
+    union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({s} AS INTEGER) AS subspace, code FROM _pqa{s}"
+        for s in range(m)
+    )
+    parts.append(
+        f"""pq_index AS (
+  SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id,
+         u.subspace, u.code
+  FROM _pxa a JOIN ({union}) u USING (vec_id))"""
+    )
+    return ",\n".join(parts)
+
+
 # --- feature-hash document embeddings ----------------------------------------
 
 
