@@ -677,19 +677,61 @@ def _pq_codebooks(df, m, k_sub, id_col, vec_col):
     ]
 
 
-def _pq_sub_structs(books, m):
-    """Per-row array of m structs (subspace, code, sim_e6) over the
-    materialized __pq_e vector attribute."""
-    dsub = len(books[0][0][1])
-    subs = []
-    for s in range(m):
-        e_s = F.slice(F.col("__pq_e"), s * dsub + 1, dsub)
-        norm_s = F.sqrt(
+def _pq_prepared(
+    df, m: int, dsub: int, id_col: str, vec_col: str, with_full_norm: bool = False
+):
+    """Per-subspace slices (__pq_s{s}) and norms (__pq_n{s}) materialized
+    ONCE behind Generate boundaries. This is the expression-paste fix for
+    the whole PQ family (measured at 2M x 64: trained-codebook iterations
+    dropped ~10x): _best_centroid_expr references its vector and norm
+    operands once PER CENTROID, so inline slice/fold expressions were
+    re-evaluated k_sub+1 times per subspace per row — ~36 array
+    allocations and 32 redundant norm folds per row in interpreted HOF
+    projection. As attributes they are computed once each."""
+    from posextract_spark.functions.boundary import materialize
+
+    g = materialize(
+        df.select(id_col, vec_col),
+        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
+    )
+    g = materialize(
+        g,
+        **{
+            f"__pq_s{s}": F.slice(F.col("__pq_e"), s * dsub + 1, dsub)
+            for s in range(m)
+        },
+    )
+    norms = {
+        f"__pq_n{s}": F.sqrt(
             F.aggregate(
-                F.transform(e_s, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+                F.transform(F.col(f"__pq_s{s}"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, v: a + v,
             )
         )
-        best = _best_centroid_expr(e_s, norm_s, _centroid_struct_array(books[s]))
+        for s in range(m)
+    }
+    if with_full_norm:
+        # the coarse-assignment norm (ivf_pq_topk / pq_index_rows) — same
+        # paste risk as the subspace norms, same fix
+        norms["__pq_fn"] = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("__pq_e"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        )
+    return materialize(g, **norms)
+
+
+def _pq_sub_structs(books, m):
+    """Per-row array of m structs (subspace, code, sim_e6) over the
+    materialized per-subspace slice/norm attributes (_pq_prepared)."""
+    subs = []
+    for s in range(m):
+        best = _best_centroid_expr(
+            F.col(f"__pq_s{s}"), F.col(f"__pq_n{s}"), _centroid_struct_array(books[s])
+        )
         subs.append(
             F.struct(
                 F.lit(s).cast("int").alias("subspace"),
@@ -718,13 +760,8 @@ def pq_encode(
     argmaxes over the Generate-materialized double vector, then one
     posexplode-style Generate emits the m code rows — no shuffle, no
     Python, codebooks are literals (constant-folded)."""
-    from posextract_spark.functions.boundary import materialize
-
     books = codebooks or _pq_codebooks(df, m, k_sub, id_col, vec_col)
-    g = materialize(
-        df.select(id_col, vec_col),
-        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
-    )
+    g = _pq_prepared(df, m, len(books[0][0][1]), id_col, vec_col)
     return g.select(
         F.col(id_col), F.explode(_pq_sub_structs(books, m)).alias("_s")
     ).select(
@@ -761,29 +798,22 @@ def pq_codebooks_kmeans(
     m * n_iter times; this scans it n_iter times."""
     import math
 
-    from posextract_spark.functions.boundary import materialize
-
     books = _pq_codebooks(df, m, k_sub, id_col, vec_col)
     dsub = len(books[0][0][1])
-    g = materialize(
-        df.select(id_col, vec_col),
-        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
-    )
+    g = _pq_prepared(df, m, dsub, id_col, vec_col)
     for _ in range(n_iter):
         subs = []
         for s in range(m):
-            e_s = F.slice(F.col("__pq_e"), s * dsub + 1, dsub)
-            norm_s = F.sqrt(
-                F.aggregate(
-                    F.transform(e_s, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
-                )
+            best = _best_centroid_expr(
+                F.col(f"__pq_s{s}"),
+                F.col(f"__pq_n{s}"),
+                _centroid_struct_array(books[s]),
             )
-            best = _best_centroid_expr(e_s, norm_s, _centroid_struct_array(books[s]))
             subs.append(
                 F.struct(
                     F.lit(s).cast("int").alias("s"),
                     (-best["ncid"]).cast("int").alias("code"),
-                    e_s.alias("vals"),
+                    F.col(f"__pq_s{s}").alias("vals"),
                 )
             )
         # three selects: lambda-struct resolution must not share a
@@ -856,8 +886,6 @@ def pq_adc_topk(
     pq_codebooks_kmeans(df) for trained ones); ``candidates`` (a 1-column
     id frame, broadcast) restricts scoring to those rows — the IVF-PQ
     composition's probe set."""
-    from posextract_spark.functions.boundary import materialize
-
     books = codebooks or _pq_codebooks(df, m, k_sub, id_col, vec_col)
     qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head(1)
     if not qrow:
@@ -867,10 +895,7 @@ def pq_adc_topk(
     base = df.select(id_col, vec_col)
     if candidates is not None:
         base = base.join(F.broadcast(candidates), id_col)
-    g = materialize(
-        base,
-        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
-    )
+    g = _pq_prepared(base, m, len(qvec) // m, id_col, vec_col)
     codes = g.select(F.col(id_col).alias("id"), _pq_sub_structs(books, m).alias("_ss"))
     adc = codes.select("id", _adc_sum_expr(books, qvec, m).alias("adc_e6"))
     return adc.orderBy(F.col("adc_e6").desc(), F.col("id").asc()).limit(k)
@@ -952,8 +977,6 @@ def ivf_pq_topk(
     scan touches ~nprobe/n_centroids of the data and reads m codes per
     row, not the raw vectors. Contrast pq_adc_topk(candidates=...): no
     id-list is ever broadcast here, only centroid ids."""
-    from posextract_spark.functions.boundary import materialize
-
     cents = centroids if centroids is not None else _centroid_literals(
         df, n_centroids, id_col, vec_col
     )
@@ -968,18 +991,10 @@ def ivf_pq_topk(
             cents, key=lambda cv: (-_fixed_sim_e6(qvec, cv[1]), cv[0])
         )[:nprobe]
     ]
-    g = materialize(
-        df.select(id_col, vec_col),
-        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
+    g = _pq_prepared(df, m, len(qvec) // m, id_col, vec_col, with_full_norm=True)
+    best = _best_centroid_expr(
+        F.col("__pq_e"), F.col("__pq_fn"), _centroid_struct_array(cents)
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("__pq_e"), lambda x: x * x),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-    )
-    best = _best_centroid_expr(F.col("__pq_e"), norm, _centroid_struct_array(cents))
     assigned = g.select(
         F.col(id_col).alias("id"),
         (-best["ncid"]).alias("centroid_id"),
@@ -1473,24 +1488,16 @@ def pq_index_rows(
     Scale shape: single scan, no shuffle — centroid argmax + m code
     argmaxes over constant-folded literals, then one Generate for the
     per-subspace rows."""
-    from posextract_spark.functions.boundary import materialize
-
     cents = centroids if centroids is not None else _centroid_literals(
         df, n_centroids, id_col, vec_col
     )
     books = codebooks or _pq_codebooks(df, m, k_sub, id_col, vec_col)
-    g = materialize(
-        df.select(id_col, vec_col),
-        __pq_e=F.transform(F.col(vec_col), lambda x: x.cast("double")),
+    g = _pq_prepared(
+        df, m, len(books[0][0][1]), id_col, vec_col, with_full_norm=True
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("__pq_e"), lambda x: x * x),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
+    best = _best_centroid_expr(
+        F.col("__pq_e"), F.col("__pq_fn"), _centroid_struct_array(cents)
     )
-    best = _best_centroid_expr(F.col("__pq_e"), norm, _centroid_struct_array(cents))
     return (
         g.select(
             F.col(id_col),
