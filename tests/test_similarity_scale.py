@@ -339,3 +339,31 @@ def test_ann_recall_floors_and_monotonicity(spark):
         ).collect()
     }
     assert len(refined & truth) >= len(raw & truth)
+
+
+def test_pq_index_rows_consistent_and_single_scan(spark):
+    """The stored IVF-PQ index layout must agree with its two components
+    (centroid_id == ivf_assign, codes == pq_encode) and come from ONE
+    scan with no Exchange — the write path partitioned-by-centroid
+    storage assumes."""
+    from posextract_spark.operators.similarity import (
+        ivf_assign,
+        pq_encode,
+        pq_index_rows,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = pq_index_rows(emb)
+    rows = idx.collect()
+    assign = {r.vec_id: r.centroid_id for r in ivf_assign(emb).collect()}
+    codes = {
+        (r.vec_id, r.subspace): r.code for r in pq_encode(emb).collect()
+    }
+    assert len(rows) == len(codes)
+    for r in rows:
+        assert r.centroid_id == assign[r.vec_id]
+        assert r.code == codes[(r.vec_id, r.subspace)]
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert plan.count("Scan parquet") == 1
