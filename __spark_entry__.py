@@ -1170,6 +1170,33 @@ def q_corpus_ann_index_pipeline(spark, sf_dir):
     return pq_index_rows(embd, id_col="doc_id", vec_col="embedding")
 
 
+def q_corpus_clusters(spark, sf_dir):
+    """Document clustering straight off raw text — the domain-mixing /
+    corpus-composition report a pretraining data pipeline runs: SRP hash
+    embeddings (dim 32) -> 2-iteration k-means TRAINED ON THE DOCS
+    (engine-exact integer fixed-point, so the model is hashable) ->
+    per-cluster size / min-doc / total-similarity report. The embedded
+    frame is persisted once (Catalyst has no plan-level CTE reuse) and
+    re-read by every Lloyd pass + the final scan-side assignment; the
+    report is one combinable groupBy over k groups. Oracle: hash-embed
+    CTEs -> unrolled Lloyd chain over the embedded relation -> the same
+    assignment argmax."""
+    from posextract_spark.operators.similarity import (
+        hash_embed,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    embd = hash_embed(_docs(spark, sf_dir), dim=32).persist()
+    cents = kmeans_centroids(embd, k=8, n_iter=2, id_col="doc_id", vec_col="embedding")
+    a = ivf_assign(embd, k=8, id_col="doc_id", vec_col="embedding", centroids=cents)
+    return a.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.sum("sim_e6").cast("long").alias("sum_sim_e6"),
+    )
+
+
 def q_passage_search_topk(spark, sf_dir):
     """Passage-level retrieval, the RAG-indexing composition: documents
     -> fixed-size overlapping chunks (textops.chunk_documents) -> SRP
@@ -2206,6 +2233,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
+        "corpus_clusters": q_corpus_clusters,
     }
 
 
@@ -2403,6 +2431,20 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS min_doc
 FROM _cip GROUP BY bucket"""
         ),
+        "corpus_clusters": (lambda _cc: (
+            "WITH"
+            + _sim._hash_embed_ctes(32, "documents", "text", "doc_id", True)
+            + ",\n_he_v AS (SELECT doc_id AS vec_id, embedding FROM _he_e),\n"
+            + _cc[0][len("WITH ") :]
+            + ",\n"
+            + _sim._assign_ctes("F", _cc[1]).lstrip()
+            + """
+SELECT CAST(cid AS INTEGER) AS centroid_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(vec_id) AS BIGINT) AS min_doc,
+       CAST(sum(sim_e6) AS BIGINT) AS sum_sim_e6
+FROM assignF GROUP BY cid"""
+        ))(_sim.kmeans_cents_cte(2, 8, rel="_he_v")),
         "corpus_ann_index_pipeline": (
             "WITH kept AS (SELECT doc_id FROM ("
             + _classifier.quality_classifier_scores_sql()

@@ -558,16 +558,18 @@ assign{i} AS (
 )"""
 
 
-def kmeans_cents_cte(n_iter: int, k: int = IVF_K):
+def kmeans_cents_cte(n_iter: int, k: int = IVF_K, rel: str = "embeddings"):
     """(cte_fragment, final_cents_name): Lloyd unrolled — DuckDB has no
     iteration, but n_iter is a small fixed constant, so each round becomes
     one assign + one integer-fixed-point update CTE. Mirrors
     kmeans_centroids() exactly: floor(x*1e6) BIGINT member sums (order-free),
-    floor(sum/count)/1e6 updates, COALESCE keeps empty clusters."""
+    floor(sum/count)/1e6 updates, COALESCE keeps empty clusters. ``rel``
+    is any (vec_id, embedding) relation (alias derived frames into that
+    shape for composed pipelines)."""
     parts = [
         f"cents0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec\n"
-        f"  FROM embeddings WHERE vec_id < {k})",
-        "vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings)",
+        f"  FROM {rel} WHERE vec_id < {k})",
+        f"vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM {rel})",
     ]
     for i in range(n_iter):
         parts.append(_assign_ctes(i, f"cents{i}").lstrip())
