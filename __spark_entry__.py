@@ -294,6 +294,24 @@ def q_ngram_jaccard_stats(spark, sf_dir):
     return ngram_jaccard_stats(_docs(spark, sf_dir))
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact pairwise shingle Jaccard (the LSH verification baseline /
+    post-LSH audit pass; quadratic by definition, sample- or cap-bounded
+    in production)."""
+    from posextract_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_pair_quality(spark, sf_dir):
+    """Dedup-quality report — recall/precision of minhash LSH banding vs
+    exact shingle Jaccard at 0.5/0.7/0.9 (the dedup analogue of
+    ann_recall_ivf; full sweep + S-curve in tools/dedup_quality.py)."""
+    from posextract_spark.operators.dedup import minhash_pair_quality
+
+    return minhash_pair_quality(_docs(spark, sf_dir))
+
+
 _QUERY_VEC: dict = {}
 
 
@@ -2234,6 +2252,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
         "corpus_clusters": q_corpus_clusters,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_pair_quality": q_minhash_pair_quality,
     }
 
 
@@ -2359,6 +2379,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_mixture": _mldata.sample_mixture_sql(_MIXTURE_RATES, default_rate_e6=250000),
         "simhash": SIMHASH_SQL,
         "ngram_jaccard_stats": NGRAM_JACCARD_STATS_SQL,
+        "ngram_jaccard_pairs": _dedup_mod.NGRAM_JACCARD_PAIRS_SQL,
+        "minhash_pair_quality": _dedup_mod.minhash_pair_quality_sql(),
         "cosine_topk": cosine_topk_sql(k=10),
         "lsh_bucket": lsh_bucket_sql(),
         "ivf_assign": IVF_ASSIGN_SQL,

@@ -969,3 +969,226 @@ SELECT j.doc_id, j.cluster_id, j.n_tokens,
        CAST(j.doc_id = b.m.v AS INT) AS is_best
 FROM _bj j JOIN _bb b USING (cluster_id)"""
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard_e6: int = 0,
+    max_shingle_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT pairwise 5-shingle Jaccard for every document pair sharing at
+    least one shingle: (id_a, id_b, inter, size_a, size_b, jaccard_e6),
+    id_a < id_b, jaccard_e6 = floor(|A∩B| * 1e6 / |A∪B|).
+
+    This is the verification baseline the LSH family is measured against
+    (minhash_pair_quality below, tools/dedup_quality.py): minhash banding
+    APPROXIMATES exactly this quantity, and a user tuning bands/rows needs
+    the true pair Jaccard to know what the bands caught and missed. It is
+    also the post-LSH audit pass a production pipeline runs on a
+    deterministic document sample.
+
+    Shape: one materialized shingle array per doc (size + explode read the
+    same Generate output), shingle-keyed self-join (a.id < b.id), then a
+    map-side-combinable pair count; sizes ride the groupBy keys (they are
+    functionally dependent on the ids) so there is no join-back. Quadratic
+    on hot shingles BY DEFINITION (it lists pairs) — same contract as
+    ngram_jaccard_stats: ``max_shingle_bucket`` hash-threshold-caps hot
+    buckets deterministically (no ranking window, stage-retry
+    reproducible), and at 100 TB you run this on a hash-sample of docs or
+    behind the cap, never corpus-wide.
+    """
+    from posextract_spark.functions.boundary import materialize
+
+    g = materialize(
+        df.select(F.col(id_col), F.col(text_col)),
+        __sh=_shingles(word_array(F.col(text_col))),
+    )
+    sh = g.select(
+        F.col(id_col), F.size("__sh").alias("_sz"), F.explode("__sh").alias("shingle")
+    )
+    if max_shingle_bucket is not None:
+        from posextract_spark.functions.capping import cap_bucket_width
+
+        sh = cap_bucket_width(sh, ["shingle"], id_col, max_shingle_bucket)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._sz").alias("_sa"),
+            F.col("b._sz").alias("_sb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = inter.select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("_inter").cast("long").alias("inter"),
+        F.col("_sa").cast("long").alias("size_a"),
+        F.col("_sb").cast("long").alias("size_b"),
+        F.expr("_inter * 1000000 div (_sa + _sb - _inter)")
+        .cast("long")
+        .alias("jaccard_e6"),
+    )
+    if min_jaccard_e6 > 0:
+        out = out.filter(F.col("jaccard_e6") >= F.lit(min_jaccard_e6))
+    return out
+
+
+def minhash_pair_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds_e6: tuple[int, ...] = (500000, 700000, 900000),
+    n_seeds: int = MINHASH_SEEDS,
+    band_size: int = 2,
+    max_shingle_bucket: int | None = None,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """Retrieval-quality report for minhash LSH banding — the dedup-family
+    analogue of the ANN recall harness (tools/recall.py): per Jaccard
+    threshold t, how many TRULY similar pairs exist (exact shingle
+    Jaccard >= t, ngram_jaccard_pairs) and how many of them the band join
+    surfaced as candidates, plus band precision at t.
+
+    One row per threshold:
+      (thr_e6, n_true, n_caught, n_cand, recall_e6, precision_e6)
+    recall_e6    = n_caught * 1e6 div n_true        (1e6 when n_true = 0)
+    precision_e6 = n_caught * 1e6 div n_cand        (1e6 when n_cand = 0)
+    n_cand is the TOTAL candidate-pair count (threshold-independent), so
+    precision at t reads "fraction of surfaced pairs that are >= t-similar".
+
+    Shape: truth LEFT JOIN candidates on the pair key (candidate pairs
+    with no shared shingle have J = 0 and can never reach a threshold, so
+    the inner-ish join loses nothing; their count enters via n_cand), one
+    conditional aggregation to a single row, a 1-row broadcast crossJoin
+    for n_cand, then ``stack`` unpivots to one row per threshold —
+    drivers never see pair-level data. At 100 TB this runs on a
+    deterministic hash-sample of documents (recall estimation needs a
+    sample of TRUE pairs, not all of them) and/or behind the two caps,
+    which are forwarded verbatim.
+    """
+    truth = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, max_shingle_bucket=max_shingle_bucket
+    )
+    cand = minhash_band_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n_seeds=n_seeds,
+        band_size=band_size,
+        max_bucket_width=max_bucket_width,
+    )
+    tj = truth.join(
+        cand.select("id_a", "id_b", F.lit(1).alias("_c")), ["id_a", "id_b"], "left"
+    )
+    aggs = []
+    for i, t in enumerate(thresholds_e6):
+        hit = (F.col("jaccard_e6") >= F.lit(t)).cast("long")
+        aggs.append(F.coalesce(F.sum(hit), F.lit(0)).alias(f"_nt{i}"))
+        aggs.append(
+            F.coalesce(F.sum(hit * F.coalesce(F.col("_c"), F.lit(0))), F.lit(0)).alias(
+                f"_nc{i}"
+            )
+        )
+    wide = tj.agg(*aggs).crossJoin(
+        F.broadcast(cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand")))
+    )
+    stack_args = ", ".join(
+        f"{int(t)}, _nt{i}, _nc{i}" for i, t in enumerate(thresholds_e6)
+    )
+    rows = wide.select(
+        F.expr(
+            f"stack({len(thresholds_e6)}, {stack_args}) AS (thr_e6, n_true, n_caught)"
+        ),
+        "n_cand",
+    )
+    return rows.select(
+        F.col("thr_e6").cast("int").alias("thr_e6"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_caught").cast("long").alias("n_caught"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.expr(
+            "CASE WHEN n_true = 0 THEN 1000000 ELSE n_caught * 1000000 div n_true END"
+        )
+        .cast("long")
+        .alias("recall_e6"),
+        F.expr(
+            "CASE WHEN n_cand = 0 THEN 1000000 ELSE n_caught * 1000000 div n_cand END"
+        )
+        .cast("long")
+        .alias("precision_e6"),
+    )
+
+
+def ngram_jaccard_pairs_ctes(rel: str = "documents") -> str:
+    """CTE fragment ending in ``truth`` (id_a, id_b, inter, size_a,
+    size_b, jaccard_e6) — the exact-pair mirror of ngram_jaccard_pairs."""
+    return f"""_jp_sh AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle
+  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM {rel})
+),
+truth AS (
+  SELECT id_a, id_b, inter, size_a, size_b,
+         (inter * 1000000) // (size_a + size_b - inter) AS jaccard_e6
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+           CAST(a.sz AS BIGINT) AS size_a, CAST(b.sz AS BIGINT) AS size_b
+    FROM _jp_sh a JOIN _jp_sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+  )
+)"""
+
+
+NGRAM_JACCARD_PAIRS_SQL = (
+    "WITH "
+    + ngram_jaccard_pairs_ctes()
+    + """
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, size_a, size_b,
+       CAST(jaccard_e6 AS BIGINT) AS jaccard_e6
+FROM truth"""
+)
+
+
+def minhash_pair_quality_sql(
+    thresholds_e6: tuple[int, ...] = (500000, 700000, 900000),
+    rel: str = "documents",
+) -> str:
+    """Oracle: exact truth CTEs + the shared band-pair CTEs (band_size=2,
+    matching the Spark default) + per-threshold conditional aggregation,
+    unpivoted via UNION ALL."""
+    per_thr = []
+    for t in thresholds_e6:
+        per_thr.append(
+            f"""SELECT {int(t)} AS thr_e6,
+       (SELECT coalesce(sum((jaccard_e6 >= {int(t)})::BIGINT), 0) FROM truth) AS n_true,
+       (SELECT coalesce(sum((t.jaccard_e6 >= {int(t)})::BIGINT), 0)
+          FROM truth t JOIN pairs p ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_caught,
+       (SELECT count(*) FROM pairs) AS n_cand"""
+        )
+    body = "\nUNION ALL\n".join(per_thr)
+    return (
+        "WITH "
+        + ngram_jaccard_pairs_ctes(rel)
+        + ",\n"
+        + band_pairs_ctes(rel)
+        + f""",
+_pq_rows AS (
+{body}
+)
+SELECT CAST(thr_e6 AS INTEGER) AS thr_e6,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(CASE WHEN n_true = 0 THEN 1000000 ELSE (n_caught * 1000000) // n_true END AS BIGINT) AS recall_e6,
+       CAST(CASE WHEN n_cand = 0 THEN 1000000 ELSE (n_caught * 1000000) // n_cand END AS BIGINT) AS precision_e6
+FROM _pq_rows"""
+    )
