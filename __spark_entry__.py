@@ -294,6 +294,15 @@ def q_ngram_jaccard_stats(spark, sf_dir):
     return ngram_jaccard_stats(_docs(spark, sf_dir))
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-leakage-proof train/val/test split: LSH clusters first,
+    then the split hashes the CLUSTER id, so a training doc's near-copy
+    can never land in eval."""
+    from posextract_spark.operators.mldata import leakage_safe_split
+
+    return leakage_safe_split(_docs(spark, sf_dir))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact pairwise shingle Jaccard (the LSH verification baseline /
     post-LSH audit pass; quadratic by definition, sample- or cap-bounded
@@ -2254,6 +2263,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clusters": q_corpus_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_pair_quality": q_minhash_pair_quality,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -2381,6 +2391,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_stats": NGRAM_JACCARD_STATS_SQL,
         "ngram_jaccard_pairs": _dedup_mod.NGRAM_JACCARD_PAIRS_SQL,
         "minhash_pair_quality": _dedup_mod.minhash_pair_quality_sql(),
+        "leakage_safe_split": _mldata.leakage_safe_split_sql(),
         "cosine_topk": cosine_topk_sql(k=10),
         "lsh_bucket": lsh_bucket_sql(),
         "ivf_assign": IVF_ASSIGN_SQL,

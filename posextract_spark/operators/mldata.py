@@ -1058,3 +1058,77 @@ def bpe_trained_vocab_sql(
 SELECT token, CAST(sum(wn) AS BIGINT) AS n
 FROM (SELECT unnest(string_split({cleaned}, ' ')) AS token, wn FROM {last})
 GROUP BY token {having}"""
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    n_seeds: int | None = None,
+    band_size: int = 2,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: documents are first clustered by minhash-LSH connected
+    components (minhash_dedup_survivors — the same clusters the dedup
+    pass uses), then the split bucket is the md5 hash of the CLUSTER id,
+    so every member of a near-dup cluster lands on the same side. Plain
+    hash_split hashes the DOC id and routinely puts a training doc's
+    near-copy into eval (tests/test_leakage_split.py demonstrates the
+    leak and its absence here; DEDUP_QUALITY.md measures how completely
+    the clusters capture true near-dups at each J threshold).
+
+    Output: (id, cluster_id, is_survivor, split) — downstream typically
+    trains on ``split = 'train' AND is_survivor = 1`` and evaluates on
+    the val/test SURVIVORS, keeping eval near-dup-free too.
+
+    Scale shape: exactly the survivors path (star edges -> leaf-contracted
+    CC, no Window, no pair listing) plus one scan-side hash; the split
+    adds NO shuffle. Same integer-percent contract as hash_split.
+    """
+    from posextract_spark.operators.dedup import (
+        MINHASH_SEEDS,
+        minhash_dedup_survivors,
+    )
+
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(f"invalid split percents: train={train_pct} val={val_pct}")
+    clusters = minhash_dedup_survivors(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n_seeds=MINHASH_SEEDS if n_seeds is None else n_seeds,
+        band_size=band_size,
+    )
+    h = F.pmod(portable_hash64(F.col("cluster_id").cast("string")), F.lit(100))
+    split = (
+        F.when(h < train_pct, F.lit("train"))
+        .when(h < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.withColumn(split_col, split)
+
+
+def leakage_safe_split_sql(
+    rel: str = "documents", train_pct: int = 90, val_pct: int = 5
+) -> str:
+    """Oracle: the survivors closure CTEs (recursive opener) + the
+    cluster-id-keyed md5 split."""
+    from posextract_spark.operators.dedup import minhash_dedup_survivors_ctes
+
+    return (
+        "WITH RECURSIVE "
+        + minhash_dedup_survivors_ctes(rel)
+        + f"""
+SELECT doc_id, cluster_id, is_survivor,
+       CASE WHEN h < {train_pct} THEN 'train'
+            WHEN h < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id, is_survivor,
+         (('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT) % 100 AS h
+  FROM surv
+)"""
+    )
