@@ -294,6 +294,15 @@ def q_ngram_jaccard_stats(spark, sf_dir):
     return ngram_jaccard_stats(_docs(spark, sf_dir))
 
 
+def q_pack_stats(spark, sf_dir):
+    """Packing-efficiency report: sequences, tail-bin padding waste, and
+    doc-straddle counts per pack bucket — one combinable groupBy over the
+    packing assignment."""
+    from posextract_spark.operators.mldata import pack_stats
+
+    return pack_stats(_docs(spark, sf_dir))
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Near-dup-leakage-proof train/val/test split: LSH clusters first,
     then the split hashes the CLUSTER id, so a training doc's near-copy
@@ -2264,6 +2273,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_pair_quality": q_minhash_pair_quality,
         "leakage_safe_split": q_leakage_safe_split,
+        "pack_stats": q_pack_stats,
     }
 
 
@@ -2392,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _dedup_mod.NGRAM_JACCARD_PAIRS_SQL,
         "minhash_pair_quality": _dedup_mod.minhash_pair_quality_sql(),
         "leakage_safe_split": _mldata.leakage_safe_split_sql(),
+        "pack_stats": _mldata.pack_stats_sql(),
         "cosine_topk": cosine_topk_sql(k=10),
         "lsh_bucket": lsh_bucket_sql(),
         "ivf_assign": IVF_ASSIGN_SQL,

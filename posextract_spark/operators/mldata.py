@@ -1132,3 +1132,98 @@ FROM (
   FROM surv
 )"""
     )
+
+
+def pack_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Packing-efficiency report over the pack_sequences assignment — the
+    observability numbers a pretraining export job tracks per shard:
+
+      (bucket, n_docs, total_tokens,
+       n_bins,          -- training sequences this bucket yields
+       waste_tokens,    -- padding in the bucket's (single) short tail bin
+       n_straddling,    -- docs split across a sequence boundary
+       n_spans)         -- total (doc, bin) spans = what the writer writes
+
+    Everything is integer arithmetic over the assignment columns, one
+    map-side-combinable groupBy(bucket) on top of the assignment's
+    per-bucket window — no new shuffle, n_buckets output rows. Waste
+    lives ONLY in tail bins by construction (full bins sum to exactly
+    ``budget``; tests pin this), so corpus padding overhead is
+    sum(waste_tokens) / (sum(n_bins) * budget) — with doc-boundary
+    fragmentation visible separately via n_straddling / n_spans.
+    """
+    packed = pack_sequences(
+        df, text_col=text_col, id_col=id_col, budget=budget, n_buckets=n_buckets
+    )
+    last_bin = F.floor(
+        (F.col("bin_offset") + F.col("n_tokens") - 1) / F.lit(budget)
+    ).cast("bigint")
+    nonzero = F.col("n_tokens") > 0
+    agg = packed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(nonzero & (last_bin > F.col("seq_bin")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddling"),
+        F.sum(F.when(nonzero, last_bin - F.col("seq_bin") + 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    n_bins = F.when(
+        F.col("total_tokens") > 0,
+        (F.col("total_tokens") - 1) / F.lit(budget) + 1,
+    ).otherwise(F.lit(0))
+    n_bins = F.floor(n_bins).cast("long")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        n_bins.alias("n_bins"),
+        (n_bins * F.lit(budget) - F.col("total_tokens")).cast("long").alias("waste_tokens"),
+        "n_straddling",
+        "n_spans",
+    )
+
+
+def pack_stats_sql(rel: str = "documents", budget: int = 512, n_buckets: int = 32) -> str:
+    """Oracle: the PACK_SEQUENCES window CTE + one GROUP BY bucket."""
+    return f"""
+WITH meta AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % {n_buckets} AS bucket
+  FROM {rel}
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS bin_offset
+  FROM meta
+),
+st AS (
+  SELECT bucket,
+         count(*) AS n_docs,
+         sum(n_tokens) AS total_tokens,
+         sum(CASE WHEN n_tokens > 0 AND
+                       floor((bin_offset + n_tokens - 1) / {budget}.0) > floor(bin_offset / {budget}.0)
+                  THEN 1 ELSE 0 END) AS n_straddling,
+         sum(CASE WHEN n_tokens > 0
+                  THEN floor((bin_offset + n_tokens - 1) / {budget}.0) - floor(bin_offset / {budget}.0) + 1
+                  ELSE 0 END) AS n_spans
+  FROM packed GROUP BY bucket
+)
+SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(CASE WHEN total_tokens > 0 THEN (total_tokens - 1) // {budget} + 1 ELSE 0 END AS BIGINT) AS n_bins,
+       CAST(CASE WHEN total_tokens > 0 THEN ((total_tokens - 1) // {budget} + 1) * {budget} - total_tokens ELSE 0 END AS BIGINT) AS waste_tokens,
+       CAST(n_straddling AS BIGINT) AS n_straddling,
+       CAST(n_spans AS BIGINT) AS n_spans
+FROM st
+"""
