@@ -294,6 +294,24 @@ def q_ngram_jaccard_stats(spark, sf_dir):
     return ngram_jaccard_stats(_docs(spark, sf_dir))
 
 
+def q_url_canonical_groups(spark, sf_dir):
+    """URL canonicalization for recrawl dedup: extracted raw link targets
+    -> canonical form (lowercased scheme/host, default-port/fragment/
+    tracking-param stripping, path + query normalization) -> one row per
+    canonical URL with occurrence and raw-variant counts. The string ops
+    are native Columns (scan-side, no UDF); the oracle applies the SAME
+    logic in DuckDB over the replayed raw targets."""
+    from posextract_spark.operators.weblinks import canonicalize_urls, extract_links
+    from posextract_spark.sources.weblinks import linked_pages
+
+    links = extract_links(linked_pages(spark, 300, seed=42))
+    c = canonicalize_urls(links.select(F.col("target").alias("url")), url_col="url")
+    return c.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("url").cast("long").alias("n_raw_forms"),
+    )
+
+
 def q_pack_stats(spark, sf_dir):
     """Packing-efficiency report: sequences, tail-bin padding waste, and
     doc-straddle counts per pack bucket — one combinable groupBy over the
@@ -2274,6 +2292,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pair_quality": q_minhash_pair_quality,
         "leakage_safe_split": q_leakage_safe_split,
         "pack_stats": q_pack_stats,
+        "url_canonical_groups": q_url_canonical_groups,
     }
 
 
@@ -2403,6 +2422,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pair_quality": _dedup_mod.minhash_pair_quality_sql(),
         "leakage_safe_split": _mldata.leakage_safe_split_sql(),
         "pack_stats": _mldata.pack_stats_sql(),
+        "url_canonical_groups": _oracles.url_canonical_groups_sql(),
         "cosine_topk": cosine_topk_sql(k=10),
         "lsh_bucket": lsh_bucket_sql(),
         "ivf_assign": IVF_ASSIGN_SQL,

@@ -185,3 +185,95 @@ def alias_df_from_anchors(candidates: DataFrame, min_share_e6: int = 100_000) ->
         )
     )
     return best.select("surface_norm", F.col("m.h").alias("canonical"))
+
+
+#: query params dropped by canonicalize_urls — tracking junk that varies
+#: per click without changing the resource (the crawl-dedup motivation).
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``canonical_url``: the crawl-dedup canonical form of an
+    http(s) URL — the normalization a recrawl pipeline applies before
+    URL-level dedup / latest-capture selection (temporal.latest_capture),
+    so 'HTTP://Host.TEST:80/a/?utm_source=x' and 'http://host.test/a'
+    collapse to one key.
+
+    Rules (deterministic, order matters, all native Column expressions —
+    no UDF, no shuffle):
+      1. trim surrounding whitespace; strip the #fragment;
+      2. lowercase scheme and host[:port] (path/query case preserved);
+      3. drop the scheme's default port (:80 http, :443 https);
+      4. empty path -> '/'; otherwise strip ONE trailing slash
+         ('/a/' -> '/a', '/' kept);
+      5. drop tracking query params (TRACKING_PARAM_RE: utm_*, fbclid,
+         gclid, msclkid, ref) and empty fragments from repeated '&';
+         sort the surviving params bytewise; drop '?' if none survive;
+      6. non-http(s) or host-less inputs -> canonical_url = NULL (the
+         caller filters or quarantines them).
+
+    Everything is mirrored verbatim in canonicalize_urls_sql (DuckDB), so
+    the pair is value-hash checkable; tests pin each rule and the
+    idempotence property canonical(canonical(u)) = canonical(u).
+    """
+    u = F.trim(F.col(url_col))
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    hostport = F.when(
+        (scheme == "http"), F.regexp_replace(hostport, r":80$", "")
+    ).otherwise(F.when(scheme == "https", F.regexp_replace(hostport, r":443$", "")).otherwise(hostport))
+    path = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(F.length(path) > 1, F.regexp_replace(path, r"/$", "")).otherwise(path)
+    )
+    qs = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
+    )
+    qstr = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), hostport, path, qstr)
+    valid = scheme.isin("http", "https") & (hostport != "")
+    return df.withColumn("canonical_url", F.when(valid, canon))
+
+
+def canonicalize_urls_sql(
+    rel: str, url_col: str = "url", keep_cols: tuple[str, ...] = ("url_id", "url")
+) -> str:
+    """DuckDB mirror of canonicalize_urls over ``rel``: emits
+    ``keep_cols`` + canonical_url (NULL for non-http(s) / host-less)."""
+    keep = ", ".join(keep_cols)
+    return f"""
+SELECT {keep},
+  CASE WHEN _scheme IN ('http', 'https') AND _hostport2 <> ''
+       THEN _scheme || '://' || _hostport2 || _path2 ||
+            CASE WHEN len(_params) > 0
+                 THEN '?' || array_to_string(list_sort(_params), '&')
+                 ELSE '' END
+  END AS canonical_url
+FROM (
+  SELECT {keep}, _scheme,
+    CASE WHEN _scheme = 'http' THEN regexp_replace(_hostport, ':80$', '')
+         WHEN _scheme = 'https' THEN regexp_replace(_hostport, ':443$', '')
+         ELSE _hostport END AS _hostport2,
+    CASE WHEN _path = '' THEN '/'
+         WHEN len(_path) > 1 THEN regexp_replace(_path, '/$', '')
+         ELSE _path END AS _path2,
+    list_filter(string_split(_qs, '&'),
+                p -> p <> '' AND NOT regexp_matches(lower(p), '{TRACKING_PARAM_RE}'))
+      AS _params
+  FROM (
+    SELECT {keep},
+      lower(coalesce(regexp_extract(_nofrag, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), '')) AS _scheme,
+      lower(coalesce(regexp_extract(_nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '')) AS _hostport,
+      coalesce(regexp_extract(_nofrag, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '') AS _path,
+      coalesce(regexp_extract(_nofrag, '\\?([^#]*)', 1), '') AS _qs
+    FROM (SELECT {keep}, regexp_replace(trim({url_col}), '#.*$', '') AS _nofrag FROM {rel})
+  )
+)
+"""

@@ -662,3 +662,23 @@ def kg_fact_history_sql(
         ("changed", "BOOLEAN"),
     ]
     return _values_sql(rows, cols)
+
+
+def url_canonical_groups_sql(n: int = 300, seed: int = 42) -> str:
+    """Expected (canonical_url, n_links, n_raw_forms) for
+    __spark_entry__.q_url_canonical_groups: the generator's kept raw
+    targets as a VALUES CTE, then the SAME canonicalization logic in
+    DuckDB (operators/weblinks.canonicalize_urls_sql) — the string-op
+    mirror is under the hash, not just the replayed aggregate."""
+    from posextract_spark.operators.weblinks import canonicalize_urls_sql
+    from posextract_spark.sources.weblinks import replay_kept_targets
+
+    targets = replay_kept_targets(n, seed)
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(targets))
+    return (
+        f"WITH rawt(url_id, url) AS (VALUES {values}),\n"
+        f"ct AS ({canonicalize_urls_sql('rawt')})\n"
+        "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_links,\n"
+        "       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms\n"
+        "FROM ct GROUP BY canonical_url"
+    )

@@ -211,3 +211,16 @@ def replay_link_from_anchors(
             tot, lk = agg.get(canonical, (0, 0))
             agg[canonical] = (tot + 1, lk + (1 if linked else 0))
     return sorted((c, t, l) for c, (t, l) in agg.items())
+
+
+def replay_kept_targets(n: int, seed: int = 42) -> List[str]:
+    """Raw href targets extract_links KEEPS (absolute http(s) only), in
+    page order with duplicates — the input replay for the
+    URL-canonicalization oracle (oracles.url_canonical_groups_sql)."""
+    out: List[str] = []
+    for i in range(n):
+        page = gen_linked_page(i, seed)
+        for target in _HREF_RE.findall(page["html"].decode("utf-8")):
+            if _ABS_RE.match(target):
+                out.append(target)
+    return out
