@@ -204,8 +204,10 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
       1. trim surrounding whitespace; strip the #fragment;
       2. lowercase scheme and host[:port] (path/query case preserved);
       3. drop the scheme's default port (:80 http, :443 https);
-      4. empty path -> '/'; otherwise strip ONE trailing slash
-         ('/a/' -> '/a', '/' kept);
+      4. empty path -> '/'; otherwise strip ALL trailing slashes
+         ('/a/' and '/a//' -> '/a'; bare '/' kept) — all, not one,
+         or canonicalization would not be idempotent
+         (tests/test_url_canonicalize.py::test_idempotent);
       5. drop tracking query params (TRACKING_PARAM_RE: utm_*, fbclid,
          gclid, msclkid, ref) and empty fragments from repeated '&';
          sort the surviving params bytewise; drop '?' if none survive;
@@ -226,9 +228,8 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         (scheme == "http"), F.regexp_replace(hostport, r":80$", "")
     ).otherwise(F.when(scheme == "https", F.regexp_replace(hostport, r":443$", "")).otherwise(hostport))
     path = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(
-        F.when(F.length(path) > 1, F.regexp_replace(path, r"/$", "")).otherwise(path)
-    )
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     qs = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
     params = F.filter(
         F.split(qs, "&"),
@@ -261,9 +262,8 @@ FROM (
     CASE WHEN _scheme = 'http' THEN regexp_replace(_hostport, ':80$', '')
          WHEN _scheme = 'https' THEN regexp_replace(_hostport, ':443$', '')
          ELSE _hostport END AS _hostport2,
-    CASE WHEN _path = '' THEN '/'
-         WHEN len(_path) > 1 THEN regexp_replace(_path, '/$', '')
-         ELSE _path END AS _path2,
+    CASE WHEN regexp_replace(_path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(_path, '/+$', '') END AS _path2,
     list_filter(string_split(_qs, '&'),
                 p -> p <> '' AND NOT regexp_matches(lower(p), '{TRACKING_PARAM_RE}'))
       AS _params
