@@ -294,6 +294,17 @@ def q_ngram_jaccard_stats(spark, sf_dir):
     return ngram_jaccard_stats(_docs(spark, sf_dir))
 
 
+def q_contamination_report(spark, sf_dir):
+    """Corpus-level eval-leak dashboard: severity-banded doc counts +
+    total distinct-shingle hits over decontaminate()'s per-doc output
+    (eval = the deterministic doc_id % 29 subset, as in q_decontaminate)."""
+    from posextract_spark.operators.mldata import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    return contamination_report(docs, ev)
+
+
 def q_url_canonical_groups(spark, sf_dir):
     """URL canonicalization for recrawl dedup: extracted raw link targets
     -> canonical form (lowercased scheme/host, default-port/fragment/
@@ -2293,6 +2304,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "pack_stats": q_pack_stats,
         "url_canonical_groups": q_url_canonical_groups,
+        "contamination_report": q_contamination_report,
     }
 
 
@@ -2423,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _mldata.leakage_safe_split_sql(),
         "pack_stats": _mldata.pack_stats_sql(),
         "url_canonical_groups": _oracles.url_canonical_groups_sql(),
+        "contamination_report": _mldata.contamination_report_sql(),
         "cosine_topk": cosine_topk_sql(k=10),
         "lsh_bucket": lsh_bucket_sql(),
         "ivf_assign": IVF_ASSIGN_SQL,

@@ -1227,3 +1227,96 @@ SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_spans AS BIGINT) AS n_spans
 FROM st
 """
+
+
+#: contamination_report severity bands: (label, inclusive hit bounds).
+CONTAMINATION_BANDS = (("1", 1, 1), ("2-4", 2, 4), ("5-16", 5, 16), ("17+", 17, None))
+
+
+def contamination_report(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_broadcast_limit: int | None = 10_000_000,
+) -> DataFrame:
+    """Corpus-level contamination dashboard over decontaminate()'s
+    per-doc hits — the one-page answer to "how leaked is this corpus
+    against this eval suite":
+
+      (band, n_docs, total_hits) with band in
+      'clean' | '1' | '2-4' | '5-16' | '17+' | 'short'
+
+    'short' = train docs with < SHINGLE_N words (unmeasurable — they
+    contain no 5-gram, reported separately instead of silently counted
+    clean). Shape: decontaminate's broadcast-guarded join, then ONE
+    scan-side band classification + a 6-group combinable aggregate on
+    top of the per-doc counts; no new shuffle beyond decontaminate's
+    own groupBy.
+    """
+    from posextract_spark.operators.dedup import SHINGLE_N
+
+    hits = decontaminate(
+        train_df,
+        eval_df,
+        text_col=text_col,
+        id_col=id_col,
+        eval_broadcast_limit=eval_broadcast_limit,
+    )
+    n_words = F.size(word_array(F.col(text_col)))
+    base = train_df.select(
+        F.col(id_col), (n_words < SHINGLE_N).alias("_short")
+    ).join(hits, id_col, "left")
+    h = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    band = F.when(F.col("_short"), F.lit("short")).when(h == 0, F.lit("clean"))
+    for label, lo, hi in CONTAMINATION_BANDS:
+        cond = h >= lo if hi is None else (h >= lo) & (h <= hi)
+        band = band.when(cond, F.lit(label))
+    return (
+        base.select(band.alias("band"), h.alias("_h"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_h").cast("long").alias("total_hits"),
+        )
+    )
+
+
+def contamination_report_sql(rel: str = "documents", eval_mod: int = 29) -> str:
+    """Oracle: DECONTAMINATE_SQL's shingle chain + the same band CASE."""
+    bands = []
+    for label, lo, hi in CONTAMINATION_BANDS:
+        cond = f"h >= {lo}" if hi is None else f"h BETWEEN {lo} AND {hi}"
+        bands.append(f"WHEN {cond} THEN '{label}'")
+    band_case = "\n            ".join(bands)
+    return f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM {rel}
+),
+sh AS (
+  SELECT doc_id, unnest(
+    list_distinct(CASE WHEN len(ws) >= 5 THEN
+      list_transform(generate_series(1, len(ws) - 4),
+                     i -> array_to_string(ws[i:i+4], ' '))
+      ELSE [] END)) AS shingle
+  FROM words
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {eval_mod} = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_contaminated
+  FROM sh s JOIN ev USING (shingle) GROUP BY s.doc_id
+),
+perdoc AS (
+  SELECT w.doc_id, len(w.ws) < 5 AS short,
+         coalesce(h.n_contaminated, 0) AS h
+  FROM words w LEFT JOIN hits h USING (doc_id)
+)
+SELECT CASE WHEN short THEN 'short'
+            WHEN h = 0 THEN 'clean'
+            {band_case}
+       END AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(h) AS BIGINT) AS total_hits
+FROM perdoc GROUP BY 1
+"""
