@@ -305,6 +305,43 @@ def q_contamination_report(spark, sf_dir):
     return contamination_report(docs, ev)
 
 
+def q_contaminated_token_fraction(spark, sf_dir):
+    """GPT-3/Llama-style fuzzy contamination: fraction of each train
+    doc's tokens covered by eval-matching 5-gram occurrences (interval
+    union over positional shingle hits, COUNT(DISTINCT position) — no
+    double counting). Same deterministic eval split as q_decontaminate."""
+    from posextract_spark.operators.mldata import contaminated_token_fraction
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    return contaminated_token_fraction(docs, ev)
+
+
+def q_neardup_contamination(spark, sf_dir):
+    """Near-duplicate eval decontamination: train docs (doc_id % 29 != 0)
+    colliding with the eval split in >= 1 minhash-LSH band — the fuzzy
+    arm exact-shingle decontaminate misses; eval side pre-aggregated to
+    band-bucket summaries so the join is never quadratic
+    (operators/dedup.neardup_contamination)."""
+    from posextract_spark.operators.dedup import neardup_contamination
+
+    docs = _docs(spark, sf_dir)
+    return neardup_contamination(
+        docs.filter(F.col("doc_id") % 29 != 0),
+        docs.filter(F.col("doc_id") % 29 == 0),
+    )
+
+
+def q_bpe_fertility_stats(spark, sf_dir):
+    """Tokenizer fertility per source slice: BPE tokens per whitespace
+    word + chars per BPE token under the fixed contract merge list —
+    the per-domain tokenizer-evaluation report
+    (operators/mldata.bpe_fertility_stats)."""
+    from posextract_spark.operators.mldata import bpe_fertility_stats
+
+    return bpe_fertility_stats(_docs(spark, sf_dir), _BPE_MERGES)
+
+
 def q_url_canonical_groups(spark, sf_dir):
     """URL canonicalization for recrawl dedup: extracted raw link targets
     -> canonical form (lowercased scheme/host, default-port/fragment/
@@ -2305,6 +2342,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "url_canonical_groups": q_url_canonical_groups,
         "contamination_report": q_contamination_report,
+        "contaminated_token_fraction": q_contaminated_token_fraction,
+        "neardup_contamination": q_neardup_contamination,
+        "bpe_fertility_stats": q_bpe_fertility_stats,
     }
 
 
@@ -2436,6 +2476,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_stats": _mldata.pack_stats_sql(),
         "url_canonical_groups": _oracles.url_canonical_groups_sql(),
         "contamination_report": _mldata.contamination_report_sql(),
+        "contaminated_token_fraction": _mldata.contaminated_token_fraction_sql(),
+        "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
+        "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),
         "cosine_topk": cosine_topk_sql(k=10),
         "lsh_bucket": lsh_bucket_sql(),
         "ivf_assign": IVF_ASSIGN_SQL,

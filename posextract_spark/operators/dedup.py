@@ -1192,3 +1192,65 @@ SELECT CAST(thr_e6 AS INTEGER) AS thr_e6,
        CAST(CASE WHEN n_cand = 0 THEN 1000000 ELSE (n_caught * 1000000) // n_cand END AS BIGINT) AS precision_e6
 FROM _pq_rows"""
     )
+
+
+def neardup_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_seeds: int = MINHASH_SEEDS,
+    band_size: int = 2,
+    min_bands: int = 1,
+) -> DataFrame:
+    """NEAR-duplicate eval decontamination (the FineWeb/Llama recipe's
+    fuzzy arm): train docs whose minhash-LSH band keys collide with the
+    EVAL set in >= ``min_bands`` bands — catches lightly-paraphrased /
+    whitespace-perturbed eval leaks that exact-shingle decontaminate()
+    misses, with ``min_bands`` steepening the implied Jaccard threshold
+    (the same S-curve calibration as DEDUP_QUALITY.md).
+
+    Output: (id, n_hit_bands, matched_eval_id) — one row per contaminated
+    train doc; absence means clean; callers left-anti join to filter.
+
+    Pure composition: minhash_dedup_against_base with eval as the base
+    corpus, so it inherits the scale contract verbatim — the eval side is
+    pre-aggregated to one summary row per band bucket before the join
+    (never quadratic in bucket width), one shuffle per side on
+    (band, band_key), one per-doc aggregate. Short docs (< SHINGLE_N
+    words) emit no bands and are never flagged, matching
+    contaminated_token_fraction's unmeasurable-doc policy."""
+    hits = minhash_dedup_against_base(
+        train_df, eval_df, text_col=text_col, id_col=id_col,
+        n_seeds=n_seeds, band_size=band_size,
+    )
+    return hits.filter(F.col("n_hit_bands") >= F.lit(min_bands)).select(
+        F.col(id_col),
+        F.col("n_hit_bands"),
+        F.col("matched_base_id").alias("matched_eval_id"),
+    )
+
+
+def neardup_contamination_sql(
+    rel: str = "documents", eval_mod: int = 29, min_bands: int = 1
+) -> str:
+    """Mirror of neardup_contamination with the contract's deterministic
+    split: eval = doc_id % eval_mod = 0, train = the rest (disjoint, so
+    no doc trivially matches itself)."""
+    return (
+        "WITH " + band_keys_ctes(rel) + f""",
+base AS (
+  SELECT band, band_key, min(doc_id) AS bmin
+  FROM keys WHERE doc_id % {eval_mod} = 0 GROUP BY band, band_key
+),
+hits AS (
+  SELECT n.doc_id, count(b.band) AS n_hit_bands, min(b.bmin) AS mb
+  FROM (SELECT * FROM keys WHERE doc_id % {eval_mod} <> 0) n
+  LEFT JOIN base b ON n.band = b.band AND n.band_key = b.band_key
+  GROUP BY n.doc_id
+)
+SELECT doc_id, CAST(n_hit_bands AS INT) AS n_hit_bands,
+       CAST(mb AS BIGINT) AS matched_eval_id
+FROM hits WHERE n_hit_bands >= {min_bands}
+"""
+    )

@@ -275,35 +275,48 @@ def decontaminate(
     which is the correct plan when the 'small' side isn't. Pass ``None``
     to skip the count and unconditionally broadcast (the pre-r6
     behavior, for callers that know their eval set)."""
-    from posextract_spark.functions.boundary import materialize
-    from posextract_spark.operators.dedup import SHINGLE_N, _shingles
-
-    def shingle_rows(frame: DataFrame) -> DataFrame:
-        g = materialize(
-            frame.select(F.col(id_col), F.col(text_col)),
-            __dw=word_array(F.col(text_col)),
-        )
-        return g.filter(F.size(F.col("__dw")) >= SHINGLE_N).select(
-            F.col(id_col), F.explode(_shingles(F.col("__dw"))).alias("shingle")
-        )
-
-    ev = shingle_rows(eval_df).select("shingle").distinct()
-    tr = shingle_rows(train_df)
-    if eval_broadcast_limit is not None:
-        # localCheckpoint: the count below and the join both consume the
-        # distinct shingle set; materialize it once (blocks GC-reclaimed)
-        ev = ev.localCheckpoint(eager=True)
-        if ev.count() > eval_broadcast_limit:
-            return (
-                tr.join(ev, "shingle")
-                .groupBy(id_col)
-                .agg(F.count(F.lit(1)).alias("n_contaminated"))
-            )
+    ev = _guarded_eval_shingles(
+        _shingle_rows(eval_df, text_col, id_col), eval_broadcast_limit
+    )
+    tr = _shingle_rows(train_df, text_col, id_col)
     return (
-        tr.join(F.broadcast(ev), "shingle")
+        tr.join(ev, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+
+
+def _shingle_rows(frame: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingle) — one row per DISTINCT 5-gram shingle per document
+    (docs with < SHINGLE_N words emit none). The shared shingling front
+    of decontaminate / contamination_report / contaminated_token_fraction;
+    word array materialized once behind the Generate boundary."""
+    from posextract_spark.functions.boundary import materialize
+    from posextract_spark.operators.dedup import SHINGLE_N, _shingles
+
+    g = materialize(
+        frame.select(F.col(id_col), F.col(text_col)),
+        __dw=word_array(F.col(text_col)),
+    )
+    return g.filter(F.size(F.col("__dw")) >= SHINGLE_N).select(
+        F.col(id_col), F.explode(_shingles(F.col("__dw"))).alias("shingle")
+    )
+
+
+def _guarded_eval_shingles(eval_rows: DataFrame, limit: int | None) -> DataFrame:
+    """Distinct eval shingle frame, broadcast-hinted only when safe: the
+    count-first guard of VERDICT r5 item 5 (see decontaminate's docstring).
+    ``limit=None`` broadcasts unconditionally; otherwise the distinct set
+    is localCheckpointed once (the count and the join both read the
+    materialized blocks) and sets above ``limit`` shingles fall back to a
+    plain shuffle join — the correct plan when the 'small' side isn't."""
+    ev = eval_rows.select("shingle").distinct()
+    if limit is None:
+        return F.broadcast(ev)
+    ev = ev.localCheckpoint(eager=True)
+    if ev.count() > limit:
+        return ev
+    return F.broadcast(ev)
 
 
 # --- DuckDB mirrors --------------------------------------------------------
@@ -1319,4 +1332,245 @@ SELECT CASE WHEN short THEN 'short'
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(h) AS BIGINT) AS total_hits
 FROM perdoc GROUP BY 1
+"""
+
+
+def contaminated_token_fraction(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_broadcast_limit: int | None = 10_000_000,
+) -> DataFrame:
+    """Per-train-document FUZZY contamination: the fraction of the
+    document's tokens covered by at least one eval-matching 5-gram
+    occurrence — the GPT-3/Llama-style token-overlap measure (Brown et
+    al. 2020 app. C uses 13-gram spans; same construction), where
+    decontaminate() counts distinct leaked shingles, this answers "how
+    much OF THE DOCUMENT is leaked", which is what a removal threshold
+    should key on (one quoted sentence in a long article is not the same
+    contamination as a wholesale copy).
+
+    Output (contaminated docs only, like decontaminate):
+      (id, n_words, covered_tokens, frac_e6)
+    with frac_e6 = floor(covered_tokens * 1e6 / n_words) — integer
+    fixed-point, engine-exact.
+
+    Shape: positional (non-distinct) shingles on the train side
+    [posexplode over the materialized gram array], the broadcast-guarded
+    distinct eval shingle set on the other, then each matched occurrence
+    at position i marks tokens [i, i+4] covered; covered_tokens =
+    COUNT(DISTINCT position) per doc — overlapping matches never double
+    count. One shuffle total (the per-doc distinct-count aggregate),
+    bounded by MATCHED occurrences x SHINGLE_N, not by the corpus; the
+    interval explode is scan-side and linear in matches.
+    """
+    from posextract_spark.functions.boundary import materialize
+    from posextract_spark.functions.hashing import ngram_array
+    from posextract_spark.operators.dedup import SHINGLE_N
+
+    ev = _guarded_eval_shingles(
+        _shingle_rows(eval_df, text_col, id_col), eval_broadcast_limit
+    )
+    g = materialize(
+        train_df.select(F.col(id_col), F.col(text_col)),
+        __fw=word_array(F.col(text_col)),
+    )
+    grams = g.filter(F.size(F.col("__fw")) >= SHINGLE_N).select(
+        F.col(id_col),
+        F.size(F.col("__fw")).cast("long").alias("n_words"),
+        ngram_array(F.col("__fw"), SHINGLE_N).alias("__grams"),
+    )
+    # generator split from the lambda projection (CollapseProject trips
+    # FIELD_NOT_FOUND when both share a select — see memory of r6)
+    pos = grams.select(
+        id_col, "n_words", F.posexplode(F.col("__grams")).alias("pos", "shingle")
+    )
+    covered = pos.join(ev, "shingle").select(
+        id_col,
+        "n_words",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(SHINGLE_N - 1))
+        ).alias("cov"),
+    )
+    return (
+        covered.groupBy(id_col, "n_words")
+        .agg(F.count_distinct(F.col("cov")).cast("long").alias("covered_tokens"))
+        .select(
+            id_col,
+            "n_words",
+            "covered_tokens",
+            F.expr("covered_tokens * CAST(1000000 AS BIGINT) div n_words")
+            .cast("long")
+            .alias("frac_e6"),
+        )
+    )
+
+
+def decontaminate_fuzzy(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    max_frac_e6: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_broadcast_limit: int | None = 10_000_000,
+) -> DataFrame:
+    """Corpus filter on the fuzzy measure: keep train docs whose
+    contaminated-token fraction is UNDER ``max_frac_e6`` (default 10%).
+    Docs with no matched shingle (no report row) and short docs are kept
+    — use decontaminate()'s exact-hit policy when any leak must drop the
+    doc. Left-anti join against the over-threshold id set; the train
+    payload never reshuffles."""
+    bad = (
+        contaminated_token_fraction(
+            train_df,
+            eval_df,
+            text_col=text_col,
+            id_col=id_col,
+            eval_broadcast_limit=eval_broadcast_limit,
+        )
+        .filter(F.col("frac_e6") >= max_frac_e6)
+        .select(id_col)
+    )
+    return train_df.join(bad, id_col, "left_anti")
+
+
+def contaminated_token_fraction_sql(rel: str = "documents", eval_mod: int = 29) -> str:
+    """DuckDB mirror of contaminated_token_fraction with the contract's
+    deterministic eval split (doc_id % eval_mod = 0): positional shingles
+    via a lateral generate_series, the same distinct-eval join, the same
+    [i, i+4] coverage union counted per doc."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM {rel}
+),
+pos_sh AS (
+  SELECT doc_id, len(ws) AS n_words, t.i AS pos,
+         array_to_string(ws[t.i:t.i+4], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+  WHERE len(ws) >= 5
+),
+ev AS (SELECT DISTINCT shingle FROM pos_sh WHERE doc_id % {eval_mod} = 0),
+cov AS (
+  SELECT s.doc_id, s.n_words, u.p
+  FROM pos_sh s JOIN ev USING (shingle),
+       UNNEST(generate_series(s.pos, s.pos + 4)) AS u(p)
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(count(DISTINCT p) AS BIGINT) AS covered_tokens,
+       CAST((count(DISTINCT p) * 1000000) // n_words AS BIGINT) AS frac_e6
+FROM cov GROUP BY doc_id, n_words
+"""
+
+
+def bpe_fertility_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenizer fertility report per corpus slice: for each ``group_col``
+    value, (n_docs, ws_tokens, bpe_tokens, n_chars, fertility_e6,
+    chars_per_bpe_e6) where fertility = BPE tokens per whitespace word
+    and chars_per_bpe = compression ratio — the two numbers a tokenizer
+    evaluation reads per domain/language (fertility >> 1e6 on a slice
+    means the merge table serves it badly and its effective context
+    shrinks).
+
+    Shape: bpe_doc_token_counts' vocabulary-bounded merge chain sizes
+    each doc; one slim (id, group, ws, chars) projection joins it and
+    re-aggregates to GROUP cardinality (domains/languages — tiny). Docs
+    with no words carry bpe_tokens=0 via the left join. Integer
+    fixed-point ratios (x1e6 then integer div, zero-guarded); the e6
+    scaling leaves ~3 orders of headroom over a 10^12-token group sum in
+    int64 — beyond that, lift the two products to DECIMAL(38,0)."""
+    per_doc = bpe_doc_token_counts(
+        docs, merges, text_col=text_col, id_col=id_col, lowercase=lowercase
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(word_array(F.col(text_col))).cast("long").alias("_ws"),
+        F.length(F.col(text_col)).cast("long").alias("_ch"),
+    )
+    j = base.join(per_doc, id_col, "left")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_ws").cast("long").alias("ws_tokens"),
+            F.sum(F.coalesce(F.col("n_tokens"), F.lit(0))).cast("long").alias("bpe_tokens"),
+            F.sum("_ch").cast("long").alias("n_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_chars",
+            F.expr(
+                "bpe_tokens * CAST(1000000 AS BIGINT)"
+                " div greatest(ws_tokens, CAST(1 AS BIGINT))"
+            ).cast("long").alias("fertility_e6"),
+            F.expr(
+                "n_chars * CAST(1000000 AS BIGINT)"
+                " div greatest(bpe_tokens, CAST(1 AS BIGINT))"
+            ).cast("long").alias("chars_per_bpe_e6"),
+        )
+    )
+
+
+def bpe_fertility_stats_sql(
+    merges: list[tuple[str, str]],
+    docs_rel: str = "documents",
+    group_col: str = "source",
+    lowercase: bool = True,
+) -> str:
+    """DuckDB mirror of bpe_fertility_stats: the pack_bpe occ/vt
+    per-distinct-word chain re-aggregated per doc, joined to the slim
+    base projection, grouped on ``group_col`` with the same integer
+    fixed-point ratios."""
+    src = "lower(text)" if lowercase else "text"
+    words = WORD_ARRAY_SQL.format(col=src)
+    base_words = WORD_ARRAY_SQL.format(col="text")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    sym = (
+        f"{q(_BPE_L)} || array_to_string(string_split(w, ''), "
+        f"{q(_BPE_R + _BPE_L)}) || {q(_BPE_R)}"
+    )
+    for a, b in merges:
+        sym = f"replace({sym}, {q(_bpe_wrap(a) + _bpe_wrap(b))}, {q(_bpe_wrap(a + b))})"
+    spaced = f"replace({sym}, {q(_BPE_R + _BPE_L)}, ' ')"
+    cleaned = f"replace(replace({spaced}, {q(_BPE_L)}, ''), {q(_BPE_R)}, '')"
+    return f"""
+WITH occ AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ
+  FROM (SELECT doc_id, unnest({words}) AS w FROM {docs_rel})
+  GROUP BY doc_id, w),
+vt AS (
+  SELECT w, CAST(len(string_split({cleaned}, ' ')) AS BIGINT) AS tokn
+  FROM (SELECT DISTINCT w FROM occ)),
+bpe AS (
+  SELECT o.doc_id, CAST(sum(o.occ * v.tokn) AS BIGINT) AS bpe_tokens
+  FROM occ o JOIN vt v USING (w) GROUP BY o.doc_id),
+base AS (
+  SELECT doc_id, {group_col}, len({base_words}) AS ws, length(text) AS ch
+  FROM {docs_rel})
+SELECT {group_col},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(coalesce(p.bpe_tokens, 0)) AS BIGINT) AS bpe_tokens,
+       CAST(sum(b.ch) AS BIGINT) AS n_chars,
+       CAST((sum(coalesce(p.bpe_tokens, 0)) * 1000000)
+            // greatest(sum(b.ws), 1) AS BIGINT) AS fertility_e6,
+       CAST((sum(b.ch) * 1000000)
+            // greatest(sum(coalesce(p.bpe_tokens, 0)), 1) AS BIGINT) AS chars_per_bpe_e6
+FROM base b LEFT JOIN bpe p USING (doc_id)
+GROUP BY {group_col}
 """
