@@ -458,6 +458,25 @@ def q_ivf_topk_kmeans(spark, sf_dir):
     )
 
 
+def q_semdedup_survivors(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023): trained k-means
+    clusters confine the cosine near-dup pruning; the kept member of
+    each epsilon-ball is the one farthest from its centroid
+    (operators/similarity.semdedup_survivors)."""
+    from posextract_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup_survivors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # threshold calibrated to the synthetic corpus (near-random vectors:
+    # max within-cluster cosine ~0.51, so the production 0.95 default
+    # would prune nothing); 0.40 exercises the dominance pruning
+    return semdedup_survivors(
+        emb, threshold_e6=400000, centroids=kmeans_centroids(emb, n_iter=2)
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     from posextract_spark.operators.similarity import neardup_bucket_stats
 
@@ -2343,6 +2362,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_groups": q_url_canonical_groups,
         "contamination_report": q_contamination_report,
         "contaminated_token_fraction": q_contaminated_token_fraction,
+        "semdedup_survivors": q_semdedup_survivors,
         "neardup_contamination": q_neardup_contamination,
         "bpe_fertility_stats": q_bpe_fertility_stats,
     }
@@ -2380,6 +2400,7 @@ def oracle_sql() -> dict[str, str]:
         IVF_ASSIGN_SQL,
         cosine_topk_sql,
         ivf_assign_kmeans_sql,
+        semdedup_survivors_sql,
         ivf_topk_kmeans_sql,
         ivf_topk_sql,
         lsh_bucket_sql,
@@ -2484,6 +2505,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": IVF_ASSIGN_SQL,
         "ivf_topk": ivf_topk_sql(k=10),
         "ivf_assign_kmeans": ivf_assign_kmeans_sql(n_iter=2),
+        "semdedup_survivors": semdedup_survivors_sql(n_iter=2, threshold_e6=400000),
         "ivf_topk_kmeans": ivf_topk_kmeans_sql(k_results=10, n_iter=2),
         "embedding_neardup": neardup_bucket_stats_sql(),
         "media_image_features": _oracles.media_image_features_sql(),

@@ -1842,3 +1842,134 @@ SELECT id AS {id_col},
        CAST(count(token) AS BIGINT) AS n_tokens,
        [{comps}] AS embedding
 FROM _hi_j GROUP BY id"""
+
+
+# --- SemDeDup: semantic near-dup pruning (Abbas et al. 2023) -----------------
+
+SEMDEDUP_THRESHOLD_E6 = 950000
+
+
+def semdedup_survivors(
+    df: DataFrame,
+    k: int = IVF_K,
+    n_iter: int = 2,
+    threshold_e6: int = SEMDEDUP_THRESHOLD_E6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    max_cluster_width: int | None = None,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): k-means-cluster the embeddings, then inside each cluster
+    drop every vector that has a cosine-similar neighbor (sim_e6 >=
+    ``threshold_e6``) ranking before it. Rank = (centroid_sim asc, id
+    asc): the KEPT member of a near-dup group is the one FARTHEST from
+    its centroid — the paper's best-performing keep policy (edge-of-
+    cluster examples are the informative ones) — made deterministic with
+    the id tie-break. One-pass dominance (b drops if ANY ranked-before
+    similar a exists) rather than transitive closure: the policy is
+    order-free, engine-exact, and matches the paper's epsilon-ball
+    pruning within a cluster.
+
+    Output: survivors only — (id, centroid_id, centroid_sim_e6);
+    left-anti join the input to materialize the deduped corpus.
+
+    Scale shape: training is kmeans_centroids' contract (k*dim driver
+    longs per iteration); assignment is the zero-shuffle ivf_assign
+    projection; the quadratic is confined to same-cluster pairs via ONE
+    shuffle on centroid_id. Cluster width is the skew knob — k should
+    scale with N (the paper uses N/k ~ 10^4); ``max_cluster_width``
+    additionally caps hot clusters by deterministic subsampling
+    (cap_bucket_width), under which a capped-out vector is neither
+    dropped nor drops others — coverage, not correctness, degrades, as
+    with minhash_band_pairs' cap. The assignment frame has three
+    consumers (both pair sides + the anti-join), so it is materialized
+    once with an eager localCheckpoint."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(df, k, n_iter, id_col, vec_col)
+    )
+    base = _ivf_base(df, id_col, vec_col)
+    best = _best_centroid(_centroid_struct_array(cents))
+    g = base.select(
+        F.col(id_col),
+        (-best["ncid"]).alias("centroid_id"),
+        best["sim"].alias("centroid_sim_e6"),
+        F.col("_e"),
+    ).localCheckpoint(eager=True)
+    pair_side = g
+    if max_cluster_width is not None:
+        from posextract_spark.functions.capping import cap_bucket_width
+
+        pair_side = cap_bucket_width(g, ["centroid_id"], id_col, max_cluster_width)
+    a = pair_side.select(
+        F.col(id_col).alias("_a_id"),
+        F.col("centroid_id").alias("_a_cid"),
+        F.col("centroid_sim_e6").alias("_a_csim"),
+        F.col("_e").alias("_a_e"),
+    )
+    b = pair_side.select(
+        F.col(id_col).alias("_b_id"),
+        F.col("centroid_id").alias("_b_cid"),
+        F.col("centroid_sim_e6").alias("_b_csim"),
+        F.col("_e").alias("_b_e"),
+    )
+    dominates = (F.col("_a_csim") < F.col("_b_csim")) | (
+        (F.col("_a_csim") == F.col("_b_csim")) & (F.col("_a_id") < F.col("_b_id"))
+    )
+    pair_sim = (
+        F.floor(_cosine(F.col("_a_e"), F.col("_b_e")) * F.lit(1000000.0))
+        .cast("bigint")
+    )
+    dropped = (
+        a.join(b, (F.col("_a_cid") == F.col("_b_cid")) & dominates)
+        .filter(pair_sim >= F.lit(threshold_e6))
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+    return g.join(dropped, id_col, "left_anti").select(
+        id_col, "centroid_id", "centroid_sim_e6"
+    )
+
+
+def semdedup_survivors_sql(
+    n_iter: int = 2,
+    k: int = IVF_K,
+    threshold_e6: int = SEMDEDUP_THRESHOLD_E6,
+) -> str:
+    """DuckDB mirror of semdedup_survivors (trained-centroid path): the
+    unrolled k-means chain + final assignment, the same (csim, id)
+    dominance pair join, anti-join of the dropped set."""
+    ctes, final = kmeans_cents_cte(n_iter, k)
+    norms = (
+        "(sqrt(list_aggregate(list_transform(a.e, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum')))"
+    )
+    pair_cos = (
+        "CAST(floor((CASE WHEN " + norms + " = 0 THEN -2.0 ELSE "
+        "list_aggregate(list_transform(generate_series(1, len(a.e)), j -> a.e[j] * b.e[j]), 'sum')"
+        " / " + norms + " END)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return (
+        ctes
+        + ",\n"
+        + _assign_ctes("F", final).lstrip()
+        + f""",
+sg AS (
+  SELECT s.vec_id, s.cid, s.sim_e6 AS csim, v.e
+  FROM assignF s JOIN vecs v USING (vec_id)
+),
+sdropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM sg a JOIN sg b
+    ON a.cid = b.cid
+   AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+  WHERE {pair_cos} >= {threshold_e6}
+)
+SELECT g.vec_id, CAST(g.cid AS INTEGER) AS centroid_id, g.csim AS centroid_sim_e6
+FROM sg g LEFT JOIN sdropped d ON g.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+    )
