@@ -1884,7 +1884,16 @@ def semdedup_survivors(
     dropped nor drops others — coverage, not correctness, degrades, as
     with minhash_band_pairs' cap. The assignment frame has three
     consumers (both pair sides + the anti-join), so it is materialized
-    once with an eager localCheckpoint."""
+    once with an eager localCheckpoint.
+
+    k ceiling: the literal-centroid scan-side argmax (ivf_assign's
+    shape) is practical to k ~ few hundred — beyond that the per-row
+    literal array dominates. The paper-scale regime (k ~ 10^5 clusters
+    for 10^8+ docs) swaps the assignment for a broadcast join against a
+    (cid, cvec) centroid TABLE (k x dim doubles broadcast easily) with
+    the same fixed-point argmax as a groupBy-min — everything downstream
+    of the assignment is unchanged. Measured at 200k x 64-dim, k=256:
+    26s train + 249s prune (BENCH/BASELINE.md r7)."""
     cents = (
         centroids
         if centroids is not None
