@@ -2201,10 +2201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_dedup_survivors": q_minhash_dedup_survivors,
         "minhash_dedup_best_survivors": q_minhash_dedup_best_survivors,
+        "semdedup_survivors": q_semdedup_survivors,
         "kg_taxonomy_closure": q_kg_taxonomy_closure,
-        "simhash": q_simhash,
         "ngram_jaccard_stats": q_ngram_jaccard_stats,
-        "cosine_topk": q_cosine_topk,
         "bpe_train_merges": q_bpe_train_merges,
         "ann_recall_ivf": q_ann_recall_ivf,
         "pq_encode_kmeans": q_pq_encode_kmeans,
@@ -2225,13 +2224,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": q_connected_components_star,
         "kg_pages_pipeline": q_kg_pages_pipeline,
         "kg_nodes_canonical": q_kg_nodes_canonical,
-        "validate_data": q_validate_data,
         "stratified_take": q_stratified_take,
         "salted_doc_counts": q_salted_doc_counts,
         "hash_split": q_hash_split,
-        "pack_sequences": q_pack_sequences,
         "pack_sequence_spans": q_pack_sequence_spans,
         "decontaminate": q_decontaminate,
+        "contaminated_token_fraction": q_contaminated_token_fraction,
+        "neardup_contamination": q_neardup_contamination,
+        "bpe_fertility_stats": q_bpe_fertility_stats,
         }
 
 
@@ -2255,7 +2255,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (media keeps image/audio/frame_sample rows). End-of-r6 rotation:
     media_audio_features + ivf_topk move here so kg_taxonomy_closure +
     lm_familiarity earn driver-checked rows (their families keep
-    image/frame_sample and assign rows in the 50)."""
+    image/frame_sample and assign rows in the 50). Late-r7 rotation: the
+    contamination/semdedup flagships (semdedup_survivors,
+    contaminated_token_fraction, neardup_contamination,
+    bpe_fertility_stats) enter the 50; simhash (dedup keeps exact +
+    minhash signatures/survivors/best + jaccard rows), cosine_topk
+    (similarity keeps ann_recall_ivf whose ground truth IS brute-force
+    cosine, plus pq/ivf/hash_embed rows), validate_data (evalops keeps
+    stratified_take; syntax_check/tag_sentence swept here), and
+    pack_sequences (packing keeps pack_sequence_spans, its strict
+    superset) move here."""
     return {
         # r7 rotation OUT (VERDICT r6 item 3: the r6-final flagships +
         # the r7 trained-PQ/recall trio earn driver rows; these leave the
@@ -2361,10 +2370,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "url_canonical_groups": q_url_canonical_groups,
         "contamination_report": q_contamination_report,
-        "contaminated_token_fraction": q_contaminated_token_fraction,
-        "semdedup_survivors": q_semdedup_survivors,
-        "neardup_contamination": q_neardup_contamination,
-        "bpe_fertility_stats": q_bpe_fertility_stats,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "validate_data": q_validate_data,
+        "pack_sequences": q_pack_sequences,
     }
 
 
