@@ -342,6 +342,17 @@ def q_bpe_fertility_stats(spark, sf_dir):
     return bpe_fertility_stats(_docs(spark, sf_dir), _BPE_MERGES)
 
 
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance scores (Xie et al. 2023) in integer flog2
+    arithmetic: rank raw docs by hashed-bigram target-likeness against
+    the deterministic doc_id % 29 seed split
+    (operators/mldata.dsir_scores)."""
+    from posextract_spark.operators.mldata import dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    return dsir_scores(docs, docs.filter(F.col("doc_id") % 29 == 0))
+
+
 def q_url_canonical_groups(spark, sf_dir):
     """URL canonicalization for recrawl dedup: extracted raw link targets
     -> canonical form (lowercased scheme/host, default-port/fragment/
@@ -2370,6 +2381,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "url_canonical_groups": q_url_canonical_groups,
         "contamination_report": q_contamination_report,
+        "dsir_scores": q_dsir_scores,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "validate_data": q_validate_data,
@@ -2507,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical_groups": _oracles.url_canonical_groups_sql(),
         "contamination_report": _mldata.contamination_report_sql(),
         "contaminated_token_fraction": _mldata.contaminated_token_fraction_sql(),
+        "dsir_scores": _mldata.dsir_scores_sql(),
         "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
         "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),
         "cosine_topk": cosine_topk_sql(k=10),

@@ -1574,3 +1574,142 @@ SELECT {group_col},
 FROM base b LEFT JOIN bpe p USING (doc_id)
 GROUP BY {group_col}
 """
+
+
+#: DSIR hashed-feature space (the paper uses 10^4; a power of two keeps
+#: the bucket a cheap mask-equivalent pmod in both engines)
+DSIR_BUCKETS = 8192
+
+
+def _flog2(x) -> F.Column:
+    """floor(log2(x)) for a non-negative integer Column, computed EXACTLY
+    as length(bin(x)) - 1 — a string-length op, not a transcendental, so
+    Spark and DuckDB agree bit-for-bit (bin(0) = '0' gives 0 in both)."""
+    return (F.length(F.bin(x)) - F.lit(1)).cast("long")
+
+
+def dsir_scores(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, arXiv
+    2302.03169), the hashed-n-gram flavor, in ENGINE-EXACT integer
+    arithmetic: score each raw-corpus document by how target-like its
+    hashed word-bigram distribution is,
+
+      dsir_score = sum over bigram occurrences b of
+          [flog2(ct_b + 1) + flog2(Nr)] - [flog2(cr_b + 1) + flog2(Nt)]
+
+    where ct/cr are the bucket's bigram counts in the target/raw corpus,
+    Nt/Nr the total bigram counts, and flog2 = floor(log2) via binary-
+    string length (_flog2 — no transcendentals, so the DuckDB mirror
+    hash-matches). This is the paper's add-one log-likelihood ratio with
+    logs quantized to whole bits and the normalizers folded per term to
+    stay overflow-free at any corpus size (no count products are ever
+    formed). Factor-of-2 ratio resolution is the deliberate trade for
+    determinism; the paper's Gumbel-noise resampling step becomes a
+    caller-side deterministic top-k / threshold on the score.
+
+    Output: (id, n_features, dsir_score) per raw doc with >= 2 words
+    (higher = more target-like). Rank or threshold to select.
+
+    Scale shape: two map-side-combinable bucket-count aggregations (the
+    feature space is n_buckets ~ 10^4 regardless of corpus size), two
+    1-row total frames crossJoined in (broadcast), ONE broadcast join of
+    the n_buckets-row score map onto the scan-side bigram stream, one
+    per-doc sum. The raw corpus text is scanned twice (count pass +
+    score pass) — persist the bigram frame in a production run to make
+    it one scan (Catalyst has no plan-level CTE reuse)."""
+    from posextract_spark.functions.boundary import materialize
+    from posextract_spark.functions.hashing import ngram_array
+
+    def bigram_buckets(frame: DataFrame, with_id: bool) -> DataFrame:
+        g = materialize(
+            frame.select(F.col(id_col), F.col(text_col)),
+            __dg=word_array(F.col(text_col)),
+        )
+        grams = g.filter(F.size(F.col("__dg")) >= 2).select(
+            F.col(id_col), ngram_array(F.col("__dg"), 2).alias("__grams")
+        )
+        cols = [F.col(id_col)] if with_id else []
+        exploded = grams.select(*cols, F.explode(F.col("__grams")).alias("__gram"))
+        return exploded.select(
+            *cols,
+            F.pmod(portable_hash64(F.col("__gram")), F.lit(n_buckets)).alias("bucket"),
+        )
+
+    tc = (
+        bigram_buckets(target_df, with_id=False)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    raw_grams = bigram_buckets(raw_df, with_id=True)
+    rc = raw_grams.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    nt = tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
+    nr = rc.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("nr"))
+    ct = F.coalesce(F.col("ct"), F.lit(0))
+    cr = F.coalesce(F.col("cr"), F.lit(0))
+    smap = (
+        rc.join(tc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            (
+                (_flog2(ct + F.lit(1)) + _flog2(F.col("nr")))
+                - (_flog2(cr + F.lit(1)) + _flog2(F.col("nt")))
+            ).alias("s"),
+        )
+    )
+    return (
+        raw_grams.join(F.broadcast(smap), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("s").cast("long").alias("dsir_score"),
+        )
+    )
+
+
+def dsir_scores_sql(
+    rel: str = "documents", target_mod: int = 29, n_buckets: int = DSIR_BUCKETS
+) -> str:
+    """DuckDB mirror of dsir_scores with the contract's deterministic
+    target split (doc_id % target_mod = 0): same md5 bucket hash, same
+    flog2-via-bin quantization, same per-term normalizer folding."""
+    h = portable_hash64_sql("array_to_string(ws[t.i:t.i+1], ' ')")
+    return f"""
+WITH dwords AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM {rel}
+),
+grams AS (
+  SELECT doc_id, {h} % {n_buckets} AS bucket
+  FROM dwords, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+tc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+  FROM grams WHERE doc_id % {target_mod} = 0 GROUP BY bucket
+),
+rc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM grams GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS nt,
+         (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rc) AS nr
+),
+smap AS (
+  SELECT coalesce(r.bucket, t.bucket) AS bucket,
+         ((length(bin(coalesce(t.ct, 0) + 1)) - 1 + length(bin(tot.nr)) - 1)
+          - (length(bin(coalesce(r.cr, 0) + 1)) - 1 + length(bin(tot.nt)) - 1)) AS s
+  FROM rc r FULL OUTER JOIN tc t ON r.bucket = t.bucket CROSS JOIN tot
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(m.s) AS BIGINT) AS dsir_score
+FROM grams g JOIN smap m USING (bucket)
+GROUP BY g.doc_id
+"""
