@@ -229,6 +229,27 @@ def main() -> None:
     )
     edges.unpersist()
 
+    # r7 additions: the contamination + semantic-dedup families
+    from posextract_spark.operators.mldata import contaminated_token_fraction
+    from posextract_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup_survivors,
+    )
+
+    timed(
+        "contaminated_token_fraction",
+        lambda: contaminated_token_fraction(docs, ev_docs)
+        .agg(F.sum("covered_tokens"), F.sum("frac_e6"))
+        .collect(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed(
+        "semdedup_survivors",
+        lambda: semdedup_survivors(
+            emb, threshold_e6=400000, centroids=kmeans_centroids(emb, n_iter=2)
+        ).count(),
+    )
+
     # The headline total covers the SEVEN queries benchmarked since round 1
     # so "value" stays comparable across rounds; queries added later (e.g.
     # corpus_quality_filter in r3) are timed and reported but summed
