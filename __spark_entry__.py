@@ -488,6 +488,21 @@ def q_semdedup_survivors(spark, sf_dir):
     )
 
 
+def q_semdedup_against_base(spark, sf_dir):
+    """Incremental semantic dedup: odd-id vectors flagged against the
+    even-id base corpus — trained-quantizer assignment both sides, the
+    cluster-confined cosine join, append-only semantics
+    (operators/similarity.semdedup_against_base)."""
+    from posextract_spark.operators.similarity import semdedup_against_base
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_against_base(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        threshold_e6=400000,
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     from posextract_spark.operators.similarity import neardup_bucket_stats
 
@@ -2382,6 +2397,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_groups": q_url_canonical_groups,
         "contamination_report": q_contamination_report,
         "dsir_scores": q_dsir_scores,
+        "semdedup_against_base": q_semdedup_against_base,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "validate_data": q_validate_data,
@@ -2421,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         IVF_ASSIGN_SQL,
         cosine_topk_sql,
         ivf_assign_kmeans_sql,
+        semdedup_against_base_sql,
         semdedup_survivors_sql,
         ivf_topk_kmeans_sql,
         ivf_topk_sql,
@@ -2528,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": ivf_topk_sql(k=10),
         "ivf_assign_kmeans": ivf_assign_kmeans_sql(n_iter=2),
         "semdedup_survivors": semdedup_survivors_sql(n_iter=2, threshold_e6=400000),
+        "semdedup_against_base": semdedup_against_base_sql(n_iter=2, threshold_e6=400000),
         "ivf_topk_kmeans": ivf_topk_kmeans_sql(k_results=10, n_iter=2),
         "embedding_neardup": neardup_bucket_stats_sql(),
         "media_image_features": _oracles.media_image_features_sql(),

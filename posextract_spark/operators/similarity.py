@@ -1982,3 +1982,139 @@ FROM sg g LEFT JOIN sdropped d ON g.vec_id = d.vec_id
 WHERE d.vec_id IS NULL
 """
     )
+
+
+def semdedup_against_base(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    k: int = IVF_K,
+    n_iter: int = 2,
+    threshold_e6: int = SEMDEDUP_THRESHOLD_E6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    max_cluster_width: int | None = None,
+) -> DataFrame:
+    """APPEND-ONLY incremental semantic dedup — the SemDeDup counterpart
+    of dedup.minhash_dedup_against_base: flag new-snapshot vectors with a
+    cosine-similar neighbor (sim_e6 >= ``threshold_e6``) in the EXISTING
+    corpus, without touching base survivors. New-vs-new semantic dups are
+    handled by semdedup_survivors over the new snapshot alone first; this
+    answers "is this new doc semantically redundant against what we
+    already keep" — the daily-ingest question.
+
+    Output: one row per new vector —
+      (id, centroid_id, n_base_hits, matched_base_id [-1 if none], is_new)
+
+    Scale shape: the quantizer is trained on the BASE corpus (or passed
+    in — production keeps it as a model artifact so assignment costs
+    never retrain); both sides assign scan-side (zero shuffle); the
+    cross join is confined to same-cluster (new x base) pairs via one
+    shuffle per side on centroid_id. Unlike the minhash variant the base
+    side cannot be pre-aggregated to bucket summaries (cosine needs the
+    vectors), so hot clusters are the skew knob: ``max_cluster_width``
+    deterministically subsamples the BASE side per cluster
+    (cap_bucket_width) — a capped-out base vector stops flagging new
+    ones (coverage degrades, correctness doesn't). Same k ceiling note
+    as semdedup_survivors."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(base_df, k, n_iter, id_col, vec_col)
+    )
+    cent_arr = _centroid_struct_array(cents)
+
+    def assigned(frame: DataFrame) -> DataFrame:
+        base = _ivf_base(frame, id_col, vec_col)
+        best = _best_centroid(cent_arr)
+        return base.select(
+            F.col(id_col), (-best["ncid"]).alias("centroid_id"), F.col("_e")
+        )
+
+    gn = assigned(new_df).localCheckpoint(eager=True)
+    gb = assigned(base_df).select(
+        F.col(id_col).alias("_base_id"),
+        F.col("centroid_id").alias("_b_cid"),
+        F.col("_e").alias("_b_e"),
+    )
+    if max_cluster_width is not None:
+        from posextract_spark.functions.capping import cap_bucket_width
+
+        gb = cap_bucket_width(gb, ["_b_cid"], "_base_id", max_cluster_width)
+    pair_sim = (
+        F.floor(_cosine(F.col("_e"), F.col("_b_e")) * F.lit(1000000.0)).cast("bigint")
+    )
+    hits = (
+        gn.join(gb, F.col("centroid_id") == F.col("_b_cid"))
+        .filter(pair_sim >= F.lit(threshold_e6))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_base_hits"),
+            F.min("_base_id").alias("_mb"),
+        )
+    )
+    return gn.join(hits, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        F.coalesce(F.col("n_base_hits"), F.lit(0)).cast("int").alias("n_base_hits"),
+        F.coalesce(F.col("_mb"), F.lit(-1)).cast("bigint").alias("matched_base_id"),
+        (F.col("n_base_hits").isNull()).cast("int").alias("is_new"),
+    )
+
+
+def semdedup_against_base_sql(
+    n_iter: int = 2,
+    k: int = IVF_K,
+    threshold_e6: int = SEMDEDUP_THRESHOLD_E6,
+) -> str:
+    """Mirror of semdedup_against_base with the contract's deterministic
+    split: base = even vec_id, new = odd. The k-means chain trains on the
+    base relation (init = base ids < k, so an even-only base yields
+    ceil(k/2) centroids — identically in both engines); both sides assign
+    against the final centroids with the same fixed-point argmax."""
+    base_rel = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"
+    ctes, final = kmeans_cents_cte(n_iter, k, rel=base_rel)
+    norms = (
+        "(sqrt(list_aggregate(list_transform(n.e, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(b.e, x -> x * x), 'sum')))"
+    )
+    pair_cos = (
+        "CAST(floor((CASE WHEN " + norms + " = 0 THEN -2.0 ELSE "
+        "list_aggregate(list_transform(generate_series(1, len(n.e)), j -> n.e[j] * b.e[j]), 'sum')"
+        " / " + norms + " END)"
+        " * 1000000.0) AS BIGINT)"
+    )
+    return (
+        ctes
+        + f""",
+nvecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+nasg AS (
+  SELECT vec_id, cid, e FROM (
+    SELECT v.vec_id, c.cid, v.e, {_COS_SQL} AS sim_e6,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_COS_SQL} DESC, c.cid ASC) AS rn
+    FROM nvecs v CROSS JOIN {final} c
+  ) WHERE rn = 1
+),
+basg AS (
+  SELECT vec_id AS base_id, cid, e FROM (
+    SELECT v.vec_id, c.cid, v.e, {_COS_SQL} AS sim_e6,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {_COS_SQL} DESC, c.cid ASC) AS rn
+    FROM vecs v CROSS JOIN {final} c
+  ) WHERE rn = 1
+),
+bhits AS (
+  SELECT n.vec_id, CAST(count(*) AS INT) AS n_base_hits,
+         min(b.base_id) AS mb
+  FROM nasg n JOIN basg b ON n.cid = b.cid AND {pair_cos} >= {threshold_e6}
+  GROUP BY n.vec_id
+)
+SELECT g.vec_id, CAST(g.cid AS INTEGER) AS centroid_id,
+       CAST(coalesce(h.n_base_hits, 0) AS INT) AS n_base_hits,
+       CAST(coalesce(h.mb, -1) AS BIGINT) AS matched_base_id,
+       CAST(h.vec_id IS NULL AS INT) AS is_new
+FROM nasg g LEFT JOIN bhits h ON g.vec_id = h.vec_id
+"""
+    )

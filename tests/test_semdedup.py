@@ -60,3 +60,34 @@ def test_semdedup_plan_has_no_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_semdedup_against_base_flags_and_passes(spark):
+    from posextract_spark.operators.similarity import semdedup_against_base
+
+    base = _emb(spark, [(0, [1.0, 0.05]), (2, [0.0, 1.0])])
+    new = _emb(
+        spark,
+        [
+            (1, [1.0, 0.06]),   # near-dup of base 0 (same cluster 0)
+            (3, [0.05, 1.0]),   # near-dup of base 2 (cluster 1)
+            (5, [-1.0, 0.9]),   # cluster 1 but dissimilar to base 2
+        ],
+    )
+    out = {
+        r.vec_id: r
+        for r in semdedup_against_base(new, base, centroids=CENTS).collect()
+    }
+    assert out[1].is_new == 0 and out[1].matched_base_id == 0
+    assert out[3].is_new == 0 and out[3].matched_base_id == 2
+    assert out[5].is_new == 1 and out[5].matched_base_id == -1
+    assert out[1].n_base_hits == 1
+
+
+def test_semdedup_against_base_never_drops_new_rows(spark):
+    from posextract_spark.operators.similarity import semdedup_against_base
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    new = emb.filter("vec_id % 2 = 1")
+    out = semdedup_against_base(new, emb.filter("vec_id % 2 = 0"), threshold_e6=400000)
+    assert out.count() == new.count()  # row-preserving report
