@@ -294,6 +294,16 @@ def q_ngram_jaccard_stats(spark, sf_dir):
     return ngram_jaccard_stats(_docs(spark, sf_dir))
 
 
+def q_winnow_stats(spark, sf_dir):
+    """Winnowing fingerprint digests (Schleimer et al. 2003): window-min
+    selection over positional 5-gram hashes; per-doc count + bit_xor +
+    extrema pin the full fingerprint set
+    (operators/dedup.winnow_stats)."""
+    from posextract_spark.operators.dedup import winnow_stats
+
+    return winnow_stats(_docs(spark, sf_dir))
+
+
 def q_contamination_report(spark, sf_dir):
     """Corpus-level eval-leak dashboard: severity-banded doc counts +
     total distinct-shingle hits over decontaminate()'s per-doc output
@@ -2398,6 +2408,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "dsir_scores": q_dsir_scores,
         "semdedup_against_base": q_semdedup_against_base,
+        "winnow_stats": q_winnow_stats,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "validate_data": q_validate_data,
@@ -2537,6 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": _mldata.contamination_report_sql(),
         "contaminated_token_fraction": _mldata.contaminated_token_fraction_sql(),
         "dsir_scores": _mldata.dsir_scores_sql(),
+        "winnow_stats": _dedup_mod.winnow_stats_sql(),
         "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
         "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),
         "cosine_topk": cosine_topk_sql(k=10),

@@ -1254,3 +1254,116 @@ SELECT doc_id, CAST(n_hit_bands AS INT) AS n_hit_bands,
 FROM hits WHERE n_hit_bands >= {min_bands}
 """
     )
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) ------
+
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every word 5-gram, slide a ``window``-wide window
+    over the hash sequence, keep each window's MINIMUM hash; the distinct
+    selected hashes are the document's fingerprint set. Guarantee: two
+    documents sharing any run of >= window + SHINGLE_N - 1 consecutive
+    words share at least one fingerprint — local, position-robust copy
+    detection with a ~2/(window+1) expected selection density, the
+    classic alternative to minhash when the question is "do these share a
+    SUBSTRING" rather than "are these globally similar".
+
+    Output: (id, fingerprint) distinct rows. Join on fingerprint for
+    candidate copy pairs (bucket-cap exactly like band keys if a
+    boilerplate fingerprint goes hot).
+
+    Scale shape: pure scan-side — the POSITIONAL (non-distinct, unlike
+    _with_base_hashes') gram-hash array materializes once behind its own
+    Generate boundary, the window mins are an O(window) slice-min per
+    position over that attribute, and the only exchange is the final
+    distinct's hash partial. Docs with fewer than window + SHINGLE_N - 1
+    words emit no rows (short docs filtered BEFORE sequence(): Spark's
+    sequence(1, 0) DESCENDS)."""
+    from posextract_spark.functions.boundary import materialize
+
+    g0 = materialize(
+        df.select(F.col(id_col), F.col(text_col)),
+        __ww=word_array(F.col(text_col)),
+    )
+    g1 = materialize(
+        g0.filter(F.size(F.col("__ww")) >= SHINGLE_N),
+        __whs=F.transform(
+            ngram_array(F.col("__ww"), SHINGLE_N), lambda s: portable_hash64(s)
+        ),
+    )
+    m = F.size(F.col("__whs"))
+    wmins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(window - 1)),
+            lambda i: F.array_min(F.slice(F.col("__whs"), i, window)),
+        )
+    )
+    return (
+        g1.filter(m >= window)
+        .select(F.col(id_col), F.explode(wmins).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnow_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Per-doc digest of the fingerprint set — (id, n_fingerprints,
+    fp_xor, fp_min, fp_max): count + order-free bit_xor + extrema pin the
+    full set for the value-hash gate without shipping every row; one
+    combinable aggregate over winnow_fingerprints."""
+    fp = winnow_fingerprints(df, text_col, id_col, window)
+    return fp.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.expr("bit_xor(fingerprint)").cast("bigint").alias("fp_xor"),
+        F.min("fingerprint").cast("bigint").alias("fp_min"),
+        F.max("fingerprint").cast("bigint").alias("fp_max"),
+    )
+
+
+def winnow_stats_sql(rel: str = "documents", window: int = WINNOW_WINDOW) -> str:
+    """DuckDB mirror of winnow_stats: same md5 gram hashes (the dedup
+    _H chain, NON-distinct grams in position order), same slice-min
+    windows, same digest aggregate."""
+    grams = (
+        "CASE WHEN len(ws) >= 5 THEN "
+        "list_transform(generate_series(1, len(ws) - 4), "
+        "i -> array_to_string(ws[i:i+4], ' ')) "
+        "ELSE [] END"
+    )
+    return f"""
+WITH wwords AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM {rel}
+),
+whs AS (
+  SELECT doc_id,
+         list_transform({grams}, g -> {_H.format(x='g')}) AS hs
+  FROM wwords
+),
+wfp AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_distinct(
+      list_transform(generate_series(1, len(hs) - {window - 1}),
+                     i -> list_aggregate(hs[i:i+{window - 1}], 'min'))
+    )) AS fingerprint
+  FROM whs WHERE len(hs) >= {window}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(bit_xor(fingerprint) AS BIGINT) AS fp_xor,
+       CAST(min(fingerprint) AS BIGINT) AS fp_min,
+       CAST(max(fingerprint) AS BIGINT) AS fp_max
+FROM wfp GROUP BY doc_id
+"""
