@@ -513,6 +513,17 @@ def q_semdedup_against_base(spark, sf_dir):
     )
 
 
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced diversity subsample: trained k-means assignment +
+    deterministic expected-32-per-cluster keep rule — mega-clusters
+    capped, tail clusters intact
+    (operators/similarity.cluster_balanced_sample)."""
+    from posextract_spark.operators.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_balanced_sample(emb, cap_per_cluster=32)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from posextract_spark.operators.similarity import neardup_bucket_stats
 
@@ -1915,6 +1926,16 @@ def q_ann_recall_ivf_kmeans(spark, sf_dir):
     )
 
 
+def q_rrf_search_topk(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (SIGIR 2009): the
+    integer BM25-ish seed arm fused with the SRP-cosine arm by
+    1e6 div (60 + rank) — rank-only fusion, scales never mix
+    (operators/similarity.rrf_search_topk)."""
+    from posextract_spark.operators.similarity import rrf_search_topk
+
+    return rrf_search_topk(_docs(spark, sf_dir), _SEED_TERMS, query_id=0, k=10)
+
+
 def q_seed_relevance(spark, sf_dir):
     """Top-25 documents by integer BM25-style relevance to a fixed seed
     vocabulary — the CCNet-style "looks like the seed corpus" curation
@@ -2409,6 +2430,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "semdedup_against_base": q_semdedup_against_base,
         "winnow_stats": q_winnow_stats,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "rrf_search_topk": q_rrf_search_topk,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "validate_data": q_validate_data,
@@ -2448,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         IVF_ASSIGN_SQL,
         cosine_topk_sql,
         ivf_assign_kmeans_sql,
+        cluster_balanced_sample_sql,
         semdedup_against_base_sql,
         semdedup_survivors_sql,
         ivf_topk_kmeans_sql,
@@ -2558,6 +2582,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign_kmeans": ivf_assign_kmeans_sql(n_iter=2),
         "semdedup_survivors": semdedup_survivors_sql(n_iter=2, threshold_e6=400000),
         "semdedup_against_base": semdedup_against_base_sql(n_iter=2, threshold_e6=400000),
+        "cluster_balanced_sample": cluster_balanced_sample_sql(cap_per_cluster=32, n_iter=2),
+        "rrf_search_topk": _sim.rrf_search_topk_sql(_SEED_TERMS, query_id=0, k=10),
         "ivf_topk_kmeans": ivf_topk_kmeans_sql(k_results=10, n_iter=2),
         "embedding_neardup": neardup_bucket_stats_sql(),
         "media_image_features": _oracles.media_image_features_sql(),

@@ -2118,3 +2118,204 @@ SELECT g.vec_id, CAST(g.cid AS INTEGER) AS centroid_id,
 FROM nasg g LEFT JOIN bhits h ON g.vec_id = h.vec_id
 """
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    cap_per_cluster: int = 64,
+    k: int = IVF_K,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """Diversity-preserving corpus subsampling: assign every vector to
+    its trained k-means cluster and keep a deterministic expected-
+    ``cap_per_cluster`` subsample of each cluster — mega-clusters
+    (boilerplate / templated content, the webtext mode) are downweighted
+    toward the cap while tail clusters survive intact, which is the
+    cluster-balanced selection step pretraining-data pipelines run after
+    dedup (cf. SemDeDup sec. 5's cluster sampling / DCLM's diversity
+    balancing).
+
+    Output: row-preserving report (id, centroid_id, cluster_width, kept)
+    — kept = 1 iff width <= cap or md5(id) mod width < cap, the same
+    hash-of-the-DATA rule as functions/capping.cap_bucket_width, so
+    stage retries, repartitions, and appends reproduce the decision;
+    filter kept = 1 to materialize the sample.
+
+    Scale shape: zero-shuffle trained assignment (ivf_assign), one
+    k-row width aggregate broadcast back, one scan-side flag. The
+    assignment frame has two consumers (widths + flag) — eager
+    localCheckpoint, same discipline as semdedup_survivors."""
+    from posextract_spark.functions.hashing import portable_hash64
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(df, k, n_iter, id_col, vec_col)
+    )
+    assign = ivf_assign(df, k=k, id_col=id_col, vec_col=vec_col, centroids=cents)
+    assign = assign.select(id_col, "centroid_id").localCheckpoint(eager=True)
+    widths = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_width")
+    )
+    kept = (
+        (F.col("cluster_width") <= cap_per_cluster)
+        | (
+            F.pmod(
+                portable_hash64(F.col(id_col).cast("string")),
+                F.col("cluster_width"),
+            )
+            < cap_per_cluster
+        )
+    ).cast("int")
+    return assign.join(F.broadcast(widths), "centroid_id").select(
+        id_col, "centroid_id", "cluster_width", kept.alias("kept")
+    )
+
+
+def cluster_balanced_sample_sql(
+    cap_per_cluster: int = 64, n_iter: int = 2, k: int = IVF_K
+) -> str:
+    """Mirror of cluster_balanced_sample on trained centroids: the
+    unrolled k-means chain + final assignment, width counts, the same
+    md5-mod keep rule."""
+    from posextract_spark.functions.hashing import portable_hash64_sql
+
+    ctes, final = kmeans_cents_cte(n_iter, k)
+    h = portable_hash64_sql("CAST(a.vec_id AS VARCHAR)")
+    return (
+        ctes
+        + ",\n"
+        + _assign_ctes("F", final).lstrip()
+        + f""",
+cw AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS cluster_width
+  FROM assignF GROUP BY cid
+)
+SELECT a.vec_id, CAST(a.cid AS INTEGER) AS centroid_id, w.cluster_width,
+       CAST(w.cluster_width <= {cap_per_cluster}
+            OR ({h} % w.cluster_width) < {cap_per_cluster} AS INT) AS kept
+FROM assignF a JOIN cw w USING (cid)
+"""
+    )
+
+
+# --- reciprocal rank fusion (hybrid lexical + semantic retrieval) ------------
+
+RRF_K = 60
+
+
+def rrf_search_topk(
+    docs: DataFrame,
+    seed_terms: list[str],
+    query_id: int = 0,
+    k: int = 10,
+    pool: int = 25,
+    k_rrf: int = RRF_K,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse the LEXICAL arm (seed_relevance_topk —
+    the integer BM25-ish seed ranking) with the SEMANTIC arm
+    (hash_embed_topk — SRP-embedding cosine against document
+    ``query_id``), scoring each doc
+
+      rrf_score_e6 = sum over arms of floor(1e6 div (k_rrf + rank))
+
+    with rank = the doc's 1-based position in that arm's deterministic
+    (score desc, id asc) order and absent-from-arm contributing 0. RRF
+    needs only ranks, so the arms' incomparable score scales (idf2 x
+    saturation vs cosine e6) never mix — the standard hybrid-search
+    fusion, integer-exact here.
+
+    Output: top-``k`` (id, rrf_score_e6, lex_rank, sem_rank), rank 0 =
+    absent from that arm's pool.
+
+    Scale shape: each arm is already top-``pool`` bounded
+    (TakeOrderedAndProject), so everything downstream — the rank
+    windows, the full-outer fuse, the final TakeOrdered — runs on <= 2 x
+    pool rows. The Window here is NOT the banned unbounded ranking
+    window: its partition is a k-bounded arm result (driver-small, same
+    budget as a collected centroid table)."""
+    from pyspark.sql import Window
+
+    from posextract_spark.operators.textops import seed_relevance_topk
+
+    lex = seed_relevance_topk(
+        docs, seed_terms, k=pool, text_col=text_col, id_col=id_col
+    )
+    sem = hash_embed_topk(
+        docs, query_id=query_id, k=pool, dim=dim, text_col=text_col, id_col=id_col
+    )
+    # seed_relevance_topk returns its id column as literal "id"
+    wl = Window.orderBy(F.desc("relevance_e6"), F.col("id").asc())
+    ws = Window.orderBy(F.desc("sim_e6"), F.col(id_col).asc())
+    lr = lex.select(
+        F.col("id").alias(id_col),
+        F.row_number().over(wl).cast("long").alias("lex_rank"),
+    )
+    sr = sem.select(
+        F.col(id_col), F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+    def contrib(col_name: str) -> F.Column:
+        # NULL rank (absent from the arm) -> NULL div -> 0; integer div
+        # keeps the fusion engine-exact (DuckDB mirrors it with //)
+        return F.coalesce(
+            F.expr(f"CAST(1000000 AS BIGINT) div ({k_rrf} + {col_name})"),
+            F.lit(0).cast("long"),
+        )
+
+    fused = lr.join(sr, id_col, "full_outer").select(
+        F.col(id_col),
+        (contrib("lex_rank") + contrib("sem_rank")).cast("long").alias("rrf_score_e6"),
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).cast("long").alias("sem_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_score_e6"), F.col(id_col).asc()).limit(k)
+
+
+def rrf_search_topk_sql(
+    seed_terms: list[str],
+    query_id: int = 0,
+    k: int = 10,
+    pool: int = 25,
+    k_rrf: int = RRF_K,
+    dim: int = 32,
+) -> str:
+    """DuckDB mirror of rrf_search_topk: both arm queries nested as
+    derived tables (nested WITH inside a derived table is legal DuckDB),
+    the same row_number ranks, integer // fusion, same tie-break."""
+    from posextract_spark.operators.textops import seed_relevance_topk_sql
+
+    lex_q = "WITH _sr_dummy AS (SELECT 1)" + seed_relevance_topk_sql(
+        seed_terms, k=pool
+    )
+    sem_q = hash_embed_topk_sql(query_id=query_id, k=pool, dim=dim)
+    return f"""
+WITH rlex AS (
+  SELECT id AS doc_id,
+         row_number() OVER (ORDER BY relevance_e6 DESC, id ASC) AS lex_rank
+  FROM ({lex_q})
+),
+rsem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim_e6 DESC, doc_id ASC) AS sem_rank
+  FROM ({sem_q})
+),
+rfuse AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         (coalesce(1000000 // ({k_rrf} + l.lex_rank), 0)
+          + coalesce(1000000 // ({k_rrf} + s.sem_rank), 0)) AS rrf,
+         coalesce(l.lex_rank, 0) AS lex_rank,
+         coalesce(s.sem_rank, 0) AS sem_rank
+  FROM rlex l FULL OUTER JOIN rsem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_score_e6,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank
+FROM rfuse ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+"""
