@@ -1563,6 +1563,35 @@ def q_training_corpus_pipeline_bloom(spark, sf_dir):
     return hash_split(final.select("doc_id"))
 
 
+def q_training_corpus_pipeline_fuzzy(spark, sf_dir):
+    """The curation chain with the FUZZY decontamination policy: docs
+    stay unless >= 50% of their tokens are covered by eval shingles —
+    the 'one quoted sentence should not kill a long article' regime
+    (GPT-3-style token-overlap thresholding), vs the exact pipeline's
+    any-hit drop. Composition: heuristic keep -> minhash survivors
+    within kept -> contaminated_token_fraction >= 500000 drop ->
+    hash split. Oracle: the same stage mirrors chained, with the
+    _ctf CTE fragment over the cleaned set."""
+    from posextract_spark.operators.dedup import minhash_dedup_survivors
+    from posextract_spark.operators.mldata import decontaminate_fuzzy, hash_split
+    from posextract_spark.operators.textops import corpus_quality_filter
+
+    docs = _docs(spark, sf_dir)
+    kept_ids = (
+        corpus_quality_filter(docs).filter(F.col("keep") == 1).select("doc_id")
+    )
+    kept_docs = docs.join(kept_ids, "doc_id")
+    surv_ids = (
+        minhash_dedup_survivors(kept_docs)
+        .filter(F.col("is_survivor") == 1)
+        .select("doc_id")
+    )
+    clean_docs = kept_docs.join(surv_ids, "doc_id")
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    final = decontaminate_fuzzy(clean_docs, ev, max_frac_e6=500000)
+    return hash_split(final.select("doc_id"))
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -2417,6 +2446,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe_sequences": q_pack_bpe_sequences,
         "ivf_pq_refine_topk": q_ivf_pq_refine_topk,
         "training_corpus_pipeline_bloom": q_training_corpus_pipeline_bloom,
+        "training_corpus_pipeline_fuzzy": q_training_corpus_pipeline_fuzzy,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
@@ -2772,6 +2802,17 @@ FROM assignF GROUP BY cid"""
         + _bloom.bloom_decontaminate_ctes("clean_docs", m_bits=63 * 2048, k=5)
         + ",\nfinal AS (SELECT doc_id FROM clean WHERE doc_id NOT IN "
         + "(SELECT doc_id FROM bcontam))\n"
+        + _mldata.hash_split_sql("final"),
+        "training_corpus_pipeline_fuzzy": "WITH RECURSIVE "
+        + f"kept AS (SELECT doc_id FROM ({CORPUS_QUALITY_FILTER_SQL}) WHERE keep = 1),\n"
+        + "kept_docs AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),\n"
+        + _dedup_mod.minhash_dedup_survivors_ctes("kept_docs")
+        + ",\nclean AS (SELECT kd.doc_id FROM kept_docs kd JOIN surv USING (doc_id) "
+        + "WHERE surv.is_survivor = 1),\n"
+        + "clean_docs AS (SELECT d.doc_id, d.text FROM documents d JOIN clean USING (doc_id)),\n"
+        + _mldata.contaminated_token_fraction_ctes("clean_docs", "documents")
+        + ",\nfinal AS (SELECT doc_id FROM clean WHERE doc_id NOT IN "
+        + "(SELECT doc_id FROM ctf_hits WHERE frac_e6 >= 500000))\n"
         + _mldata.hash_split_sql("final"),
         "ngram_lm_counts": _textops.ngram_counts_sql(
             "documents", n=3, min_count=3

@@ -1435,33 +1435,59 @@ def decontaminate_fuzzy(
     return train_df.join(bad, id_col, "left_anti")
 
 
+def contaminated_token_fraction_ctes(
+    train_rel: str = "documents",
+    eval_rel: str = "documents",
+    eval_mod: int = 29,
+) -> str:
+    """CTE-fragment mirror of contaminated_token_fraction, ending in
+    ``ctf_hits(doc_id, n_words, covered_tokens, frac_e6)`` — composable
+    into pipeline oracles (the bloom_decontaminate_ctes pattern); eval =
+    ``eval_rel`` rows with doc_id % eval_mod = 0, train = ``train_rel``.
+    Intermediate names _ctf-prefixed to dodge collisions."""
+    return f"""_ctf_tw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM {train_rel}
+),
+_ctf_ew AS (
+  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM {eval_rel} WHERE doc_id % {eval_mod} = 0
+),
+_ctf_ev AS (
+  SELECT DISTINCT array_to_string(ws[t.i:t.i+4], ' ') AS shingle
+  FROM _ctf_ew, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+  WHERE len(ws) >= 5
+),
+_ctf_pos AS (
+  SELECT doc_id, len(ws) AS n_words, t.i AS pos,
+         array_to_string(ws[t.i:t.i+4], ' ') AS shingle
+  FROM _ctf_tw, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+  WHERE len(ws) >= 5
+),
+_ctf_cov AS (
+  SELECT s.doc_id, s.n_words, u.p
+  FROM _ctf_pos s JOIN _ctf_ev USING (shingle),
+       UNNEST(generate_series(s.pos, s.pos + 4)) AS u(p)
+),
+ctf_hits AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         CAST(count(DISTINCT p) AS BIGINT) AS covered_tokens,
+         CAST((count(DISTINCT p) * 1000000) // n_words AS BIGINT) AS frac_e6
+  FROM _ctf_cov GROUP BY doc_id, n_words
+)"""
+
+
 def contaminated_token_fraction_sql(rel: str = "documents", eval_mod: int = 29) -> str:
     """DuckDB mirror of contaminated_token_fraction with the contract's
     deterministic eval split (doc_id % eval_mod = 0): positional shingles
     via a lateral generate_series, the same distinct-eval join, the same
-    [i, i+4] coverage union counted per doc."""
-    return f"""
-WITH words AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-  FROM {rel}
-),
-pos_sh AS (
-  SELECT doc_id, len(ws) AS n_words, t.i AS pos,
-         array_to_string(ws[t.i:t.i+4], ' ') AS shingle
-  FROM words, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
-  WHERE len(ws) >= 5
-),
-ev AS (SELECT DISTINCT shingle FROM pos_sh WHERE doc_id % {eval_mod} = 0),
-cov AS (
-  SELECT s.doc_id, s.n_words, u.p
-  FROM pos_sh s JOIN ev USING (shingle),
-       UNNEST(generate_series(s.pos, s.pos + 4)) AS u(p)
-)
-SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-       CAST(count(DISTINCT p) AS BIGINT) AS covered_tokens,
-       CAST((count(DISTINCT p) * 1000000) // n_words AS BIGINT) AS frac_e6
-FROM cov GROUP BY doc_id, n_words
-"""
+    [i, i+4] coverage union counted per doc (fragment shared with the
+    pipeline composition via contaminated_token_fraction_ctes)."""
+    return (
+        "WITH "
+        + contaminated_token_fraction_ctes(rel, rel, eval_mod)
+        + "\nSELECT doc_id, n_words, covered_tokens, frac_e6 FROM ctf_hits"
+    )
 
 
 def bpe_fertility_stats(
