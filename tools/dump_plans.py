@@ -338,6 +338,69 @@ def main() -> None:
         )
     )
 
+    from posextract_spark.operators.mldata import (
+        contaminated_token_fraction,
+        dsir_scores,
+    )
+
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    sections.append(
+        (
+            "contaminated_token_fraction (fuzzy decontamination, late r7)",
+            "Positional shingles behind the Generate boundaries, the eval "
+            "set BroadcastHashJoined onto the scan-side stream (no "
+            "SortMergeJoin), the coverage-interval Generate, then the "
+            "two-phase distinct aggregate (dedup exchange on (doc, pos), "
+            "final exchange on doc) — both exchanges carry only MATCHED "
+            "positions, never the corpus.",
+            formatted(contaminated_token_fraction(docs, ev)),
+        )
+    )
+
+    sections.append(
+        (
+            "dsir_scores (integer DSIR importance weights, late r7)",
+            "Two map-side-combinable bucket-count Exchanges over the ~10^4 "
+            "feature space, the two 1-row totals broadcast in, the "
+            "n_buckets-row score map BroadcastHashJoined onto the bigram "
+            "stream, one per-doc sum. flog2 appears as length(bin(..)) — "
+            "a string op, no transcendental anywhere.",
+            formatted(dsir_scores(docs, ev)),
+        )
+    )
+
+    from posextract_spark.operators.dedup import winnow_fingerprints
+
+    sections.append(
+        (
+            "winnow_fingerprints (MOSS winnowing, late r7)",
+            "Pure scan-side until the final distinct: the positional gram "
+            "hashes materialize once behind their Generate, the window "
+            "mins are slice/array_min over that attribute (md5 appears "
+            "exactly once), and the only Exchange is the distinct's hash "
+            "partial.",
+            formatted(winnow_fingerprints(docs)),
+        )
+    )
+
+    from posextract_spark.operators.similarity import semdedup_survivors
+
+    sections.append(
+        (
+            "semdedup_survivors (cluster-confined epsilon-ball pruning, late r7)",
+            "The trained-assignment frame is localCheckpointed (LogicalRDD "
+            "scan, computed once for both pair sides + the anti-join); the "
+            "quadratic is a same-centroid_id equijoin AQE can skew-split; "
+            "no Window node anywhere.",
+            formatted(
+                semdedup_survivors(
+                    emb, threshold_e6=400000,
+                    centroids=[(0, [1.0] * 4), (1, [0.5] * 4)],
+                )
+            ),
+        )
+    )
+
     out = ["# Physical plans (generated by tools/dump_plans.py at sf0.001)\n"]
     for title, claim, plan in sections:
         out.append(f"## {title}\n\n{claim}\n\n```\n{plan}\n```\n")
