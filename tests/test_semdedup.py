@@ -91,3 +91,23 @@ def test_semdedup_against_base_never_drops_new_rows(spark):
     new = emb.filter("vec_id % 2 = 1")
     out = semdedup_against_base(new, emb.filter("vec_id % 2 = 0"), threshold_e6=400000)
     assert out.count() == new.count()  # row-preserving report
+
+
+def test_semdedup_quality_floor_on_planted_corpus(spark):
+    """Pytest floor for SEMDEDUP_QUALITY.md: on a 400-vector planted
+    corpus, pruning is PERFECT-precision (no distractor ever pruned) and
+    finds >= 70% of the 0.97-cosine planted pairs at the production
+    threshold (ceiling = cluster splits, measured in the full harness)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.semdedup_quality import evaluate, planted_corpus
+
+    rows, truth = planted_corpus(400, 60)
+    r = evaluate(spark, rows, truth, k=32, threshold_e6=950000)
+    assert r["precision"] == 1.0
+    assert r["recall_by_tier"]["0.97"] >= 0.7, r
+    assert r["keep_violations"] == 0
+    # the 0.90/0.80 tiers sit BELOW the 0.95 threshold: never pruned
+    assert r["recall_by_tier"]["0.9"] == 0.0
+    assert r["recall_by_tier"]["0.8"] == 0.0
