@@ -289,11 +289,15 @@ def curate_batch(
     batch_df: DataFrame,
     batch_id: int,
     out_dir: str,
+    eval_df: DataFrame | None = None,
 ) -> None:
     """One micro-batch of incremental corpus curation (module-level so the
     replay test can drive it directly): quality filter -> in-batch
     near-dup survivors -> near-dup check against every PREVIOUSLY
-    admitted document -> admitted rows overwrite out_dir/batch_id=N.
+    admitted document -> optional eval decontamination (``eval_df``:
+    any exact eval-shingle hit drops the doc — a STATELESS per-batch
+    filter, so it composes with the exactly-once replay contract
+    unchanged) -> admitted rows overwrite out_dir/batch_id=N.
 
     Exactly-once on crash replay: the base read filters batch_id <
     batch_id, so a batch replayed AFTER its own parquet write but before
@@ -345,6 +349,11 @@ def curate_batch(
         admitted = surv.join(
             flags.select("doc_id", "is_new"), "doc_id", "left"
         ).filter(F.coalesce(F.col("is_new"), F.lit(1)) == 1).drop("is_new")
+    if eval_df is not None:
+        from posextract_spark.operators.mldata import decontaminate
+
+        contaminated = decontaminate(admitted, eval_df).select("doc_id")
+        admitted = admitted.join(contaminated, "doc_id", "left_anti")
     admitted.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
 
@@ -355,11 +364,14 @@ def streaming_corpus_curation(
     out_dir: str,
     trigger_once: bool = True,
     max_files_per_trigger: int = 8,
+    eval_df: DataFrame | None = None,
 ):
     """Incremental corpus curation on crawl arrival — the streaming form
     of the batch `training_corpus_pipeline` front half: each micro-batch
     of new documents is quality-filtered, deduped within itself, deduped
-    against EVERYTHING already admitted, and appended as its own
+    against EVERYTHING already admitted, optionally eval-decontaminated
+    (``eval_df`` — the eval suite is a fixed small frame, broadcast per
+    batch exactly as in the batch pipeline), and appended as its own
     batch_id partition (see curate_batch for the exactly-once and
     first-arrival-wins contracts).
 
@@ -377,7 +389,7 @@ def streaming_corpus_curation(
         .parquet(source_dir)
     )
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: curate_batch(spark, df, bid, out_dir)
+        lambda df, bid: curate_batch(spark, df, bid, out_dir, eval_df=eval_df)
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_once:
         writer = writer.trigger(availableNow=True)

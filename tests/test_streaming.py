@@ -372,3 +372,39 @@ def test_streaming_curation_replay_idempotent(spark, tmp_path):
     curate_batch(spark, b1, 1, out)  # replay
     second = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert first == second == [1, 2, 10]
+
+
+def test_streaming_curation_with_decontamination(spark, tmp_path):
+    """The eval_df stage: an admitted-quality doc whose text leaks eval
+    shingles is dropped; the stateless filter keeps replay idempotent."""
+    import time
+
+    from posextract_spark.streaming import curate_batch, streaming_corpus_curation
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "corpus_out")
+    ev = _docs_df(spark, [(9000, _good_text(2))]).select("doc_id", "text")
+    f1 = [(100, _good_text(1)), (101, _good_text(2))]  # 101 leaks eval
+    f2 = [(200, _good_text(7))]
+    for n, rows in enumerate([f1, f2]):
+        _docs_df(spark, rows).coalesce(1).write.parquet(f"{src}/f{n}")
+        time.sleep(1.1)
+
+    q = streaming_corpus_curation(
+        spark, f"{src}/f*", str(tmp_path / "ckpt"), out,
+        max_files_per_trigger=1, eval_df=ev,
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        r["doc_id"] for r in spark.read.option("basePath", out).parquet(out).collect()
+    )
+    assert got == [100, 200]  # 101 decontaminated away
+
+    # replay idempotence with the eval stage active
+    out2 = str(tmp_path / "corpus_out2")
+    b0 = _docs_df(spark, [(1, _good_text(1)), (2, _good_text(2))])
+    curate_batch(spark, b0, 0, out2, eval_df=ev)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    curate_batch(spark, b0, 0, out2, eval_df=ev)
+    second = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert first == second == [1]
