@@ -1592,6 +1592,17 @@ def q_training_corpus_pipeline_fuzzy(spark, sf_dir):
     return hash_split(final.select("doc_id"))
 
 
+def q_curation_funnel_report(spark, sf_dir):
+    """Funnel observability: per-stage survivor counts through the
+    curation chain (raw -> quality -> dedup -> decontaminated) — the
+    dashboard row that catches a stage collapsing before a training run
+    consumes the output (operators/mldata.curation_funnel_report)."""
+    from posextract_spark.operators.mldata import curation_funnel_report
+
+    docs = _docs(spark, sf_dir)
+    return curation_funnel_report(docs, docs.filter(F.col("doc_id") % 29 == 0))
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -2447,6 +2458,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_refine_topk": q_ivf_pq_refine_topk,
         "training_corpus_pipeline_bloom": q_training_corpus_pipeline_bloom,
         "training_corpus_pipeline_fuzzy": q_training_corpus_pipeline_fuzzy,
+        "curation_funnel_report": q_curation_funnel_report,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
@@ -2602,6 +2614,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_report": _mldata.contamination_report_sql(),
         "contaminated_token_fraction": _mldata.contaminated_token_fraction_sql(),
         "dsir_scores": _mldata.dsir_scores_sql(),
+        "curation_funnel_report": _mldata.curation_funnel_report_sql(),
         "winnow_stats": _dedup_mod.winnow_stats_sql(),
         "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
         "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),

@@ -1739,3 +1739,96 @@ SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_features,
 FROM grams g JOIN smap m USING (bucket)
 GROUP BY g.doc_id
 """
+
+
+#: funnel stage names in pipeline order
+FUNNEL_STAGES = ("raw", "quality_kept", "dedup_survivors", "decontaminated")
+
+
+def curation_funnel_report(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stage survivor counts through the standard curation chain —
+    the funnel dashboard a production run watches to see WHERE documents
+    die: (stage_idx, stage, n_docs) for raw -> quality_kept ->
+    dedup_survivors -> decontaminated. A stage collapsing to ~0 (e.g.
+    dedup on a template-replicated crawl, decontamination against a
+    leaky eval suite — both observed in the sf1 stress) is the signal
+    this report exists to surface before a training run consumes the
+    output.
+
+    Composition of the already-oracle-checked stages
+    (textops.corpus_quality_filter, dedup.minhash_dedup_survivors,
+    decontaminate); counts are 1-row aggregates unioned in stage order.
+    Each stage's frame re-derives its prefix absent plan-level reuse —
+    at production scale persist the intermediate id-frames (the
+    training_corpus_pipeline query materializes them once anyway; this
+    report is the diagnostic view, not the data path)."""
+    from posextract_spark.operators.dedup import minhash_dedup_survivors
+    from posextract_spark.operators.textops import corpus_quality_filter
+
+    kept_docs = docs.join(
+        corpus_quality_filter(docs, text_col=text_col).filter(
+            F.col("keep") == 1
+        ).select(id_col),
+        id_col,
+    )
+    clean_docs = kept_docs.join(
+        minhash_dedup_survivors(kept_docs, text_col=text_col, id_col=id_col)
+        .filter(F.col("is_survivor") == 1)
+        .select(id_col),
+        id_col,
+    )
+    contaminated = decontaminate(
+        clean_docs, eval_df, text_col=text_col, id_col=id_col
+    ).select(id_col)
+    final = clean_docs.join(contaminated, id_col, "left_anti")
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    frames = [docs, kept_docs, clean_docs, final]
+    out = stage(0, FUNNEL_STAGES[0], frames[0])
+    for i in range(1, len(frames)):
+        out = out.unionAll(stage(i, FUNNEL_STAGES[i], frames[i]))
+    return out
+
+
+def curation_funnel_report_sql(rel: str = "documents", eval_mod: int = 29) -> str:
+    """Mirror: the training_corpus_pipeline CTE chain with per-stage
+    COUNT selects unioned in order."""
+    from posextract_spark.operators.dedup import minhash_dedup_survivors_ctes
+    from posextract_spark.operators.textops import CORPUS_QUALITY_FILTER_SQL
+
+    return (
+        "WITH RECURSIVE "
+        + f"kept AS (SELECT doc_id FROM ({CORPUS_QUALITY_FILTER_SQL}) WHERE keep = 1),\n"
+        + "kept_docs AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),\n"
+        + minhash_dedup_survivors_ctes("kept_docs")
+        + ",\nclean AS (SELECT kd.doc_id FROM kept_docs kd JOIN surv USING (doc_id) "
+        + "WHERE surv.is_survivor = 1),\n"
+        + "clean_docs AS (SELECT d.doc_id, d.text FROM documents d JOIN clean USING (doc_id)),\n"
+        + contaminated_token_fraction_ctes("clean_docs", rel, eval_mod)
+        + f""",
+_fn_final AS (
+  SELECT doc_id FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM ctf_hits)
+)
+SELECT * FROM (
+  SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage,
+         CAST((SELECT count(*) FROM {rel}) AS BIGINT) AS n_docs
+  UNION ALL
+  SELECT 1, 'quality_kept', CAST((SELECT count(*) FROM kept) AS BIGINT)
+  UNION ALL
+  SELECT 2, 'dedup_survivors', CAST((SELECT count(*) FROM clean) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'decontaminated', CAST((SELECT count(*) FROM _fn_final) AS BIGINT)
+) ORDER BY stage_idx
+"""
+    )

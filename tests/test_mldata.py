@@ -716,3 +716,22 @@ def test_pack_bpe_spans_budget_by_real_tokenizer(spark):
     for (bucket, seq_bin), filled in per_bin.items():
         if seq_bin < last_bin[bucket]:
             assert filled == budget, (bucket, seq_bin, filled)
+
+
+def test_curation_funnel_monotone_and_consistent(spark):
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.mldata import curation_funnel_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    rows = sorted(
+        curation_funnel_report(docs, ev).collect(), key=lambda r: r.stage_idx
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "quality_kept", "dedup_survivors", "decontaminated",
+    ]
+    counts = [r.n_docs for r in rows]
+    assert counts[0] == docs.count()
+    # a funnel only narrows
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
