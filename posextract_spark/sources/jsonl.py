@@ -1,0 +1,98 @@
+"""JSONL (newline-delimited JSON) document source — the format webtext
+corpora actually arrive in (Common-Crawl derivative dumps, Dolma, HF
+datasets exports are all JSONL/JSONL.gz).
+
+Design decisions for the 100-TB read path:
+- The schema is DECLARED, never inferred: schema inference reads the
+  whole input once before the real job starts — at 100 TB that is a
+  full extra pass, and a single odd record silently widens a column for
+  the entire run. Callers get documents-table columns out regardless of
+  the producer's field names (``field_map`` renames at the projection).
+- Corrupt records quarantine, never kill: mode=PERMISSIVE with a
+  ``_corrupt_record`` column; ``read_documents_jsonl`` returns the clean
+  frame and ``jsonl_corrupt_records`` the quarantine stream (same
+  pattern as multimodal's corruption quarantine) — a crawl dump with
+  0.01% broken lines must not fail a week-long job, and the broken
+  lines must stay auditable.
+- .gz inputs are fine but each gzip member is ONE task (not
+  splittable): the docstring-level guidance is many medium files (the
+  layout crawl dumps already use), not one giant archive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+#: producer-side fields expected by default (Dolma-style)
+JSONL_FIELDS = (
+    ("id", LongType()),
+    ("text", StringType()),
+    ("lang", StringType()),
+    ("source", StringType()),
+)
+
+#: default mapping producer field -> documents-table column
+DEFAULT_FIELD_MAP = {"id": "doc_id", "text": "text", "lang": "lang", "source": "source"}
+
+
+def jsonl_schema() -> StructType:
+    """Declared read schema: the expected fields plus the PERMISSIVE-mode
+    corrupt-record sink column."""
+    return StructType(
+        [StructField(n, t, True) for n, t in JSONL_FIELDS]
+        + [StructField("_corrupt_record", StringType(), True)]
+    )
+
+
+def _raw(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.schema(jsonl_schema())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    field_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Documents-table frame from a JSONL dump: declared schema, corrupt
+    lines dropped (see jsonl_corrupt_records for the quarantine view),
+    producer fields renamed per ``field_map``, and ``n_chars`` derived —
+    the output is column-for-column the synthetic documents table, so
+    every operator and contract query runs on a real dump unchanged."""
+    fmap = dict(DEFAULT_FIELD_MAP if field_map is None else field_map)
+    df = _raw(spark, path).filter(
+        F.col("_corrupt_record").isNull() & F.col(fmap_src(fmap, "doc_id")).isNotNull()
+    )
+    cols = [F.col(src).alias(dst) for src, dst in fmap.items()]
+    return df.select(*cols, F.length(F.coalesce(F.col(fmap_src(fmap, "text")), F.lit(""))).cast("long").alias("n_chars"))
+
+
+def fmap_src(fmap: dict[str, str], dst: str) -> str:
+    """Producer-side field name that maps to documents column ``dst``."""
+    for src, d in fmap.items():
+        if d == dst:
+            return src
+    raise ValueError(f"field_map has no source for required column {dst!r}")
+
+
+def jsonl_corrupt_records(spark: SparkSession, path: str) -> DataFrame:
+    """(id, line) — the quarantine view: raw text of every line that
+    failed the declared schema (id is whatever parsed, usually NULL).
+    Audit/alert on its count; never silently lose producer bugs.
+
+    The projection keeps ``id`` alongside the corrupt column on purpose:
+    Spark refuses a query that references ONLY ``_corrupt_record``
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the
+    internal-only alternative is caching the whole raw frame, which at
+    a 100-TB read is not an option)."""
+    return (
+        _raw(spark, path)
+        .select(F.col("id"), F.col("_corrupt_record").alias("line"))
+        .filter(F.col("line").isNotNull())
+    )
