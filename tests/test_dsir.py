@@ -58,3 +58,40 @@ def test_dsir_score_map_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_dsir_selects_target_domain_despite_flog2_quantization(spark):
+    """Selection-quality study: two disjoint-vocabulary domains, target
+    drawn from domain A -> the top-scoring half of the mixed raw corpus
+    must be overwhelmingly domain A even with factor-2 log quantization."""
+    import random
+
+    pool_a = ("tensor gradient layer batch epoch loss optimizer weight "
+              "embedding attention transformer token").split()
+    pool_b = ("flour butter sugar oven whisk dough yeast frosting "
+              "caramel sprinkle ganache pastry").split()
+
+    def doc(pool, i):
+        words = pool[:]
+        random.Random(i).shuffle(words)
+        return " ".join(words * 2)
+
+    target = _docs(spark, [(1000 + i, doc(pool_a, 100 + i)) for i in range(10)])
+    raw = _docs(
+        spark,
+        [(i, doc(pool_a, i)) for i in range(40)]
+        + [(100 + i, doc(pool_b, i)) for i in range(40)],
+    )
+    scored = sorted(
+        dsir_scores(raw, target).collect(),
+        key=lambda r: (-r.dsir_score, r.doc_id),
+    )
+    top = [r.doc_id for r in scored[:40]]
+    frac_a = sum(1 for d in top if d < 100) / 40
+    assert frac_a >= 0.95, (frac_a, top[:10])
+    # doc-level total separation is NOT guaranteed under factor-2 log
+    # quantization (a rare unseen-by-target A bigram scores like a B
+    # bigram) — the mean gap is, and is what importance RESAMPLING uses
+    a_scores = [r.dsir_score for r in scored if r.doc_id < 100]
+    b_scores = [r.dsir_score for r in scored if r.doc_id >= 100]
+    assert sum(a_scores) / len(a_scores) > 2 * sum(b_scores) / len(b_scores)
