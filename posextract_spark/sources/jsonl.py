@@ -82,17 +82,59 @@ def fmap_src(fmap: dict[str, str], dst: str) -> str:
 
 
 def jsonl_corrupt_records(spark: SparkSession, path: str) -> DataFrame:
-    """(id, line) — the quarantine view: raw text of every line that
-    failed the declared schema (id is whatever parsed, usually NULL).
-    Audit/alert on its count; never silently lose producer bugs.
+    """(line) — the quarantine view: raw text of every line the clean
+    reader drops (invalid JSON, or a parseable line whose id field is
+    missing/untypable). Audit/alert on its count; never silently lose
+    producer bugs.
 
-    The projection keeps ``id`` alongside the corrupt column on purpose:
-    Spark refuses a query that references ONLY ``_corrupt_record``
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the
-    internal-only alternative is caching the whole raw frame, which at
-    a 100-TB read is not an option)."""
+    Built on a raw ``text`` read + ``from_json``, NOT the PERMISSIVE
+    reader's ``_corrupt_record`` column: Spark refuses any plan that
+    column-prunes down to only the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and every
+    aggregation over a quarantine view does exactly that; the
+    cache-the-raw-frame workaround is not an option at a 100-TB read.
+    from_json yields a NULL struct on malformed JSON and a NULL id on a
+    type-corrupt one — together the same drop set as
+    read_documents_jsonl's filter."""
+    inner = StructType([StructField(n, t, True) for n, t in JSONL_FIELDS])
+    parsed = F.from_json(F.col("value"), inner)
     return (
-        _raw(spark, path)
-        .select(F.col("id"), F.col("_corrupt_record").alias("line"))
-        .filter(F.col("line").isNotNull())
+        spark.read.text(path)
+        .filter(parsed.isNull() | parsed["id"].isNull())
+        .select(F.col("value").alias("line"))
     )
+
+
+def write_documents_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Documents-table frame -> JSONL dump with DETERMINISTIC sharding:
+    each row's shard is the md5 hash of its id (shuffle_shards' rule),
+    so re-running the export after a retry, repartition, or append
+    produces byte-stable shard MEMBERSHIP (file ordering within a shard
+    follows the shard sort). One exchange on the shard key; writers are
+    n_shards parallel tasks — size n_shards so one shard ~ one
+    comfortable task output (256-1024 MB at 100 TB scale).
+
+    Round-trips through read_documents_jsonl (n_chars is derived on
+    read, so it is dropped here if present)."""
+    from posextract_spark.functions.hashing import portable_hash64
+
+    cols = [c for c in df.columns if c != "n_chars"]
+    out = (
+        df.select(*cols)
+        .withColumn(
+            "__shard",
+            F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(n_shards)),
+        )
+        .repartition(n_shards, F.col("__shard"))
+        .sortWithinPartitions(id_col)
+        .drop("__shard")
+    )
+    # producer field names: documents 'doc_id' goes out as 'id'
+    out = out.withColumnRenamed(id_col, "id")
+    out.write.mode(mode).json(path)

@@ -73,3 +73,23 @@ def test_jsonl_feeds_existing_operators(spark, tmp_path):
     docs = read_documents_jsonl(spark, p)
     [r] = token_count(docs).select("doc_id", "n_tokens").collect()
     assert (r.doc_id, r.n_tokens) == (1, 4)
+
+
+def test_jsonl_write_read_round_trip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from posextract_spark.sources.jsonl import write_documents_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "export")
+    write_documents_jsonl(docs, p, n_shards=4)
+    back = read_documents_jsonl(spark, p + "/*.json")
+    want = {
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars)
+        for r in docs.select("doc_id", "text", "lang", "source", "n_chars").collect()
+    }
+    got = {
+        (r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in back.collect()
+    }
+    assert got == want
+    assert jsonl_corrupt_records(spark, p + "/*.json").count() == 0
