@@ -1603,6 +1603,17 @@ def q_curation_funnel_report(spark, sf_dir):
     return curation_funnel_report(docs, docs.filter(F.col("doc_id") % 29 == 0))
 
 
+def q_key_skew_report(spark, sf_dir):
+    """Pre-flight join-key skew diagnostic: top-20 hottest user_id values
+    in the events stream with fixed-point pct/cumulative shares
+    (operators/diagnostics.key_skew_report)."""
+    from posextract_spark.operators.diagnostics import key_skew_report
+
+    return key_skew_report(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id", top_n=20
+    )
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -2459,6 +2470,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_pipeline_bloom": q_training_corpus_pipeline_bloom,
         "training_corpus_pipeline_fuzzy": q_training_corpus_pipeline_fuzzy,
         "curation_funnel_report": q_curation_funnel_report,
+        "key_skew_report": q_key_skew_report,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
@@ -2497,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
     from posextract_spark.operators import bloom as _bloom
     from posextract_spark.operators import classifier as _classifier
     from posextract_spark.operators import dedup as _dedup_mod
+    from posextract_spark.operators import diagnostics as _diag
     from posextract_spark.operators.dedup import (
         EXACT_DEDUP_SQL,
         MINHASH_BAND_PAIRS_SQL,
@@ -2615,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "contaminated_token_fraction": _mldata.contaminated_token_fraction_sql(),
         "dsir_scores": _mldata.dsir_scores_sql(),
         "curation_funnel_report": _mldata.curation_funnel_report_sql(),
+        "key_skew_report": _diag.key_skew_report_sql("events", "user_id", 20),
         "winnow_stats": _dedup_mod.winnow_stats_sql(),
         "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
         "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),
