@@ -1614,6 +1614,16 @@ def q_key_skew_report(spark, sf_dir):
     )
 
 
+def q_hdr_length_quantiles(spark, sf_dir):
+    """Mergeable HDR-histogram quantiles of document length (n_chars):
+    bounded 2^-5 relative error, O(64 * 32) sketch rows regardless of
+    corpus size — the approximate counterpart of the exact
+    corpus_length_quantiles (operators/sketches.hdr_quantiles)."""
+    from posextract_spark.operators.sketches import hdr_quantiles
+
+    return hdr_quantiles(_docs(spark, sf_dir), "n_chars")
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -2471,6 +2481,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_pipeline_fuzzy": q_training_corpus_pipeline_fuzzy,
         "curation_funnel_report": q_curation_funnel_report,
         "key_skew_report": q_key_skew_report,
+        "hdr_length_quantiles": q_hdr_length_quantiles,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
@@ -2629,6 +2640,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": _mldata.dsir_scores_sql(),
         "curation_funnel_report": _mldata.curation_funnel_report_sql(),
         "key_skew_report": _diag.key_skew_report_sql("events", "user_id", 20),
+        "hdr_length_quantiles": _sketches.hdr_quantiles_sql("documents", "n_chars"),
         "winnow_stats": _dedup_mod.winnow_stats_sql(),
         "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
         "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),

@@ -235,3 +235,138 @@ _cms_top AS (SELECT w, wn FROM _cms_wc ORDER BY wn DESC, w ASC LIMIT {k})
 SELECT t.w AS token, t.wn AS n_exact,
        CAST(least({est_terms}) AS BIGINT) AS n_est
 FROM _cms_top t"""
+
+# --- HDR-style log-bucketed quantile sketch ----------------------------------
+
+HDR_PRECISION = 5
+
+
+def _hdr_slot_expr(v, p: int) -> F.Column:
+    """Monotone HdrHistogram slot for a non-negative BIGINT column:
+    values below 2^(p+1) are exact (slot = value); above, with
+    shift = flog2(v) - p >= 1,
+
+        slot = shift * 2^p + (v >> shift)
+
+    where v >> shift lands in [2^p, 2^(p+1)) — the top p+1 bits index a
+    linearly-subdivided power-of-two bucket, giving relative error
+    < 2^-p. Continuous at the boundary (v = 2^(p+1) -> slot = v). Pure
+    integer: flog2 via binary-string length; the column-amount shift
+    via the SQL operator (only the python F.shiftleft/shiftright
+    wrappers are literal-only)."""
+    shift = (F.length(F.bin(v)) - F.lit(1 + p)).cast("int")
+    return F.when(v < F.lit(1 << (p + 1)), v).otherwise(
+        shift.cast("long") * F.lit(1 << p)
+        + F.expr(f"shiftrightunsigned(CAST(__hdr_v AS BIGINT), "
+                 f"length(bin(CAST(__hdr_v AS BIGINT))) - {1 + p})")
+    )
+
+
+def hdr_histogram(
+    df: DataFrame, value_col: str, precision: int = HDR_PRECISION
+) -> DataFrame:
+    """(slot, n) — mergeable log-bucketed histogram of a non-negative
+    integer column: the quantile member of the sketch family (CMS =
+    frequencies, KMV = cardinality, this = distribution), with bounded
+    RELATIVE error 2^-precision per slot (the HdrHistogram bucketing).
+
+    One scan-side slot projection + one combinable groupBy whose output
+    is bounded by O(64 * 2^precision) rows REGARDLESS of input size —
+    a 100-TB length distribution aggregates with a word-count's shuffle
+    shape, and daily partial histograms fold into weekly ones by union +
+    re-sum (exact corpus_length_quantiles, by contrast, needs the full
+    value multiset)."""
+    g = df.select(F.col(value_col).cast("long").alias("__hdr_v"))
+    slot = _hdr_slot_expr(F.col("__hdr_v"), precision)
+    return (
+        g.select(slot.cast("long").alias("slot"))
+        .groupBy("slot")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles_e6: tuple[int, ...] = (500000, 900000, 990000),
+    precision: int = HDR_PRECISION,
+) -> DataFrame:
+    """(q_e6, est_value) — nearest-rank quantiles read off the HDR
+    histogram: est_value is the LOWER BOUND of the slot holding rank
+    (q_e6 * N + 999999) div 1e6 (integer ceil — no double rounding at
+    any N), so est_value <= true quantile < est_value * (1 + 2^-p).
+    The cumulative window and quantile join run over the BOUNDED
+    histogram (<= 64 * 2^precision rows — driver-small, not the banned
+    unbounded ranking kind); all data-sized work is hdr_histogram's one
+    combinable aggregate."""
+    from pyspark.sql import Window
+
+    p = precision
+    hist = hdr_histogram(df, value_col, p)
+    total = hist.agg(F.sum("n").cast("long").alias("__hdr_total"))
+    w = Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("slot", F.sum("n").over(w).cast("long").alias("cum"))
+    qs = df.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles_e6], "q_e6 long"
+    )
+    rank = F.expr(
+        "greatest((q_e6 * __hdr_total + CAST(999999 AS BIGINT))"
+        " div CAST(1000000 AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    best = (
+        qs.crossJoin(F.broadcast(total))
+        .join(F.broadcast(cum), cum["cum"] >= rank)
+        .groupBy("q_e6")
+        .agg(F.min("slot").alias("slot"))
+    )
+    est = F.when(F.col("slot") < F.lit(1 << (p + 1)), F.col("slot")).otherwise(
+        F.expr(
+            f"shiftleft(CAST({1 << p} AS BIGINT) + pmod(slot, {1 << p}), "
+            f"CAST(slot div {1 << p} AS INT) - 1)"
+        )
+    )
+    return best.select("q_e6", est.cast("long").alias("est_value")).orderBy("q_e6")
+
+
+def hdr_quantiles_sql(
+    rel: str = "documents",
+    value_expr: str = "n_chars",
+    quantiles_e6: tuple[int, ...] = (500000, 900000, 990000),
+    precision: int = HDR_PRECISION,
+) -> str:
+    """DuckDB mirror: same slot scheme with native << / >>, same
+    integer-ceil rank, same slot lower-bound estimate."""
+    p = precision
+    lo, sub = 1 << (p + 1), 1 << p
+    qvals = ", ".join(f"({int(q)})" for q in quantiles_e6)
+    return f"""
+WITH _hq_v AS (
+  SELECT CAST({value_expr} AS BIGINT) AS v FROM {rel}
+),
+_hq_s AS (
+  SELECT CASE WHEN v < {lo} THEN v
+              ELSE (length(bin(v)) - {1 + p}) * {sub}
+                   + (v >> (length(bin(v)) - {1 + p}))
+         END AS slot
+  FROM _hq_v
+),
+_hq_h AS (SELECT slot, CAST(count(*) AS BIGINT) AS n FROM _hq_s GROUP BY slot),
+_hq_t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM _hq_h),
+_hq_c AS (
+  SELECT slot, CAST(sum(n) OVER (ORDER BY slot
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM _hq_h
+),
+_hq_q AS (SELECT CAST(q AS BIGINT) AS q_e6 FROM (VALUES {qvals}) t(q)),
+_hq_b AS (
+  SELECT q.q_e6, min(c.slot) AS slot
+  FROM _hq_q q CROSS JOIN _hq_t t
+  JOIN _hq_c c ON c.cum >= greatest((q.q_e6 * t.total + 999999) // 1000000, 1)
+  GROUP BY q.q_e6
+)
+SELECT q_e6,
+       CAST(CASE WHEN slot < {lo} THEN slot
+                 ELSE ({sub} + slot % {sub}) << (slot // {sub} - 1)
+            END AS BIGINT) AS est_value
+FROM _hq_b ORDER BY q_e6
+"""

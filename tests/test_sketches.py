@@ -121,3 +121,45 @@ def test_corpus_length_quantiles_duckdb_parity(spark):
         want.reindex(sorted(want.columns), axis=1),
         check_dtype=True,
     )
+
+
+def test_hdr_small_values_are_exact(spark):
+    from posextract_spark.operators.sketches import hdr_quantiles
+
+    df = spark.createDataFrame([(i,) for i in range(1, 51)], "v long")
+    out = {r.q_e6: r.est_value for r in hdr_quantiles(df, "v").collect()}
+    # values < 2^(p+1)=64 are slot-exact -> quantiles are exact
+    assert out == {500000: 25, 900000: 45, 990000: 50}
+
+
+def test_hdr_relative_error_bound_on_wide_range(spark):
+    import hashlib
+
+    from posextract_spark.operators.sketches import hdr_quantiles
+
+    vals = [
+        1 + int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.q_e6: r.est_value for r in hdr_quantiles(df, "v").collect()}
+    svals = sorted(vals)
+    for q_e6, est in got.items():
+        rank = max((q_e6 * len(vals) + 999999) // 1000000, 1)
+        exact = svals[rank - 1]
+        assert est <= exact < est * (1 + 2 ** -5) + 1, (q_e6, est, exact)
+
+
+def test_hdr_histogram_merges_by_sum(spark):
+    from posextract_spark.operators.sketches import hdr_histogram
+
+    a = spark.createDataFrame([(v,) for v in (3, 70, 700, 700000)], "v long")
+    b = spark.createDataFrame([(v,) for v in (3, 71, 800, 700001)], "v long")
+    union = hdr_histogram(a.unionAll(b), "v")
+    merged = (
+        hdr_histogram(a, "v").unionAll(hdr_histogram(b, "v"))
+        .groupBy("slot").sum("n")
+    )
+    got_u = {(r.slot, r.n) for r in union.collect()}
+    got_m = {(r[0], r[1]) for r in merged.collect()}
+    assert got_u == got_m
