@@ -1624,6 +1624,16 @@ def q_hdr_length_quantiles(spark, sf_dir):
     return hdr_quantiles(_docs(spark, sf_dir), "n_chars")
 
 
+def q_corpus_datacard(spark, sf_dir):
+    """The one-query corpus datasheet: doc/token/char totals, lang and
+    source cardinalities, exact-dup count, contaminated-doc count vs
+    the %29 eval split (operators/diagnostics.corpus_datacard)."""
+    from posextract_spark.operators.diagnostics import corpus_datacard
+
+    docs = _docs(spark, sf_dir)
+    return corpus_datacard(docs, docs.filter(F.col("doc_id") % 29 == 0))
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -2482,6 +2492,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel_report": q_curation_funnel_report,
         "key_skew_report": q_key_skew_report,
         "hdr_length_quantiles": q_hdr_length_quantiles,
+        "corpus_datacard": q_corpus_datacard,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
@@ -2641,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel_report": _mldata.curation_funnel_report_sql(),
         "key_skew_report": _diag.key_skew_report_sql("events", "user_id", 20),
         "hdr_length_quantiles": _sketches.hdr_quantiles_sql("documents", "n_chars"),
+        "corpus_datacard": _diag.corpus_datacard_sql("documents", 29),
         "winnow_stats": _dedup_mod.winnow_stats_sql(),
         "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
         "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),

@@ -82,3 +82,92 @@ SELECT rank, key, n_rows,
             // total AS BIGINT) AS cum_pct_e6
 FROM _ks_top CROSS JOIN _ks_t
 """
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(metric, value) — the one-query corpus datasheet (the numbers a
+    'data card' publishes): document/token/char totals, language and
+    source cardinalities, exact-duplicate count, and (with ``eval_df``)
+    the contaminated-doc count. Every number BIGINT so the frame is
+    value-hash stable.
+
+    Shape: one materialized word-count scan for the token/char totals
+    (map-side combinable), tiny distinct-counts for lang/source, the
+    exact-dedup hash groupBy re-aggregated to ONE number, and
+    decontaminate's broadcast join counted — each metric is an
+    already-shaped aggregate; the union is of 1-row frames."""
+    from posextract_spark.functions.boundary import materialize
+    from posextract_spark.functions.hashing import word_array
+    from posextract_spark.operators.dedup import exact_dedup_groups
+
+    g = materialize(
+        docs.select(F.col(id_col), F.col(text_col), "lang", "source"),
+        __dc_w=word_array(F.col(text_col)),
+    )
+    base = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.col("__dc_w"))).cast("long").alias("n_tokens"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+        F.count_distinct(F.col("lang")).cast("long").alias("n_langs"),
+        F.count_distinct(F.col("source")).cast("long").alias("n_sources"),
+    )
+    dup = exact_dedup_groups(docs, text_col=text_col, id_col=id_col).agg(
+        (F.sum("n_docs") - F.count(F.lit(1))).cast("long").alias("n_exact_dup_docs")
+    )
+    metrics = base.crossJoin(F.broadcast(dup))
+    names = ["n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+             "n_exact_dup_docs"]
+    if eval_df is not None:
+        from posextract_spark.operators.mldata import decontaminate
+
+        cont = decontaminate(docs, eval_df, text_col=text_col, id_col=id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_contaminated_docs")
+        )
+        metrics = metrics.crossJoin(F.broadcast(cont))
+        names.append("n_contaminated_docs")
+    stacked = ", ".join(f"'{n}', {n}" for n in names)
+    return metrics.selectExpr(
+        f"stack({len(names)}, {stacked}) AS (metric, value)"
+    )
+
+
+def corpus_datacard_sql(rel: str = "documents", eval_mod: int | None = 29) -> str:
+    """DuckDB mirror: the same aggregates unioned as (metric, value)."""
+    words = "list_filter(string_split(text, ' '), w -> w <> '')"
+    cont = ""
+    if eval_mod is not None:
+        cont = f"""
+UNION ALL
+SELECT 'n_contaminated_docs', CAST((
+  WITH dcw AS (SELECT doc_id, {words} AS ws FROM {rel}),
+  dcsh AS (
+    SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 5 THEN
+      list_transform(generate_series(1, len(ws) - 4),
+                     i -> array_to_string(ws[i:i+4], ' ')) ELSE [] END)) AS shingle
+    FROM dcw),
+  dcev AS (SELECT DISTINCT shingle FROM dcsh WHERE doc_id % {eval_mod} = 0)
+  SELECT count(DISTINCT s.doc_id) FROM dcsh s JOIN dcev USING (shingle)
+) AS BIGINT)"""
+    return f"""
+SELECT metric, value FROM (
+SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM {rel}
+UNION ALL
+SELECT 'n_tokens', CAST(sum(len({words})) AS BIGINT) FROM {rel}
+UNION ALL
+SELECT 'n_chars', CAST(sum(length(text)) AS BIGINT) FROM {rel}
+UNION ALL
+SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM {rel}
+UNION ALL
+SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM {rel}
+UNION ALL
+SELECT 'n_exact_dup_docs', CAST(count(*) - count(DISTINCT
+  (('0x' || substring(md5(text), 1, 15))::BIGINT,
+   ('0x' || substring(md5(text), 17, 15))::BIGINT)) AS BIGINT) FROM {rel}
+{cont}
+)
+"""
