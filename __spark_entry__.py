@@ -524,6 +524,20 @@ def q_cluster_balanced_sample(spark, sf_dir):
     return cluster_balanced_sample(emb, cap_per_cluster=32)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retriever training (DPR/Contriever
+    recipe): per query, top-5 most-similar corpus vectors excluding self
+    and the synthetic gold positive (q -> q+250)
+    (operators/similarity.hard_negative_mining)."""
+    from posextract_spark.operators.similarity import hard_negative_mining
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    gold = spark.range(10).select(
+        F.col("id").alias("qid"), (F.col("id") + 250).alias("pos_id")
+    )
+    return hard_negative_mining(emb, gold, n_queries=10, k=5)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from posextract_spark.operators.similarity import neardup_bucket_stats
 
@@ -2493,6 +2507,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": q_key_skew_report,
         "hdr_length_quantiles": q_hdr_length_quantiles,
         "corpus_datacard": q_corpus_datacard,
+        "hard_negatives": q_hard_negatives,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
@@ -2653,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_report": _diag.key_skew_report_sql("events", "user_id", 20),
         "hdr_length_quantiles": _sketches.hdr_quantiles_sql("documents", "n_chars"),
         "corpus_datacard": _diag.corpus_datacard_sql("documents", 29),
+        "hard_negatives": _sim.hard_negative_mining_sql(n_queries=10, k=5, gold_offset=250),
         "winnow_stats": _dedup_mod.winnow_stats_sql(),
         "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
         "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),

@@ -2319,3 +2319,104 @@ SELECT doc_id, CAST(rrf AS BIGINT) AS rrf_score_e6,
        CAST(sem_rank AS BIGINT) AS sem_rank
 FROM rfuse ORDER BY rrf DESC, doc_id ASC LIMIT {k}
 """
+
+
+def hard_negative_mining(
+    df: DataFrame,
+    gold_pairs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, neg_id, sim_e6) — HARD NEGATIVES for retriever training
+    (the DPR/Contriever recipe): for each query vector (the
+    ``n_queries`` smallest ids), the top-``k`` most-similar corpus
+    vectors that are NEITHER the query itself NOR a gold positive
+    (``gold_pairs``: (qid, pos_id) rows). Training on these
+    near-miss negatives is what makes a dense retriever discriminate;
+    random negatives are too easy.
+
+    Scale shape (the ann_recall_ivf harness pattern): queries broadcast
+    into ONE Q x N similarity pass; gold pairs broadcast-anti-joined
+    (eval-suite sized); per-query top-k is the no-Window
+    collect/sort_array/slice aggregate bounded by the query sample. For
+    mining over MILLIONS of queries, replace the brute-force pass with
+    ivf_pq_topk per shard — the selection logic downstream is
+    unchanged."""
+    base = _ivf_base(df, id_col, vec_col)
+    qf = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"),
+        F.col("_e").alias("_qe"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_e"), F.col("_qe"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    denom = F.col("_norm") * F.col("_qnorm")
+    cos = F.when(denom != 0, dot / denom).otherwise(F.lit(-2.0))
+    sims = (
+        base.crossJoin(F.broadcast(qf))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col).alias("neg_id"),
+            F.floor(cos * F.lit(1000000.0)).cast("bigint").alias("sim_e6"),
+        )
+    )
+    gold = gold_pairs.select(
+        F.col(gold_pairs.columns[0]).cast("long").alias("qid"),
+        F.col(gold_pairs.columns[1]).cast("long").alias("neg_id"),
+    )
+    cand = sims.join(F.broadcast(gold), ["qid", "neg_id"], "left_anti")
+    picked = (
+        cand.groupBy("qid")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("sim_e6")).alias("ns"), "neg_id"))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("qid", F.explode("top").alias("t"))
+        .select(
+            "qid",
+            F.col("t.neg_id").alias("neg_id"),
+            (-F.col("t.ns")).cast("bigint").alias("sim_e6"),
+        )
+    )
+    return picked
+
+
+def hard_negative_mining_sql(
+    n_queries: int = 10, k: int = 5, gold_offset: int = 250
+) -> str:
+    """Mirror with the contract's synthetic gold: positive of query q is
+    vec_id q + gold_offset; same (sim desc, id asc) top-k per query."""
+    return f"""
+WITH _hn_v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+),
+_hn_q AS (SELECT vec_id AS qid, e AS qe FROM _hn_v WHERE vec_id < {n_queries}),
+_hn_s AS (
+  SELECT q.qid, v.vec_id AS neg_id,
+    CAST(floor((CASE WHEN (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(q.qe, x -> x * x), 'sum'))) = 0 THEN -2.0 ELSE
+      list_aggregate(list_transform(generate_series(1, len(v.e)), j -> v.e[j] * q.qe[j]), 'sum')
+      / (sqrt(list_aggregate(list_transform(v.e, x -> x * x), 'sum'))
+         * sqrt(list_aggregate(list_transform(q.qe, x -> x * x), 'sum'))) END)
+      * 1000000.0) AS BIGINT) AS sim_e6
+  FROM _hn_v v CROSS JOIN _hn_q q
+  WHERE v.vec_id <> q.qid AND v.vec_id <> q.qid + {gold_offset}
+),
+_hn_r AS (
+  SELECT qid, neg_id, sim_e6,
+         row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, neg_id ASC) AS rn
+  FROM _hn_s
+)
+SELECT qid, neg_id, sim_e6 FROM _hn_r WHERE rn <= {k}
+"""

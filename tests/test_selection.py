@@ -71,3 +71,43 @@ def test_rrf_rank_zero_means_absent_arm(spark):
     assert len(out) == 5
     assert all(r.lex_rank == 0 and r.sem_rank > 0 for r in out)
     assert all(r.rrf_score_e6 == 1000000 // (60 + r.sem_rank) for r in out)
+
+
+def test_hard_negatives_exclude_self_and_gold(spark):
+    from posextract_spark.operators.similarity import hard_negative_mining
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),     # query
+            (5, [1.0, 0.01]),    # gold positive (excluded)
+            (6, [1.0, 0.02]),    # hardest negative
+            (7, [0.9, 0.1]),     # next
+            (8, [0.0, 1.0]),     # easy negative
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    gold = spark.createDataFrame([(0, 5)], "qid long, pos_id long")
+    out = sorted(
+        hard_negative_mining(emb, gold, n_queries=1, k=2).collect(),
+        key=lambda r: -r.sim_e6,
+    )
+    assert [r.neg_id for r in out] == [6, 7]  # self 0 and gold 5 excluded
+    assert all(r.qid == 0 for r in out)
+
+
+def test_hard_negatives_rank_by_similarity_desc(spark):
+    from posextract_spark.operators.similarity import hard_negative_mining
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    gold = spark.createDataFrame(
+        [(q, q + 50) for q in range(4)], "qid long, pos_id long"
+    )
+    out = hard_negative_mining(emb, gold, n_queries=4, k=3).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.qid, []).append(r)
+    for qid, rows in per_q.items():
+        assert len(rows) == 3
+        sims = sorted((r.sim_e6 for r in rows), reverse=True)
+        assert sims == [r.sim_e6 for r in sorted(rows, key=lambda r: (-r.sim_e6, r.neg_id))]
+        assert all(r.neg_id != qid and r.neg_id != qid + 50 for r in rows)
