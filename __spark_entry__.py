@@ -538,6 +538,16 @@ def q_hard_negatives(spark, sf_dir):
     return hard_negative_mining(emb, gold, n_queries=10, k=5)
 
 
+def q_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN (Lv et al. 2007): the query bucket plus every
+    Hamming-1 neighbor, exact cosine rerank — the probe/recall dial on
+    the SRP index (operators/similarity.lsh_multiprobe_topk)."""
+    from posextract_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_multiprobe_topk(emb, query_id=0, k=10, n_planes=4)
+
+
 def q_embedding_neardup(spark, sf_dir):
     from posextract_spark.operators.similarity import neardup_bucket_stats
 
@@ -2508,6 +2518,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_length_quantiles": q_hdr_length_quantiles,
         "corpus_datacard": q_corpus_datacard,
         "hard_negatives": q_hard_negatives,
+        "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
@@ -2669,6 +2680,7 @@ def oracle_sql() -> dict[str, str]:
         "hdr_length_quantiles": _sketches.hdr_quantiles_sql("documents", "n_chars"),
         "corpus_datacard": _diag.corpus_datacard_sql("documents", 29),
         "hard_negatives": _sim.hard_negative_mining_sql(n_queries=10, k=5, gold_offset=250),
+        "lsh_multiprobe_topk": _sim.lsh_multiprobe_topk_sql(query_id=0, k=10, n_planes=4),
         "winnow_stats": _dedup_mod.winnow_stats_sql(),
         "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
         "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),

@@ -111,3 +111,29 @@ def test_hard_negatives_rank_by_similarity_desc(spark):
         sims = sorted((r.sim_e6 for r in rows), reverse=True)
         assert sims == [r.sim_e6 for r in sorted(rows, key=lambda r: (-r.sim_e6, r.neg_id))]
         assert all(r.neg_id != qid and r.neg_id != qid + 50 for r in rows)
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucket,
+        lsh_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    truth = {
+        r.vec_id for r in cosine_topk(emb.filter("vec_id <> 0"), qv, k=10).collect()
+    }
+    multi = {r.vec_id for r in lsh_multiprobe_topk(emb, query_id=0, k=10).collect()}
+    b = lsh_bucket(emb, n_planes=4)
+    qb = b.filter("vec_id = 0").collect()[0].bucket
+    single_ids = {
+        r.vec_id for r in b.filter(F.col("bucket") == qb).collect()
+    } - {0}
+    single = truth & single_ids  # single-bucket can only return its bucket
+    assert len(multi & truth) >= len(single)
+    # probing 5 of 16 buckets must beat a 1/16 random slice on recall
+    assert len(multi & truth) >= 3, sorted(multi)
