@@ -1658,6 +1658,30 @@ def q_corpus_datacard(spark, sf_dir):
     return corpus_datacard(docs, docs.filter(F.col("doc_id") % 29 == 0))
 
 
+#: mixture-plan target shares for the contract query: three tiers over
+#: the 20 synthetic sources, summing to 1e6
+_MIX_PPM = {f"src{i}": [20000, 50000, 80000][i % 3] for i in range(20)}
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum training order: HDR-sketch decile buckets on document
+    length + hash-stable within-bucket shuffle — easy-to-hard schedule
+    without a global sort (operators/mldata.curriculum_order)."""
+    from posextract_spark.operators.mldata import curriculum_order
+
+    return curriculum_order(_docs(spark, sf_dir), "n_chars")
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Deterministic source-mixture planning: per-source token counts +
+    target ppm shares -> the largest corpus honoring every share and the
+    per-source sampling rates to feed sample_mixture
+    (operators/mldata.mixture_plan)."""
+    from posextract_spark.operators.mldata import mixture_plan
+
+    return mixture_plan(_docs(spark, sf_dir), _MIX_PPM)
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # day as a STRING 'yyyy-MM-dd' (not date_trunc's TIMESTAMP): DuckDB
@@ -2519,6 +2543,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": q_corpus_datacard,
         "hard_negatives": q_hard_negatives,
         "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
+        "curriculum_order": q_curriculum_order,
+        "mixture_plan": q_mixture_plan,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
         "corpus_ann_index_pipeline": q_corpus_ann_index_pipeline,
@@ -2681,6 +2707,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": _diag.corpus_datacard_sql("documents", 29),
         "hard_negatives": _sim.hard_negative_mining_sql(n_queries=10, k=5, gold_offset=250),
         "lsh_multiprobe_topk": _sim.lsh_multiprobe_topk_sql(query_id=0, k=10, n_planes=4),
+        "curriculum_order": _mldata.curriculum_order_sql("documents", "n_chars"),
+        "mixture_plan": _mldata.mixture_plan_sql(_MIX_PPM),
         "winnow_stats": _dedup_mod.winnow_stats_sql(),
         "neardup_contamination": _dedup_mod.neardup_contamination_sql(),
         "bpe_fertility_stats": _mldata.bpe_fertility_stats_sql(_BPE_MERGES),

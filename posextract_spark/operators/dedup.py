@@ -1367,3 +1367,28 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
        CAST(max(fingerprint) AS BIGINT) AS fp_max
 FROM wfp GROUP BY doc_id
 """
+
+
+def lsh_params_for(
+    threshold_e6: int, n_seeds: int = MINHASH_SEEDS
+) -> tuple[int, int]:
+    """(band_size, n_bands) whose LSH S-curve midpoint best matches a
+    target Jaccard ``threshold_e6``: the curve P(candidate) =
+    1 - (1 - s^r)^b crosses 1/2 near s* = (1/b)^(1/r); pick the divisor
+    band_size r of n_seeds minimizing |s* - threshold| (the closed-form
+    companion to DEDUP_QUALITY.md's measured S-curves). Steeper r =
+    higher threshold: with 8 seeds, r=1 targets ~0.06 (catch
+    everything), r=2 ~0.5, r=4 ~0.84, r=8 ~0.92."""
+    if not (0 < threshold_e6 < 1_000_000):
+        raise ValueError(f"threshold_e6 out of (0, 1e6): {threshold_e6}")
+    t = threshold_e6 / 1e6
+    best = None
+    for r in range(1, n_seeds + 1):
+        if n_seeds % r:
+            continue
+        b = n_seeds // r
+        s_star = (1.0 / b) ** (1.0 / r) if b > 1 else 0.5 ** (1.0 / r)
+        d = abs(s_star - t)
+        if best is None or d < best[0]:
+            best = (d, r, b)
+    return best[1], best[2]

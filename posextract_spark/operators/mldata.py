@@ -1832,3 +1832,182 @@ SELECT * FROM (
 ) ORDER BY stage_idx
 """
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """(id, bucket, pos) — curriculum-learning training order: documents
+    bucketed by score quantile (bucket 0 = lowest-score decile, read in
+    ascending bucket order for an easy-to-hard curriculum; reverse for
+    hard-first), hash-shuffled WITHIN each bucket (pos — same md5 rule
+    as shuffle_shards, so the order is retry/append-stable).
+
+    The bucket thresholds come from the HDR quantile sketch
+    (sketches.hdr_quantiles): n_buckets-1 driver ints off a bounded
+    aggregate — no global sort, no ntile Window over the corpus — with
+    the sketch's 2^-5 relative-error contract on the cut points (a doc
+    within one slot of a cut may land one bucket over; curriculum
+    schedules are insensitive to that). Assignment is then one
+    scan-side comparison chain."""
+    from posextract_spark.functions.hashing import portable_hash64
+    from posextract_spark.operators.sketches import HDR_PRECISION, hdr_histogram
+
+    # cuts computed python-side off the collected histogram (<= 64 * 2^p
+    # rows — model-artifact-sized driver traffic, like k-means partials);
+    # the arithmetic replicates hdr_quantiles exactly (integer-ceil rank,
+    # min slot with cum >= rank, slot lower bound), which is what the SQL
+    # mirror runs — one Spark job instead of hdr_quantiles' join cascade
+    p = HDR_PRECISION
+    hist = sorted((r.slot, r.n) for r in hdr_histogram(df, score_col).collect())
+    total = sum(n for _, n in hist)
+    qs = tuple(i * 1_000_000 // n_buckets for i in range(1, n_buckets))
+
+    def slot_lo(slot: int) -> int:
+        if slot < 1 << (p + 1):
+            return slot
+        return ((1 << p) + slot % (1 << p)) << (slot // (1 << p) - 1)
+
+    cuts = []
+    for q in qs:
+        rank = max((q * total + 999_999) // 1_000_000, 1)
+        cum = 0
+        for slot, n in hist:
+            cum += n
+            if cum >= rank:
+                cuts.append(slot_lo(slot))
+                break
+    v = F.col(score_col).cast("long")
+    bucket = F.lit(0).cast("long")
+    for c in cuts:
+        bucket = bucket + (v >= F.lit(c)).cast("long")
+    # >= on every cut: equal-threshold scores all land in the same bucket
+    return df.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        portable_hash64(F.col(id_col).cast("string")).alias("pos"),
+    )
+
+
+def curriculum_order_sql(
+    rel: str = "documents",
+    score_expr: str = "n_chars",
+    n_buckets: int = 10,
+) -> str:
+    """Mirror: the hdr_quantiles_sql chain computes the same cut points;
+    each row's bucket = count of cuts at or below its score."""
+    from posextract_spark.functions.hashing import portable_hash64_sql
+    from posextract_spark.operators.sketches import hdr_quantiles_sql
+
+    qs = tuple(i * 1_000_000 // n_buckets for i in range(1, n_buckets))
+    cuts_q = hdr_quantiles_sql(rel, score_expr, quantiles_e6=qs)
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH _cu_cuts AS (SELECT est_value FROM ({cuts_q})),
+_cu_rows AS (SELECT doc_id, CAST({score_expr} AS BIGINT) AS s FROM {rel})
+SELECT r.doc_id,
+       CAST((SELECT count(*) FROM _cu_cuts c WHERE r.s >= c.est_value) AS BIGINT)
+         AS bucket,
+       {h} AS pos
+FROM _cu_rows r
+"""
+
+
+def mixture_plan(
+    docs: DataFrame,
+    target_ppm: dict[str, int],
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_tokens, target_ppm, planned_tokens, rate_ppm) — the
+    deterministic mixture-planning step (the input DoReMi/data-mixing
+    recipes consume): given target corpus shares per source (ppm) and
+    the measured per-source token counts, the largest corpus honoring
+    every share without oversampling is capacity = min over sources of
+    n_s * 1e6 div w_s; each source then contributes planned =
+    capacity * w_s div 1e6 tokens at sampling rate planned * 1e6 div
+    n_s ppm (feed the rates to sample_mixture). Sources absent from
+    ``target_ppm`` get rate 0 — excluded by plan, visibly.
+
+    Shape: one map-side-combinable per-source token count (group
+    cardinality = #sources), the ppm table broadcast, a 1-row capacity
+    aggregate crossJoined back. Integer arithmetic; n_s * 1e6 wants
+    DECIMAL(38,0) past ~9e12 tokens per source."""
+    w = docs.sparkSession.createDataFrame(
+        [(s, int(p)) for s, p in sorted(target_ppm.items())],
+        f"{source_col} string, target_ppm long",
+    )
+    counts = (
+        docs.select(
+            F.col(source_col),
+            F.size(word_array(F.col(text_col))).cast("long").alias("_nt"),
+        )
+        .groupBy(source_col)
+        .agg(F.sum("_nt").cast("long").alias("n_tokens"))
+    )
+    j = counts.join(F.broadcast(w), source_col, "left").select(
+        source_col,
+        "n_tokens",
+        F.coalesce(F.col("target_ppm"), F.lit(0)).cast("long").alias("target_ppm"),
+    )
+    cap = (
+        j.filter(F.col("target_ppm") > 0)
+        .select(
+            F.expr("n_tokens * CAST(1000000 AS BIGINT) div target_ppm").alias("_c")
+        )
+        .agg(F.min("_c").cast("long").alias("_capacity"))
+    )
+    return j.crossJoin(F.broadcast(cap)).select(
+        source_col,
+        "n_tokens",
+        "target_ppm",
+        F.expr("_capacity * target_ppm div CAST(1000000 AS BIGINT)")
+        .cast("long")
+        .alias("planned_tokens"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN (_capacity * target_ppm"
+            " div CAST(1000000 AS BIGINT)) * CAST(1000000 AS BIGINT)"
+            " div n_tokens ELSE CAST(0 AS BIGINT) END"
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+
+
+def mixture_plan_sql(
+    target_ppm: dict[str, int],
+    rel: str = "documents",
+    source_col: str = "source",
+) -> str:
+    """Mirror: same counts, broadcast-equivalent VALUES table, same
+    integer capacity/rate arithmetic."""
+    vals = ", ".join(
+        f"('{s}', {int(p)})" for s, p in sorted(target_ppm.items())
+    )
+    words = "list_filter(string_split(text, ' '), w -> w <> '')"
+    return f"""
+WITH _mx_c AS (
+  SELECT {source_col}, CAST(sum(len({words})) AS BIGINT) AS n_tokens
+  FROM {rel} GROUP BY {source_col}
+),
+_mx_w AS (SELECT s AS {source_col}, CAST(p AS BIGINT) AS target_ppm
+          FROM (VALUES {vals}) t(s, p)),
+_mx_j AS (
+  SELECT c.{source_col}, c.n_tokens,
+         CAST(coalesce(w.target_ppm, 0) AS BIGINT) AS target_ppm
+  FROM _mx_c c LEFT JOIN _mx_w w USING ({source_col})
+),
+_mx_cap AS (
+  SELECT CAST(min(n_tokens * 1000000 // target_ppm) AS BIGINT) AS capacity
+  FROM _mx_j WHERE target_ppm > 0
+)
+SELECT {source_col}, n_tokens, target_ppm,
+       CAST(capacity * target_ppm // 1000000 AS BIGINT) AS planned_tokens,
+       CAST(CASE WHEN n_tokens > 0
+            THEN (capacity * target_ppm // 1000000) * 1000000 // n_tokens
+            ELSE 0 END AS BIGINT) AS rate_ppm
+FROM _mx_j CROSS JOIN _mx_cap
+"""

@@ -735,3 +735,56 @@ def test_curation_funnel_monotone_and_consistent(spark):
     assert counts[0] == docs.count()
     # a funnel only narrows
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+
+
+def test_curriculum_order_buckets_monotone_in_score(spark):
+    from posextract_spark.operators.mldata import curriculum_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r.doc_id: r.bucket for r in curriculum_order(docs, "n_chars").collect()}
+    scores = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    # bucket is monotone non-decreasing in score
+    by_score = sorted(scores, key=lambda d: (scores[d], d))
+    buckets = [out[d] for d in by_score]
+    assert buckets == sorted(buckets)
+    assert min(buckets) == 0
+    assert max(buckets) <= 9
+
+
+def test_mixture_plan_honors_shares_and_capacity(spark):
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.mldata import mixture_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "big"),     # 10 tokens
+            (2, "a b c d e f g h i j", "big"),     # 20 total
+            (3, "a b", "small"),                   # 2 tokens
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    plan = {r.source: r for r in mixture_plan(
+        docs, {"big": 500000, "small": 500000}
+    ).collect()}
+    # capacity limited by 'small': 2 * 1e6 // 5e5 = 4 total tokens
+    assert plan["small"].planned_tokens == 2
+    assert plan["small"].rate_ppm == 1000000  # fully consumed
+    assert plan["big"].planned_tokens == 2
+    assert plan["big"].rate_ppm == 100000  # 2 of 20
+    # a source absent from the target gets rate 0, visibly
+    plan2 = {r.source: r for r in mixture_plan(docs, {"big": 1000000}).collect()}
+    assert plan2["small"].target_ppm == 0 and plan2["small"].rate_ppm == 0
+    assert plan2["big"].rate_ppm == 1000000
+
+
+def test_lsh_params_for_band_shape_targets():
+    from posextract_spark.operators.dedup import lsh_params_for
+
+    assert lsh_params_for(500000) == (2, 4)   # r=2: s* = 0.5
+    assert lsh_params_for(900000) == (8, 1)   # steepest available
+    assert lsh_params_for(100000) == (1, 8)   # catch-everything
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_params_for(0)
