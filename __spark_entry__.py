@@ -621,6 +621,17 @@ def _kg_edge_list(spark, sf_dir):
     )
 
 
+def q_kg_neighborhood_function(spark, sf_dir):
+    """ANF reachability profiling (Palmer et al. 2002): per-entity
+    estimate of the 3-hop out-neighborhood size from 4 deterministic FM
+    bitmasks — registers merge by bit_or, the scale path where exact
+    closure would materialize O(n^2) pairs
+    (operators/graph_analytics.neighborhood_function)."""
+    from posextract_spark.operators.graph_analytics import neighborhood_function
+
+    return neighborhood_function(_kg_edge_list(spark, sf_dir), n_hops=3, n_masks=4)
+
+
 def q_kg_degree_stats(spark, sf_dir):
     """Per-entity degree profile of the triple graph (hub detection):
     distinct-neighbor degrees + edge-row weights, one shuffle
@@ -2544,6 +2555,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
         "curriculum_order": q_curriculum_order,
+        "kg_neighborhood_function": q_kg_neighborhood_function,
         "mixture_plan": q_mixture_plan,
         "kg_link_from_anchors": q_kg_link_from_anchors,
         "ann_recall_ivf_kmeans": q_ann_recall_ivf_kmeans,
@@ -2829,6 +2841,9 @@ FROM assignF GROUP BY cid"""
         "kg_pagerank": SVO_TRIPLES_CTE
         + _KG_EDGE_VIEW
         + _ga.pagerank_sql("kg_e", n_iters=3),
+        "kg_neighborhood_function": SVO_TRIPLES_CTE
+        + _KG_EDGE_VIEW
+        + _ga.neighborhood_function_sql("kg_e", n_hops=3, n_masks=4),
         # rounds must cover the graph's peel depth (the gate fails loudly
         # if not — see kcore_sql); measured depth at sf0.01 is 1 (the
         # template-entity graph is small and dense: its 2-core is reached

@@ -1585,3 +1585,153 @@ _spd0 AS MATERIALIZED (
         )
     parts.append(f"\nSELECT node, dist FROM _spd{max_iters}")
     return "".join(parts)
+
+
+# --- approximate neighborhood function (ANF / Palmer et al., KDD 2002) -------
+
+ANF_CAP = 40
+
+
+def _anf_constants(n_masks: int) -> list[int]:
+    """Integer e6 literals for est = 2^(sum_r / m) / 0.77351, split as
+    2^q * C[rem]: C[r] = floor(2^(r/m) * 1e6 / 0.77351). Computed at
+    CODE-GEN time in python and embedded identically in both engines —
+    no runtime transcendental anywhere."""
+    return [int((2.0 ** (r / n_masks)) * 1e6 / 0.77351) for r in range(n_masks)]
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_hops: int = 3,
+    n_masks: int = 4,
+) -> DataFrame:
+    """(node, sum_r, est_e6) — the Approximate Neighborhood Function
+    (ANF, Palmer/Gibbons/Faloutsos KDD 2002): for every node, an
+    estimate of |{u : node reaches u in <= n_hops}| (self included)
+    from ``n_masks`` Flajolet-Martin bitmasks. THE scale path for
+    reachability profiling: exact transitive closure materializes
+    O(n^2) pairs on a dense web graph, while ANF state is n_masks
+    BIGINT registers per node and each hop is ONE join + ONE
+    map-side-combinable bit_or groupBy (bitwise OR is idempotent and
+    associative — the same register-merge trick as the Bloom build).
+
+    Deterministic by construction: mask j of node v sets bit
+    min(trailing-zeros(md5-hash(j:v)), ANF_CAP); hop h ORs each node's
+    registers with its out-neighbors' — so the estimate is a pure
+    function of the DATA (no rand), value-hash-checkable. Estimate:
+    R_j = lowest zero bit of register j; est_e6 = 2^(sum R / m) /
+    0.77351 decomposed as shiftleft(1, sum_r div m) * C[sum_r mod m]
+    with the m constants embedded as integer literals (_anf_constants).
+    Expected relative error ~ 0.78/sqrt(m).
+
+    Iteration discipline: eager localCheckpoint per hop (lineage cut),
+    bounded hops, same as pagerank/kcore."""
+    from posextract_spark.functions.hashing import portable_hash64
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        js = F.array(*[F.lit(j).cast("int") for j in range(n_masks)])
+        withj = nodes.select("node", F.explode(js).alias("j"))
+        h = portable_hash64(
+            F.concat_ws(":", F.col("j").cast("string"), F.col("node"))
+        )
+        rho = F.when(h == 0, F.lit(ANF_CAP)).otherwise(
+            F.least(F.length(F.bin(h.bitwiseAND(-h))) - F.lit(1), F.lit(ANF_CAP))
+        )
+        # shiftleft's python wrapper is literal-only: build reg via expr
+        state = withj.select(
+            "node", "j", rho.cast("int").alias("_rho")
+        ).selectExpr("node", "j", "shiftleft(CAST(1 AS BIGINT), _rho) AS reg")
+        state = state.localCheckpoint(eager=True)
+        for _ in range(n_hops):
+            contrib = (
+                e.join(state.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "j", "reg")
+            )
+            state = (
+                state.unionByName(contrib)
+                .groupBy("node", "j")
+                .agg(F.expr("bit_or(reg)").alias("reg"))
+                .localCheckpoint(eager=True)
+            )
+        r_j = F.length(F.bin(F.expr("(~reg) & (reg + 1)"))) - F.lit(1)
+        per_node = state.select("node", r_j.cast("long").alias("_r")).groupBy(
+            "node"
+        ).agg(F.sum("_r").cast("long").alias("sum_r"))
+        consts = _anf_constants(n_masks)
+        carr = F.array(*[F.lit(c).cast("long") for c in consts])
+        est = (
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(sum_r div {n_masks} AS INT))")
+            * F.element_at(carr, (F.col("sum_r") % n_masks).cast("int") + 1)
+        )
+        return per_node.select("node", "sum_r", est.cast("long").alias("est_e6"))
+    finally:
+        e.unpersist()
+
+
+def neighborhood_function_sql(
+    edges_rel: str,
+    src: str = "src",
+    dst: str = "dst",
+    n_hops: int = 3,
+    n_masks: int = 4,
+) -> str:
+    """SQL suffix: the same masks, the per-hop bit_or unrolled as CTEs,
+    the same literal estimate constants."""
+    h = f"(('0x' || substring(md5(j::VARCHAR || ':' || node), 1, 15))::BIGINT)"
+    consts = _anf_constants(n_masks)
+    clist = "[" + ", ".join(str(c) for c in consts) + "]"
+    parts = [
+        f"""
+, _anfe AS (
+  SELECT DISTINCT {src} AS src, {dst} AS dst FROM {edges_rel} WHERE {src} <> {dst}
+),
+_anfnodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM _anfe UNION ALL SELECT dst FROM _anfe)
+),
+_anf0 AS (
+  SELECT node, j,
+    CASE WHEN {h} = 0 THEN (CAST(1 AS BIGINT) << {ANF_CAP})
+         ELSE (CAST(1 AS BIGINT)
+               << least(length(bin({h} & -{h})) - 1, {ANF_CAP}))
+    END AS reg
+  FROM _anfnodes, (SELECT unnest(generate_series(0, {n_masks - 1})) AS j)
+)"""
+    ]
+    for k in range(1, n_hops + 1):
+        parts.append(
+            f"""
+, _anf{k} AS (
+  SELECT node, j, CAST(bit_or(reg) AS BIGINT) AS reg FROM (
+    SELECT node, j, reg FROM _anf{k - 1}
+    UNION ALL
+    SELECT e.src AS node, s.j, s.reg
+    FROM _anfe e JOIN _anf{k - 1} s ON s.node = e.dst
+  ) GROUP BY node, j
+)"""
+        )
+    parts.append(
+        f"""
+, _anfr AS (
+  SELECT node,
+         CAST(sum(length(bin((~reg) & (reg + 1))) - 1) AS BIGINT) AS sum_r
+  FROM _anf{n_hops} GROUP BY node
+)
+SELECT node, sum_r,
+       CAST((CAST(1 AS BIGINT) << CAST(sum_r // {n_masks} AS INT))
+            * ({clist}[CAST(sum_r % {n_masks} AS INT) + 1]) AS BIGINT) AS est_e6
+FROM _anfr"""
+    )
+    return "".join(parts)

@@ -1141,3 +1141,40 @@ def test_shortest_paths_python_mirror_and_duckdb_parity(spark):
         ),
     )
     assert {r.node: r.dist for r in want.itertuples()} == got
+
+
+def test_anf_star_graph_orders_center_above_leaves(spark):
+    from posextract_spark.operators.graph_analytics import neighborhood_function
+
+    # center -> 100 leaves: center reaches 101 nodes, each leaf only itself
+    edges = spark.createDataFrame(
+        [("c", f"leaf{i}") for i in range(100)], "src string, dst string"
+    )
+    out = {r.node: r for r in neighborhood_function(edges, n_hops=2).collect()}
+    center = out["c"].est_e6 / 1e6
+    # FM with m=4 masks: ~39% 1-sigma relative error; generous determinism-
+    # safe band around the true 101
+    assert 30 <= center <= 350, center
+    for i in range(100):
+        leaf = out[f"leaf{i}"].est_e6 / 1e6
+        assert leaf <= 4.0  # singleton neighborhoods estimate ~1-2
+        assert leaf < center
+
+
+def test_anf_monotone_in_hops_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from posextract_spark.operators.graph_analytics import neighborhood_function
+
+    # a directed chain a->b->c->d: reachability grows with hops
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    h1 = {r.node: r.sum_r for r in neighborhood_function(edges, n_hops=1).collect()}
+    h3 = {r.node: r.sum_r for r in neighborhood_function(edges, n_hops=3).collect()}
+    assert all(h3[n] >= h1[n] for n in h1)  # registers only gain bits
+    rep = {
+        r.node: r.sum_r
+        for r in neighborhood_function(edges.repartition(7), n_hops=3).collect()
+    }
+    assert rep == h3  # bit_or is order/partition independent
