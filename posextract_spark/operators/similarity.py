@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from posextract_spark.functions.partitioning import spread_small_input
+
 
 def _cosine(a, b):
     """Cosine with a zero-norm guard: 0/0 is NaN in Spark but NULL in
@@ -22,6 +24,19 @@ def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    denom = na * nb
+    return F.when(denom != 0, dot / denom).otherwise(F.lit(-2.0))
+
+
+def _cosine_prenormed(a, b, na, nb):
+    """_cosine when both norms are already materialized columns (r8):
+    the pair joins used to re-derive sqrt(sum(x^2)) for BOTH vectors of
+    EVERY pair inside the interpreted-lambda evaluator — two of the
+    three O(dim) passes per pair were recomputing per-ROW constants.
+    ``na``/``nb`` must be the exact _ivf_base norm expression
+    (sequential float64 sum + sqrt) so the value is bit-identical to
+    _cosine's."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     denom = na * nb
     return F.when(denom != 0, dot / denom).otherwise(F.lit(-2.0))
 
@@ -150,6 +165,11 @@ def neardup_bucket_stats(
     """
     if n_planes is None:
         n_planes = planes_for(df.count(), target_bucket)
+    # r8 perf: spread a single-split input before the per-row bucket
+    # expression and the within-bucket pair join (no-op at production
+    # partition counts), and materialize the norm once per row so the
+    # pair cosine is one O(dim) pass per pair instead of three.
+    df = spread_small_input(df)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # one projection: the bucket is a pure per-row expression, so joining
     # lsh_bucket's output back onto df would shuffle the whole embedding
@@ -158,6 +178,11 @@ def neardup_bucket_stats(
         F.col(id_col),
         lsh_bucket_expr(n_planes, vec_col).alias("bucket"),
         emb.alias("_e"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(emb, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+            )
+        ).alias("_n"),
     )
     sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
     if max_bucket_width is not None:
@@ -171,16 +196,21 @@ def neardup_bucket_stats(
             b, ["bucket"], id_col, max_bucket_width, widths=sizes, width_col="n_vecs"
         )
     left = b.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col("_e").alias("ea")
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col("_e").alias("ea"),
+        F.col("_n").alias("na"),
     )
     right = b.select(
-        F.col("bucket").alias("bucket_b"), F.col(id_col).alias("id_b"), F.col("_e").alias("eb")
+        F.col("bucket").alias("bucket_b"), F.col(id_col).alias("id_b"), F.col("_e").alias("eb"),
+        F.col("_n").alias("nb"),
     )
     pairs = left.join(
         right, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
     ).select(
         "bucket",
-        F.floor(_cosine(F.col("ea"), F.col("eb")) * F.lit(1000000.0)).cast("bigint").alias("sim_e6"),
+        F.floor(
+            _cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+            * F.lit(1000000.0)
+        ).cast("bigint").alias("sim_e6"),
     )
     per_bucket = pairs.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -369,7 +399,10 @@ def kmeans_centroids(
     import math
 
     cents = _centroid_literals(df, k, id_col, vec_col)
-    base = _ivf_base(df, id_col, vec_col)
+    # spread BEFORE the per-row argmax: a single-split parquet input would
+    # otherwise run every interpreted k*dim dot product on one core
+    # (functions/partitioning.py; no-op at production partition counts)
+    base = _ivf_base(spread_small_input(df), id_col, vec_col)
     for _ in range(n_iter):
         best = _best_centroid(_centroid_struct_array(cents))
         # two selects: resolving a lambda-struct field in the same projection
@@ -1899,13 +1932,24 @@ def semdedup_survivors(
         if centroids is not None
         else kmeans_centroids(df, k, n_iter, id_col, vec_col)
     )
-    base = _ivf_base(df, id_col, vec_col)
+    # r8 perf (results identical; see plans/r08/semdedup_survivors_*):
+    # - spread_small_input: a single-split embeddings file made the ENTIRE
+    #   pair-probe run as one task (12.6s single-threaded at 2000 vecs);
+    # - _norm rides the checkpointed assignment frame so the pair cosine
+    #   stops re-deriving both norms per pair (2 of 3 O(dim) interpreted
+    #   passes were per-row constants);
+    # - the threshold test is CASE-guarded under the dominance test so the
+    #   expensive cosine is only evaluated for the dominance-ordered half
+    #   of each cluster's pairs (Catalyst had merged the two filters with
+    #   the cosine FIRST in the conjunction).
+    base = _ivf_base(spread_small_input(df), id_col, vec_col)
     best = _best_centroid(_centroid_struct_array(cents))
     g = base.select(
         F.col(id_col),
         (-best["ncid"]).alias("centroid_id"),
         best["sim"].alias("centroid_sim_e6"),
         F.col("_e"),
+        F.col("_norm"),
     ).localCheckpoint(eager=True)
     pair_side = g
     if max_cluster_width is not None:
@@ -1917,23 +1961,32 @@ def semdedup_survivors(
         F.col("centroid_id").alias("_a_cid"),
         F.col("centroid_sim_e6").alias("_a_csim"),
         F.col("_e").alias("_a_e"),
+        F.col("_norm").alias("_a_n"),
     )
     b = pair_side.select(
         F.col(id_col).alias("_b_id"),
         F.col("centroid_id").alias("_b_cid"),
         F.col("centroid_sim_e6").alias("_b_csim"),
         F.col("_e").alias("_b_e"),
+        F.col("_norm").alias("_b_n"),
     )
     dominates = (F.col("_a_csim") < F.col("_b_csim")) | (
         (F.col("_a_csim") == F.col("_b_csim")) & (F.col("_a_id") < F.col("_b_id"))
     )
     pair_sim = (
-        F.floor(_cosine(F.col("_a_e"), F.col("_b_e")) * F.lit(1000000.0))
+        F.floor(
+            _cosine_prenormed(
+                F.col("_a_e"), F.col("_b_e"), F.col("_a_n"), F.col("_b_n")
+            )
+            * F.lit(1000000.0)
+        )
         .cast("bigint")
     )
     dropped = (
-        a.join(b, (F.col("_a_cid") == F.col("_b_cid")) & dominates)
-        .filter(pair_sim >= F.lit(threshold_e6))
+        a.join(b, F.col("_a_cid") == F.col("_b_cid"))
+        .filter(
+            F.when(dominates, pair_sim >= F.lit(threshold_e6)).otherwise(F.lit(False))
+        )
         .select(F.col("_b_id").alias(id_col))
         .distinct()
     )
@@ -2024,11 +2077,17 @@ def semdedup_against_base(
     )
     cent_arr = _centroid_struct_array(cents)
 
+    # r8 perf: same three-way treatment as semdedup_survivors (spread a
+    # single-split input, materialize norms once per row, keep the pair
+    # cosine to one O(dim) pass per pair); results identical.
     def assigned(frame: DataFrame) -> DataFrame:
-        base = _ivf_base(frame, id_col, vec_col)
+        base = _ivf_base(spread_small_input(frame), id_col, vec_col)
         best = _best_centroid(cent_arr)
         return base.select(
-            F.col(id_col), (-best["ncid"]).alias("centroid_id"), F.col("_e")
+            F.col(id_col),
+            (-best["ncid"]).alias("centroid_id"),
+            F.col("_e"),
+            F.col("_norm"),
         )
 
     gn = assigned(new_df).localCheckpoint(eager=True)
@@ -2036,13 +2095,19 @@ def semdedup_against_base(
         F.col(id_col).alias("_base_id"),
         F.col("centroid_id").alias("_b_cid"),
         F.col("_e").alias("_b_e"),
+        F.col("_norm").alias("_b_n"),
     )
     if max_cluster_width is not None:
         from posextract_spark.functions.capping import cap_bucket_width
 
         gb = cap_bucket_width(gb, ["_b_cid"], "_base_id", max_cluster_width)
     pair_sim = (
-        F.floor(_cosine(F.col("_e"), F.col("_b_e")) * F.lit(1000000.0)).cast("bigint")
+        F.floor(
+            _cosine_prenormed(
+                F.col("_e"), F.col("_b_e"), F.col("_norm"), F.col("_b_n")
+            )
+            * F.lit(1000000.0)
+        ).cast("bigint")
     )
     hits = (
         gn.join(gb, F.col("centroid_id") == F.col("_b_cid"))
