@@ -39,13 +39,28 @@ def ngram_array(words: Column, n: int) -> Column:
     """Space-joined word n-grams, THE one implementation (consumed by
     dedup shingling and the LM count tables). ``words`` must be a cheap
     MATERIALIZED attribute (functions/boundary.py), never the raw split
-    expression: a non-attribute subtree inside the transform lambda
-    re-evaluates PER GRAM — O(words^2) per document (measured 9.4s vs
-    4.0s at 200k docs when shingling passed the split directly). The
-    ``when`` guard dodges Spark's descending-sequence trap: sequence(1, 0)
-    yields [1, 0], so docs shorter than ``n`` words must short-circuit to
-    an empty array rather than emit phantom grams."""
+    expression: a non-attribute subtree referenced by the ladder below
+    re-evaluates per reference — O(words^2) per document (measured 9.4s
+    vs 4.0s at 200k docs when shingling passed the split directly).
+
+    Implementation (r8): a zip_with LADDER — level k concatenates the
+    (k)-gram at each position with the word k places right, so n-1
+    interpreted passes of a 2-arg concat build every n-gram, instead of
+    one pass whose per-gram lambda allocates a 5-slice and runs a
+    varargs concat_ws (measured at 200k docs x ~50 words: gram array
+    3.1s -> 1.0s, gram+posexplode 6.3s -> 2.8s; byte-identical output
+    incl. multi-space/short-doc edges, full-corpus exceptAll = 0).
+    zip_with pads the shorter (sliced) side with NULL and concat
+    propagates it, so positions past size-n+1 turn NULL and the final
+    slice drops exactly them; the ``when`` guard short-circuits docs
+    shorter than ``n`` words to an empty array."""
     size = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(size - F.lit(n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    acc = words
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, k + 1, F.greatest(size - F.lit(k), F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.slice(acc, 1, F.greatest(size - F.lit(n - 1), F.lit(0)))
     return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))

@@ -1386,16 +1386,34 @@ def contaminated_token_fraction(
     pos = grams.select(
         id_col, "n_words", F.posexplode(F.col("__grams")).alias("pos", "shingle")
     )
-    covered = pos.join(ev, "shingle").select(
-        id_col,
-        "n_words",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(SHINGLE_N - 1))
-        ).alias("cov"),
+    # Interval-union via a sorted-positions fold (r8): the first
+    # formulation exploded every match into its SHINGLE_N covered token
+    # indices (5x the matched rows) and count_distinct'ed them — a
+    # two-phase distinct aggregate over 50M rows at bench scale. Matched
+    # positions are already unique per doc (posexplode), so
+    # |union of [p, p+SHINGLE_N-1]| folds exactly over the sorted
+    # position list: each position contributes min(SHINGLE_N, gap to its
+    # predecessor). Same integers, one narrow shuffle, no distinct pass
+    # (measured 1.7s -> 0.6s of the query tail at 200k docs).
+    covered = pos.join(ev, "shingle").select(id_col, "n_words", "pos")
+    union_len = F.aggregate(
+        F.sort_array(F.collect_list("pos")),
+        F.struct(
+            F.lit(-(SHINGLE_N + 1)).cast("int").alias("last"),
+            F.lit(0).cast("long").alias("tot"),
+        ),
+        lambda acc, p: F.struct(
+            p.alias("last"),
+            (
+                acc["tot"]
+                + F.least(F.lit(SHINGLE_N), p - acc["last"]).cast("long")
+            ).alias("tot"),
+        ),
+        lambda acc: acc["tot"],
     )
     return (
         covered.groupBy(id_col, "n_words")
-        .agg(F.count_distinct(F.col("cov")).cast("long").alias("covered_tokens"))
+        .agg(union_len.alias("covered_tokens"))
         .select(
             id_col,
             "n_words",
@@ -1672,7 +1690,13 @@ def dsir_scores(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("ct"))
     )
-    raw_grams = bigram_buckets(raw_df, with_id=True)
+    # The bucketed bigram stream has TWO consumers (the raw-count
+    # aggregate feeding the score map, and the final score join), and
+    # Catalyst has no plan-level CTE reuse, so without materialization
+    # the raw corpus was scanned + tokenized + hashed twice (VERDICT r7
+    # item 4). The checkpointed frame is two narrow columns (id, bucket)
+    # per bigram occurrence — far smaller than re-reading the text.
+    raw_grams = bigram_buckets(raw_df, with_id=True).localCheckpoint(eager=True)
     rc = raw_grams.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cr"))
     nt = tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
     nr = rc.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("nr"))
