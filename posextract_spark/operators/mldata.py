@@ -259,6 +259,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_broadcast_limit: int | None = 10_000_000,
+    eval_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-train-document eval-contamination count: how many DISTINCT
     eval-set 5-gram shingles the document contains. Emits only
@@ -274,9 +275,19 @@ def decontaminate(
     plain shuffle hash join on ``shingle`` — both sides exchange once,
     which is the correct plan when the 'small' side isn't. Pass ``None``
     to skip the count and unconditionally broadcast (the pre-r6
-    behavior, for callers that know their eval set)."""
-    ev = _guarded_eval_shingles(
-        _shingle_rows(eval_df, text_col, id_col), eval_broadcast_limit
+    behavior, for callers that know their eval set).
+
+    ``eval_shingles`` (r8): a PRECOMPUTED guarded eval-shingle frame
+    (``prepare_eval_shingles``) for callers that decontaminate many
+    inputs against the SAME fixed eval suite — e.g. the streaming
+    pipeline, which otherwise re-shingled, re-checkpointed and
+    re-counted the unchanged suite in EVERY micro-batch."""
+    ev = (
+        eval_shingles
+        if eval_shingles is not None
+        else _guarded_eval_shingles(
+            _shingle_rows(eval_df, text_col, id_col), eval_broadcast_limit
+        )
     )
     tr = _shingle_rows(train_df, text_col, id_col)
     return (
@@ -300,6 +311,22 @@ def _shingle_rows(frame: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     return g.filter(F.size(F.col("__dw")) >= SHINGLE_N).select(
         F.col(id_col), F.explode(_shingles(F.col("__dw"))).alias("shingle")
+    )
+
+
+def prepare_eval_shingles(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_broadcast_limit: int | None = 10_000_000,
+) -> DataFrame:
+    """Precompute the guarded distinct eval-shingle frame ONCE for reuse
+    across many decontaminate() calls against the same eval suite (pass
+    the result as ``eval_shingles=``). The streaming curation pipeline
+    uses this so a fixed eval suite is shingled and counted once per
+    stream, not once per micro-batch (ADVICE r7)."""
+    return _guarded_eval_shingles(
+        _shingle_rows(eval_df, text_col, id_col), eval_broadcast_limit
     )
 
 

@@ -290,6 +290,7 @@ def curate_batch(
     batch_id: int,
     out_dir: str,
     eval_df: DataFrame | None = None,
+    eval_shingles: DataFrame | None = None,
 ) -> None:
     """One micro-batch of incremental corpus curation (module-level so the
     replay test can drive it directly): quality filter -> in-batch
@@ -298,6 +299,12 @@ def curate_batch(
     any exact eval-shingle hit drops the doc — a STATELESS per-batch
     filter, so it composes with the exactly-once replay contract
     unchanged) -> admitted rows overwrite out_dir/batch_id=N.
+
+    ``eval_shingles``: a precomputed guarded eval-shingle frame
+    (mldata.prepare_eval_shingles); the streaming driver passes this so
+    the FIXED eval suite is shingled/checkpointed/counted once per
+    stream instead of once per micro-batch (ADVICE r7). Identical drop
+    decisions either way.
 
     Exactly-once on crash replay: the base read filters batch_id <
     batch_id, so a batch replayed AFTER its own parquet write but before
@@ -349,10 +356,12 @@ def curate_batch(
         admitted = surv.join(
             flags.select("doc_id", "is_new"), "doc_id", "left"
         ).filter(F.coalesce(F.col("is_new"), F.lit(1)) == 1).drop("is_new")
-    if eval_df is not None:
+    if eval_df is not None or eval_shingles is not None:
         from posextract_spark.operators.mldata import decontaminate
 
-        contaminated = decontaminate(admitted, eval_df).select("doc_id")
+        contaminated = decontaminate(
+            admitted, eval_df, eval_shingles=eval_shingles
+        ).select("doc_id")
         admitted = admitted.join(contaminated, "doc_id", "left_anti")
     admitted.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
@@ -388,8 +397,17 @@ def streaming_corpus_curation(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    # precompute the eval shingle frame ONCE for the whole stream — the
+    # suite is fixed, so re-shingling it per micro-batch was pure waste
+    ev_shingles = None
+    if eval_df is not None:
+        from posextract_spark.operators.mldata import prepare_eval_shingles
+
+        ev_shingles = prepare_eval_shingles(eval_df)
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: curate_batch(spark, df, bid, out_dir, eval_df=eval_df)
+        lambda df, bid: curate_batch(
+            spark, df, bid, out_dir, eval_shingles=ev_shingles
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_once:
         writer = writer.trigger(availableNow=True)
