@@ -27,20 +27,21 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     (driver-small, not the banned unbounded kind)."""
     from pyspark.sql import Window
 
+    # NULLS LAST on every key tie-break (ADVICE r7): Spark sorts NULLs
+    # FIRST ascending while the DuckDB mirror sorts them LAST, so a NULL
+    # key competing at the top_n boundary (or on a count tie) could rank
+    # or truncate differently between engine and oracle. Pinning NULLS
+    # LAST Spark-side matches DuckDB's default; no-op on NULL-free keys.
     counts = df.groupBy(
         F.col(key_col).cast("string").alias("key")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    top = counts.orderBy(F.desc("n_rows"), F.col("key").asc()).limit(top_n)
+    top = counts.orderBy(F.desc("n_rows"), F.col("key").asc_nulls_last()).limit(top_n)
     total = df.agg(F.count(F.lit(1)).cast("long").alias("__total"))
-    w = (
-        Window.orderBy(F.desc("n_rows"), F.col("key").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
         top.crossJoin(F.broadcast(total))
         .select(
             F.row_number()
-            .over(Window.orderBy(F.desc("n_rows"), F.col("key").asc()))
+            .over(Window.orderBy(F.desc("n_rows"), F.col("key").asc_nulls_last()))
             .cast("int")
             .alias("rank"),
             "key",
@@ -49,7 +50,7 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
             .cast("long")
             .alias("pct_e6"),
             F.expr(
-                "sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC "
+                "sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC NULLS LAST "
                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
                 " * CAST(1000000 AS BIGINT) div __total"
             )

@@ -835,7 +835,10 @@ def pq_codebooks_kmeans(
 
     books = _pq_codebooks(df, m, k_sub, id_col, vec_col)
     dsub = len(books[0][0][1])
-    g = _pq_prepared(df, m, dsub, id_col, vec_col)
+    # spread BEFORE the per-row m-subspace argmax (training only — the
+    # search-path queries stay exchange-free so partition pruning on a
+    # bucketed store is untouched); no-op at production partition counts
+    g = _pq_prepared(spread_small_input(df), m, dsub, id_col, vec_col)
     for _ in range(n_iter):
         subs = []
         for s in range(m):

@@ -241,7 +241,7 @@ FROM _cms_top t"""
 HDR_PRECISION = 5
 
 
-def _hdr_slot_expr(v, p: int) -> F.Column:
+def _hdr_slot_expr(v, p: int, name: str = "__hdr_v") -> F.Column:
     """Monotone HdrHistogram slot for a non-negative BIGINT column:
     values below 2^(p+1) are exact (slot = value); above, with
     shift = flog2(v) - p >= 1,
@@ -253,12 +253,18 @@ def _hdr_slot_expr(v, p: int) -> F.Column:
     < 2^-p. Continuous at the boundary (v = 2^(p+1) -> slot = v). Pure
     integer: flog2 via binary-string length; the column-amount shift
     via the SQL operator (only the python F.shiftleft/shiftright
-    wrappers are literal-only)."""
+    wrappers are literal-only).
+
+    ``name`` must be the RESOLVABLE column name behind ``v`` — the
+    variable-amount shift is built via expr() string interpolation, so a
+    caller whose column is not named ``name`` would silently compute the
+    slot from the wrong column (ADVICE r7: the default previously
+    hardcoded __hdr_v regardless of ``v``)."""
     shift = (F.length(F.bin(v)) - F.lit(1 + p)).cast("int")
     return F.when(v < F.lit(1 << (p + 1)), v).otherwise(
         shift.cast("long") * F.lit(1 << p)
-        + F.expr(f"shiftrightunsigned(CAST(__hdr_v AS BIGINT), "
-                 f"length(bin(CAST(__hdr_v AS BIGINT))) - {1 + p})")
+        + F.expr(f"shiftrightunsigned(CAST(`{name}` AS BIGINT), "
+                 f"length(bin(CAST(`{name}` AS BIGINT))) - {1 + p})")
     )
 
 
