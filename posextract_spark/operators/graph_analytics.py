@@ -241,11 +241,16 @@ def pagerank(
         init = PR_SCALE // n
         teleport = ((1_000_000 - damping_e6) * PR_SCALE) // (1_000_000 * n)
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outd"))
+        # the edges-with-outdegree frame is loop-INVARIANT: materialize it
+        # once instead of re-running the edges-by-outdeg join inside every
+        # iteration (r8 — one corpus-sized join per round removed; the
+        # ranks join below is the only per-round join left)
+        eo = e.join(outdeg, "src").localCheckpoint(eager=True)
 
         ranks = nodes.select("node", F.lit(init).cast("long").alias("r"))
         for _ in range(n_iters):
             inflow = (
-                e.join(outdeg, "src")
+                eo
                 .join(ranks.withColumnRenamed("node", "src"), "src")
                 .select(
                     F.col("dst").alias("node"),
