@@ -64,11 +64,19 @@ def read_documents_jsonl(
     lines dropped (see jsonl_corrupt_records for the quarantine view),
     producer fields renamed per ``field_map``, and ``n_chars`` derived —
     the output is column-for-column the synthetic documents table, so
-    every operator and contract query runs on a real dump unchanged."""
+    every operator and contract query runs on a real dump unchanged.
+
+    Drop predicate = (id IS NULL after the PERMISSIVE parse) — and ONLY
+    that (ADVICE r7): a malformed line parses to all-NULL fields (id
+    included, dropped); a line whose id is missing/untypable is dropped;
+    a line whose id parses but a SECONDARY field fails conversion is
+    KEPT with that field NULL (partial-results parsing). This makes the
+    drop set structurally identical to jsonl_corrupt_records' from_json
+    predicate, so no line can vanish from both views — the previous
+    `_corrupt_record IS NULL` conjunct silently dropped
+    secondary-field-corrupt lines that the quarantine could not see."""
     fmap = dict(DEFAULT_FIELD_MAP if field_map is None else field_map)
-    df = _raw(spark, path).filter(
-        F.col("_corrupt_record").isNull() & F.col(fmap_src(fmap, "doc_id")).isNotNull()
-    )
+    df = _raw(spark, path).filter(F.col(fmap_src(fmap, "doc_id")).isNotNull())
     cols = [F.col(src).alias(dst) for src, dst in fmap.items()]
     return df.select(*cols, F.length(F.coalesce(F.col(fmap_src(fmap, "text")), F.lit(""))).cast("long").alias("n_chars"))
 

@@ -46,6 +46,37 @@ def test_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     assert len(bad) == 1 and "{broken json" in bad[0].line
 
 
+def test_jsonl_drop_set_parity_on_type_corrupt_secondary_field(spark, tmp_path):
+    """ADVICE r7: a line whose id parses but whose SECONDARY field is
+    type-odd must not vanish from BOTH views. With the relaxed drop
+    predicate (id IS NULL only) the clean reader KEEPS such lines —
+    Spark string-coerces a JSON object into a StringType field, so the
+    row survives with the raw JSON text — and the quarantine correctly
+    excludes them; clean + quarantine together account for every input
+    line (the old `_corrupt_record IS NULL` conjunct could drop a line
+    the quarantine could not see)."""
+    p = str(tmp_path / "dump.jsonl")
+    _write_jsonl(
+        p,
+        [
+            json.dumps({"id": 1, "text": "good", "lang": "en", "source": "s"}),
+            json.dumps({"id": 2, "text": "typey", "lang": {"not": "a string"}, "source": "s"}),
+            "{broken json",
+            json.dumps({"id": "abc", "text": "bad id", "lang": "en", "source": "s"}),
+        ],
+    )
+    clean = read_documents_jsonl(spark, p)
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[2].text == "typey" and json.loads(rows[2].lang) == {"not": "a string"}
+    bad = [r.line for r in jsonl_corrupt_records(spark, p).collect()]
+    assert len(bad) == 2
+    assert any("{broken json" in l for l in bad)
+    assert any('"abc"' in l for l in bad)
+    # every input line is in exactly one view
+    assert len(rows) + len(bad) == 4
+
+
 def test_jsonl_field_map_renames_producer_fields(spark, tmp_path):
     p = str(tmp_path / "dump.jsonl")
     # producer uses 'id'/'text' but we map source->source differently is
