@@ -1298,6 +1298,10 @@ def q_cms_top_tokens(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     sketch = cms_build(docs, width=1024, depth=4)
+    # the 20-row top-k frame has TWO consumers (the estimate probe and the
+    # final join) and is itself a full corpus aggregation — materialize it
+    # once (r8; Catalyst has no plan-level CTE reuse, so each consumer
+    # re-ran the corpus explode + groupBy + top-k)
     wc = (
         docs.select(F.explode(word_array(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")
@@ -1305,6 +1309,7 @@ def q_cms_top_tokens(spark, sf_dir):
         .orderBy(F.col("n_exact").desc(), F.col("w").asc())
         .limit(20)
         .select(F.col("w").alias("token"), "n_exact")
+        .localCheckpoint(eager=True)
     )
     est = cms_estimate(wc.select("token"), sketch, width=1024, depth=4)
     return wc.join(est, "token").select("token", "n_exact", "n_est")

@@ -149,21 +149,26 @@ def cms_build(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("wn"))
     )
-    rows = []
-    for r in range(depth):
-        rows.append(
-            wc.select(
+    # ONE explode over per-row (row, idx) structs instead of a depth-way
+    # unionAll of selects over wc (r8): each union branch embedded its own
+    # copy of the corpus explode + word groupBy subtree, so the token
+    # count aggregation ran ``depth`` times (Catalyst has no plan-level
+    # CTE reuse). Same (row, idx, wn) rows, one counting pass.
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(r).cast("int").alias("row"),
                 F.pmod(
                     portable_hash64(F.concat(F.lit(f"cms{r}#"), F.col("w"))),
                     F.lit(width),
                 ).alias("idx"),
-                F.col("wn"),
             )
-        )
-    u = rows[0]
-    for fr in rows[1:]:
-        u = u.unionAll(fr)
+            for r in range(depth)
+        ]
+    )
+    u = wc.select(F.explode(entries).alias("_e"), F.col("wn")).select(
+        F.col("_e.row").alias("row"), F.col("_e.idx").alias("idx"), "wn"
+    )
     return u.groupBy("row", "idx").agg(F.sum("wn").cast("long").alias("c"))
 
 
@@ -181,17 +186,25 @@ def cms_estimate(
     groupBy over depth*|tokens| rows; for a handful of query tokens this
     is all driver-trivial, for a full-vocab scoring pass it is one
     bounded shuffle). Missing counters read 0 (token never seen)."""
-    probes = None
-    for r in range(depth):
-        p = tokens.select(
-            F.col(token_col).alias("token"),
-            F.lit(r).cast("int").alias("row"),
-            F.pmod(
-                portable_hash64(F.concat(F.lit(f"cms{r}#"), F.col(token_col))),
-                F.lit(width),
-            ).alias("idx"),
-        )
-        probes = p if probes is None else probes.unionAll(p)
+    # one explode, not a depth-way unionAll: each union branch embedded an
+    # independent copy of the ``tokens`` plan — expensive whenever the
+    # token frame is itself derived (q_cms_top_tokens probes a corpus
+    # top-k), see cms_build (r8)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                F.pmod(
+                    portable_hash64(F.concat(F.lit(f"cms{r}#"), F.col(token_col))),
+                    F.lit(width),
+                ).alias("idx"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probes = tokens.select(
+        F.col(token_col).alias("token"), F.explode(entries).alias("_e")
+    ).select("token", F.col("_e.row").alias("row"), F.col("_e.idx").alias("idx"))
     return (
         probes.join(F.broadcast(sketch), ["row", "idx"], "left")
         .groupBy("token")
