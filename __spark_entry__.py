@@ -1550,14 +1550,21 @@ def q_training_corpus_pipeline(spark, sf_dir):
     from posextract_spark.operators.textops import corpus_quality_filter
 
     docs = _docs(spark, sf_dir)
+    # narrow per-stage id frames materialized once (r8): each later stage
+    # otherwise re-derived its whole prefix (the quality filter executed
+    # inside the dedup checkpoint, again under the shingle scan, again
+    # under the final anti-join — Catalyst has no plan-level CTE reuse);
+    # same composition, same rows
     kept_ids = (
         corpus_quality_filter(docs).filter(F.col("keep") == 1).select("doc_id")
+        .localCheckpoint(eager=True)
     )
     kept_docs = docs.join(kept_ids, "doc_id")
     surv_ids = (
         minhash_dedup_survivors(kept_docs)
         .filter(F.col("is_survivor") == 1)
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     clean_docs = kept_docs.join(surv_ids, "doc_id")
     ev = docs.filter(F.col("doc_id") % 29 == 0)
@@ -1583,16 +1590,21 @@ def q_training_corpus_pipeline_bloom(spark, sf_dir):
     from posextract_spark.operators.mldata import hash_split
 
     docs = _docs(spark, sf_dir)
+    # same narrow-id-frame materialization as q_training_corpus_pipeline
+    # (r8): the classifier's two corpus passes would otherwise re-run
+    # under every later stage
     kept_ids = (
         quality_classifier_scores(docs)
         .filter(F.col("pred_keep") == 1)
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     kept_docs = docs.join(kept_ids, "doc_id")
     surv_ids = (
         minhash_dedup_survivors(kept_docs)
         .filter(F.col("is_survivor") == 1)
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     clean_docs = kept_docs.join(surv_ids, "doc_id")
     ev = docs.filter(F.col("doc_id") % 29 == 0)
@@ -1617,14 +1629,17 @@ def q_training_corpus_pipeline_fuzzy(spark, sf_dir):
     from posextract_spark.operators.textops import corpus_quality_filter
 
     docs = _docs(spark, sf_dir)
+    # narrow-id-frame materialization, as in q_training_corpus_pipeline (r8)
     kept_ids = (
         corpus_quality_filter(docs).filter(F.col("keep") == 1).select("doc_id")
+        .localCheckpoint(eager=True)
     )
     kept_docs = docs.join(kept_ids, "doc_id")
     surv_ids = (
         minhash_dedup_survivors(kept_docs)
         .filter(F.col("is_survivor") == 1)
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     clean_docs = kept_docs.join(surv_ids, "doc_id")
     ev = docs.filter(F.col("doc_id") % 29 == 0)

@@ -1814,25 +1814,29 @@ def curation_funnel_report(
     Composition of the already-oracle-checked stages
     (textops.corpus_quality_filter, dedup.minhash_dedup_survivors,
     decontaminate); counts are 1-row aggregates unioned in stage order.
-    Each stage's frame re-derives its prefix absent plan-level reuse —
-    at production scale persist the intermediate id-frames (the
-    training_corpus_pipeline query materializes them once anyway; this
-    report is the diagnostic view, not the data path)."""
+    The per-stage ID frames (one narrow column each) are materialized
+    with eager localCheckpoints (r8): without them each later stage's
+    count re-derived its whole prefix — the quality filter executed 3x
+    and the dedup chain 2x inside one report (Catalyst has no plan-level
+    CTE reuse). This is also the production shape: the id frames are
+    exactly what the data path materializes anyway."""
     from posextract_spark.operators.dedup import minhash_dedup_survivors
     from posextract_spark.operators.textops import corpus_quality_filter
 
-    kept_docs = docs.join(
-        corpus_quality_filter(docs, text_col=text_col).filter(
-            F.col("keep") == 1
-        ).select(id_col),
-        id_col,
+    kept_ids = (
+        corpus_quality_filter(docs, text_col=text_col)
+        .filter(F.col("keep") == 1)
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
-    clean_docs = kept_docs.join(
+    kept_docs = docs.join(kept_ids, id_col)
+    surv_ids = (
         minhash_dedup_survivors(kept_docs, text_col=text_col, id_col=id_col)
         .filter(F.col("is_survivor") == 1)
-        .select(id_col),
-        id_col,
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
+    clean_docs = kept_docs.join(surv_ids, id_col)
     contaminated = decontaminate(
         clean_docs, eval_df, text_col=text_col, id_col=id_col
     ).select(id_col)
