@@ -52,12 +52,21 @@ class Token:
 
     @property
     def head(self) -> "Token":
-        return self._sent.tokens[self.head_i]
+        s = self._sent
+        t = s.tokens[self.head_i]
+        # None only on a LazySentence whose head token is not yet
+        # materialized; eager sentences never store None, so the extra
+        # check costs one comparison on the hot path.
+        return t if t is not None else s._tok(self.head_i)
 
     @property
     def children(self) -> List["Token"]:
         """Children in token-index order (spaCy yields them in order)."""
-        return self._sent._children[self.i]
+        s = self._sent
+        c = s._children[self.i]
+        # None only on a LazySentence slot not yet built (eager sentences
+        # store _EMPTY for childless tokens, never None).
+        return c if c is not None else s._build_children(self.i)
 
     @property
     def conjuncts(self) -> List["Token"]:
@@ -66,24 +75,35 @@ class Token:
         spaCy's Token.conjuncts: ascend conj edges to the chain head, then
         collect every token reachable from it through conj edges, excluding
         self. Used by rule10 (reference: src/posextract/rules.py:212-215).
+
+        Walks the parse_view arrays (indices, not Token objects) so a
+        LazySentence materializes only the chain members returned — the
+        object walk scanned every child of the chain head, which on
+        dangling-attachment trees is most of the sentence. Visit order is
+        the object walk's exactly (same LIFO stack over in-order child
+        lists), so the returned order is unchanged.
         """
-        root = self
-        while root.dep == "conj":
-            nxt = root.head
-            if nxt is root:
+        s = self._sent
+        _, _, dep, head_idx, kid_idx = s.parse_view()
+        i = self.i
+        root = i
+        while dep[root] == "conj":
+            nxt = head_idx[root]
+            if nxt == root:
                 break
             root = nxt
-        chain: List[Token] = []
+        chain: List[int] = []
         stack = [root]
-        seen = {root.i}
+        seen = {root}
         while stack:
-            tok = stack.pop()
-            chain.append(tok)
-            for child in tok.children:
-                if child.dep == "conj" and child.i not in seen:
-                    seen.add(child.i)
-                    stack.append(child)
-        return [t for t in chain if t.i != self.i]
+            x = stack.pop()
+            chain.append(x)
+            for c in kid_idx[x]:
+                if dep[c] == "conj" and c not in seen:
+                    seen.add(c)
+                    stack.append(c)
+        tok = s._tok
+        return [tok(x) for x in chain if x != i]
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"Token({self.i}:{self.text}/{self.pos}/{self.dep}->{self.head_i})"
@@ -106,11 +126,12 @@ class Sentence:
     repeated string comparisons across the ~N-verbs-per-sentence searches
     with single int ops."""
 
-    __slots__ = ("tokens", "_children", "_kid_idx", "_soa")
+    __slots__ = ("tokens", "_children", "_kid_idx", "_soa", "_view")
 
     def __init__(self, tokens: Sequence[Token]):
         self.tokens: List[Token] = list(tokens)
         self._soa = None
+        self._view = None
         self._children: List[List[Token]] = [[] for _ in self.tokens]
         self._kid_idx: List[List[int]] = [[] for _ in self.tokens]
         # tokens are iterated in index order, so each child list is already
@@ -165,6 +186,7 @@ class Sentence:
         sent._children = children
         sent._kid_idx = kid_idx
         sent._soa = None
+        sent._view = None
         return sent
 
     @classmethod
@@ -180,7 +202,38 @@ class Sentence:
         return cls(toks)
 
     def children_of(self, i: int) -> List[Token]:
-        return self._children[i]
+        c = self._children[i]
+        return c if c is not None else self._build_children(i)
+
+    def _tok(self, i: int) -> Token:
+        """Token at index i (overridden by LazySentence to materialize)."""
+        return self.tokens[i]
+
+    def _build_children(self, i: int) -> List[Token]:
+        """Resolve a lazily-unbuilt child list from the int index list.
+        Generic over eager/lazy (``_tok`` dispatches); eager sentences
+        never hit it because construction fills every slot."""
+        kids = self._kid_idx[i]
+        c = [self._tok(k) for k in kids] if kids else _EMPTY
+        self._children[i] = c
+        return c
+
+    def parse_view(self):
+        """(words, pos, dep, head, kid_idx) parallel arrays — the
+        traversal's input view. Derived (and cached) from the token
+        objects here; LazySentence returns its stored parse arrays
+        without materializing any Token."""
+        v = self._view
+        if v is None:
+            toks = self.tokens
+            v = self._view = (
+                [t.text for t in toks],
+                [t.pos for t in toks],
+                [t.dep for t in toks],
+                [t.head_i for t in toks],
+                self._kid_idx,
+            )
+        return v
 
     def __iter__(self) -> Iterator[Token]:
         return iter(self.tokens)
@@ -190,6 +243,83 @@ class Sentence:
 
     def __len__(self) -> int:
         return len(self.tokens)
+
+
+class LazySentence(Sentence):
+    """A Sentence over stored parse arrays that materializes Token objects
+    on demand.
+
+    Observably identical to an eager Sentence (pinned by
+    tests/test_lazy_sentence_parity.py over the fuzz-tree corpus): every
+    Token/children/head access resolves through ``_tok``/``_build_children``.
+    Why it exists (r8): the triples path constructs ~50 Token objects per
+    document but the traversal touches only the handful that reach an
+    emitted triple — and each Token participates in the
+    ``Token._sent <-> Sentence.tokens`` reference CYCLE, so unconstructed
+    tokens also never become cyclic-collector work (measured: the cyclic
+    garbage walk was ~half the extraction UDF's CPU before the
+    per-batch-collect fix, and shrinks ~5x with laziness on top).
+    The traversal reads ``parse_view()`` arrays directly, so a sentence
+    that emits nothing materializes zero tokens.
+    """
+
+    __slots__ = ("_pv_words", "_pv_lemmas", "_pv_pos", "_pv_dep", "_pv_head")
+
+    def __init__(self, *a, **k):  # pragma: no cover - guard
+        raise TypeError("use LazySentence.from_parse")
+
+    @classmethod
+    def from_parse(
+        cls,
+        words: Sequence[str],
+        lemmas: Sequence[str],
+        pos: Sequence[str],
+        dep: Sequence[str],
+        head: Sequence[int],
+        kid_idx: Sequence,
+    ) -> "LazySentence":
+        """Wrap parse arrays without building any Token. ``kid_idx`` is the
+        per-head child-index list (childless slots may share one immutable
+        empty sequence); self-loop roots must not appear as children,
+        matching Sentence.from_arrays."""
+        sent = cls.__new__(cls)
+        n = len(words)
+        sent._pv_words = words
+        sent._pv_lemmas = lemmas
+        sent._pv_pos = pos
+        sent._pv_dep = dep
+        sent._pv_head = head
+        sent._kid_idx = kid_idx
+        sent.tokens = [None] * n
+        sent._children = [None] * n
+        sent._soa = None
+        sent._view = None
+        return sent
+
+    def _tok(self, i: int) -> Token:
+        t = self.tokens[i]
+        if t is None:
+            t = Token(
+                i,
+                self._pv_words[i],
+                self._pv_lemmas[i],
+                self._pv_pos[i],
+                self._pv_dep[i],
+                self._pv_head[i],
+            )
+            t._sent = self
+            self.tokens[i] = t
+        return t
+
+    def parse_view(self):
+        return (self._pv_words, self._pv_pos, self._pv_dep, self._pv_head, self._kid_idx)
+
+    def __iter__(self) -> Iterator[Token]:
+        tok = self._tok
+        return iter([tok(i) for i in range(len(self.tokens))])
+
+    def __getitem__(self, i: int) -> Token:
+        return self._tok(i)
 
 
 class VerbPhrase:

@@ -29,18 +29,24 @@ def conj_expansions(triple: TripleExtraction) -> List[TripleExtraction]:
 
     for attr in ("subject", "object"):
         anchor: Token = getattr(triple, attr)
+        sent = anchor._sent
+        _, pos, dep, _, kid_idx = sent.parse_view()
+        # index DFS (same LIFO order over the same in-order child lists as
+        # the object walk; the visited set keys on index instead of
+        # object id — equivalent, tokens are unique per index): only the
+        # matched conjuncts materialize Tokens on a LazySentence
         visited = set()
-        considering = list(anchor.children)
+        considering = list(kid_idx[anchor.i])
         while considering:
-            token = considering.pop()
-            if id(token) in visited:
+            ti = considering.pop()
+            if ti in visited:
                 continue
-            visited.add(id(token))
-            if token.pos == "NOUN" and token.dep == "conj":
+            visited.add(ti)
+            if pos[ti] == "NOUN" and dep[ti] == "conj":
                 t = triple.clone()
-                setattr(t, attr, token)
+                setattr(t, attr, sent._tok(ti))
                 new.append(t)
-                considering.extend(token.children)
+                considering.extend(kid_idx[ti])
 
     return new
 
@@ -48,26 +54,29 @@ def conj_expansions(triple: TripleExtraction) -> List[TripleExtraction]:
 def adj_acomp_expansions(triple: TripleExtraction) -> List[TripleExtraction]:
     """Clone for ADJ+conj conjuncts of an ADJ/acomp object, traversing only
     ADJ children (reference: grammatical_triples.py:137-164)."""
-    if triple.object.pos != "ADJ" or triple.object.dep != "acomp":
+    obj = triple.object
+    if obj.pos != "ADJ" or obj.dep != "acomp":
         return []
+    sent = obj._sent
+    _, pos, dep, _, kid_idx = sent.parse_view()
     new: List[TripleExtraction] = []
     visited = set()
-    considering = list(triple.object.children)
+    considering = list(kid_idx[obj.i])
     while considering:
-        candidate = considering.pop()
-        if id(candidate) in visited:
+        ci = considering.pop()
+        if ci in visited:
             continue
-        visited.add(id(candidate))
-        if candidate.pos == "ADJ" and candidate.dep == "conj":
+        visited.add(ci)
+        if pos[ci] == "ADJ" and dep[ci] == "conj":
             t = triple.clone()
-            t.object = candidate
+            t.object = sent._tok(ci)
             new.append(t)
-        for child in candidate.children:
-            if id(child) in visited:
+        for ki in kid_idx[ci]:
+            if ki in visited:
                 continue
-            if child.pos != "ADJ":
+            if pos[ki] != "ADJ":
                 continue
-            considering.append(child)
+            considering.append(ki)
     return new
 
 

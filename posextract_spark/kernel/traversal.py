@@ -18,12 +18,7 @@ from posextract_spark.kernel.classifiers import (
     should_consider_verb_phrase,
 )
 from posextract_spark.kernel.model import Sentence, Token, TokenLike, VerbPhrase
-from posextract_spark.kernel.negation import (
-    get_object_neg,
-    get_poa_neg,
-    get_subject_neg,
-    get_verb_neg,
-)
+from posextract_spark.kernel.negation import _NEG_DETS, get_verb_neg
 from posextract_spark.kernel.rules import RULE_FUNCS
 from posextract_spark.kernel.triple import TripleExtraction
 from posextract_spark.kernel.verb_phrase import find_verb_phrases
@@ -81,6 +76,63 @@ def _compute_flags(d: str, p: str) -> int:
     return f
 
 
+def _subject_neg_i(si: int, kid_idx, dep, words) -> Optional[int]:
+    """Index form of negation.get_subject_neg (reference: util.py:145-152):
+    first child (index order) that is a no/not/never det OR a neg."""
+    for ki in kid_idx[si]:
+        d = dep[ki]
+        if d == "det" and words[ki].lower() in _NEG_DETS:
+            return ki
+        if d == "neg":
+            return ki
+    return None
+
+
+def _object_neg_i(ci: int, kid_idx, dep, words, pos, head_idx) -> Optional[int]:
+    """Index form of negation.get_object_neg (reference: util.py:163-174):
+    child scan as above, then the head PART-'not' fallback."""
+    for ki in kid_idx[ci]:
+        d = dep[ki]
+        if d == "det" and words[ki].lower() in _NEG_DETS:
+            return ki
+        if d == "neg":
+            return ki
+    hi = head_idx[ci]
+    if pos[hi] == "PART" and words[hi].lower() == "not":
+        return hi
+    return None
+
+
+def _poa_neg_i(pi: int, kid_idx, dep) -> Optional[int]:
+    """Index form of negation.get_poa_neg (reference: util.py:155-160)."""
+    for ki in kid_idx[pi]:
+        if dep[ki] == "neg":
+            return ki
+    return None
+
+
+def _verb_neg_i(vi: int, kid_idx, dep, words, pos, head_idx) -> Optional[int]:
+    """Index form of negation.get_verb_neg for PLAIN Token verbs
+    (reference: util.py:110-142). VerbPhrases keep the object form (their
+    children/parent come from first/second). The second tuple element of
+    get_verb_neg is provably always None (the reference's exhausted-
+    generator dead branch), so only the adverb index is returned here and
+    the caller pins the part to None."""
+    for ki in kid_idx[vi]:
+        if dep[ki] == "neg":
+            return ki
+    hi = head_idx[vi]
+    d = dep[vi]
+    if pos[hi] == "VERB" and words[hi].lower() == "failed" and d == "xcomp":
+        # Dead branch in the reference (exhausted generator) — preserved.
+        return None
+    elif pos[hi] == "VERB" and (d == "ccomp" or d == "xcomp"):
+        for ki in kid_idx[hi]:
+            if dep[ki] == "neg":
+                return ki
+    return None
+
+
 def _soa_of(sent: Sentence):
     """Build (once per sentence) the struct-of-arrays view:
 
@@ -111,34 +163,40 @@ def _soa_of(sent: Sentence):
     obj_cands — per-token (poa_neg, poa, obj_negdet, token) for each
                 F_OBJCAND token (all four fields are pure functions of
                 the candidate token), else None.
+
+    r8: the build reads ``sent.parse_view()`` arrays instead of Token
+    attributes and resolves negations by index (_subject_neg_i /
+    _object_neg_i / _poa_neg_i — transcriptions of negation.py's child
+    scans), so on a LazySentence the ONLY Token objects ever constructed
+    are the candidate/negation tokens the emission path can touch.
+    Eager sentences go through the identical code (parse_view derives the
+    arrays once); parity pinned by tests/test_lazy_sentence_parity.py on
+    top of the existing differential.
     """
     soa = sent._soa
     if soa is None:
-        tokens = sent.tokens
-        n = len(tokens)
+        words, pos, dep, head_idx, kid_idx = sent.parse_view()
+        n = len(words)
         flags = []
         fappend = flags.append
         cache = _FLAG_CACHE
-        for t in tokens:
-            d = t.dep
+        for d, p in zip(dep, pos):
             by_dep = cache.get(d)
             if by_dep is None:
                 by_dep = cache[d] = {}
-            p = t.pos
             f = by_dep.get(p)
             if f is None:
                 f = by_dep[p] = _compute_flags(d, p)
             fappend(f)
-        kid_idx = sent._kid_idx
-        head_idx = [t.head_i for t in tokens]
+        tok = sent._tok
 
         subj_cands = []
         reach = [0] * n
         j = 0
         for si in range(n):
             if flags[si] & F_SUBJ:
-                cand = tokens[si]
-                subj_cands.append((get_subject_neg(cand), cand))
+                ni = _subject_neg_i(si, kid_idx, dep, words)
+                subj_cands.append((tok(ni) if ni is not None else None, tok(si)))
                 bit = 1 << j
                 j += 1
                 stack = [si]
@@ -162,15 +220,21 @@ def _soa_of(sent: Sentence):
         obj_cands: List[Optional[ObjectCand]] = [None] * n
         for ci in range(n):
             if flags[ci] & F_OBJCAND:
-                candidate = tokens[ci]
                 hi = head_idx[ci]
                 if flags[hi] & F_POADEP:
-                    poa = tokens[hi]
-                    poa_neg = get_poa_neg(poa)
+                    poa = tok(hi)
+                    pn = _poa_neg_i(hi, kid_idx, dep)
+                    poa_neg = tok(pn) if pn is not None else None
                 else:
                     poa = None
                     poa_neg = None
-                obj_cands[ci] = (poa_neg, poa, get_object_neg(candidate), candidate)
+                on = _object_neg_i(ci, kid_idx, dep, words, pos, head_idx)
+                obj_cands[ci] = (
+                    poa_neg,
+                    poa,
+                    tok(on) if on is not None else None,
+                    tok(ci),
+                )
 
         soa = (flags, kid_idx, head_idx, subj_cands, reach, obj_cands)
         sent._soa = soa
@@ -187,7 +251,8 @@ def subject_search(token: Token, verb_phrase: bool = False) -> List[SubjectCand]
     found: List[SubjectCand] = []
     sent = token._sent
     flags, kid_idx, head_idx, _, _, _ = _soa_of(sent)
-    tokens = sent.tokens
+    words, _, dep, _, _ = sent.parse_view()
+    tok = sent._tok
     child_block = _F_VERB_OR_AUX if verb_phrase else F_VERBPOS
 
     visited = set()
@@ -204,8 +269,8 @@ def subject_search(token: Token, verb_phrase: bool = False) -> List[SubjectCand]
         fc = flags[ci]
 
         if fc & F_SUBJ:
-            candidate = tokens[ci]
-            found.append((get_subject_neg(candidate), candidate))
+            ni = _subject_neg_i(ci, kid_idx, dep, words)
+            found.append((tok(ni) if ni is not None else None, tok(ci)))
 
         for ki in kid_idx[ci]:
             if ki in visited or flags[ki] & child_block:
@@ -377,7 +442,17 @@ def _emit_for_verb(
             objects.sort(key=_obj_sort_key)
     rules = _rules_for(verb.dep, is_vp)
 
-    neg_adverb, neg_adverb_part = get_verb_neg(verb)
+    if is_vp:
+        neg_adverb, neg_adverb_part = get_verb_neg(verb)
+    else:
+        # index form: avoids materializing the verb's full child list on
+        # a LazySentence (the root verb's children are most of the
+        # sentence on dangling-attachment trees)
+        sent = verb._sent
+        words, pos, dep, head_idx, kid_idx2 = sent.parse_view()
+        ni = _verb_neg_i(verb.i, kid_idx2, dep, words, pos, head_idx)
+        neg_adverb = sent._tok(ni) if ni is not None else None
+        neg_adverb_part = None
     append = out.append
 
     for subject_negdet, subject in subjects:
@@ -415,22 +490,22 @@ def _walk(entry: TokenLike, entry_is_verb: bool, out: List[TripleExtraction]) ->
         _emit_for_verb(entry, [], out)
     if isinstance(entry, VerbPhrase):
         sent = entry.first._sent
-        seed = entry.children  # first.children + second.children, in order
+        # first's child indices then second's — entry.children order
+        seed_idx = list(sent._kid_idx[entry.first.i]) + list(sent._kid_idx[entry.second.i])
     else:
         sent = entry._sent
-        seed = sent._children[entry.i]
-    if not seed:
+        seed_idx = sent._kid_idx[entry.i]
+    if not seed_idx:
         return
     soa = _soa_of(sent)
     flags, kid_idx, _, _, reach, _ = soa
-    tokens = sent.tokens
+    tok = sent._tok
 
     stack: List[int] = []
     push = stack.append
     pop = stack.pop
-    for k in range(len(seed) - 1, -1, -1):
-        child = seed[k]
-        ci = child.i
+    for k in range(len(seed_idx) - 1, -1, -1):
+        ci = seed_idx[k]
         if flags[ci] & F_ISVERB or kid_idx[ci]:
             push(ci)
     while stack:
@@ -438,7 +513,7 @@ def _walk(entry: TokenLike, entry_is_verb: bool, out: List[TripleExtraction]) ->
         # reach[ci] == 0 => _emit_for_verb would return on its first
         # check (no subject reachable); skip the call entirely.
         if flags[ci] & F_ISVERB and reach[ci]:
-            _emit_for_verb(tokens[ci], [], out, soa)
+            _emit_for_verb(tok(ci), [], out, soa)
         kids = kid_idx[ci]
         for k in range(len(kids) - 1, -1, -1):
             ki = kids[k]
@@ -488,19 +563,19 @@ def graph_tokens(sent: Sentence) -> List[TripleExtraction]:
     (traversal.py:168-170 in the reference). A sentence containing none
     can emit nothing from ANY verb or verb phrase, so the entire walk is
     skipped — O(n) test instead of per-verb DFS over the whole tree."""
-    root_verb = None
+    _, _, dep, _, _ = sent.parse_view()
+    root_i = None
     has_subject = False
-    for token in sent:
-        dep = token.dep
-        if root_verb is None and dep == "ROOT":
-            root_verb = token
-        if dep == "nsubj" or dep == "nsubjpass":
+    for i, d in enumerate(dep):
+        if root_i is None and d == "ROOT":
+            root_i = i
+        if d == "nsubj" or d == "nsubjpass":
             has_subject = True
-    if root_verb is None or not has_subject:
+    if root_i is None or not has_subject:
         return []
 
     extractions: List[TripleExtraction] = []
-    _walk(root_verb, True, extractions)
+    _walk(sent._tok(root_i), True, extractions)
 
     for vp in find_verb_phrases(sent):
         if not should_consider_verb_phrase(vp):

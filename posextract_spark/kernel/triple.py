@@ -13,7 +13,7 @@ import copy
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-from posextract_spark.kernel.model import Token, TokenLike
+from posextract_spark.kernel.model import Token, TokenLike, VerbPhrase
 
 EMPHASIS_ADJ_LIST = ("very", "much", "most", "utterly", "as")  # triple_extraction.py:35
 
@@ -142,23 +142,38 @@ class TripleExtraction:
             # combined" in the output.
             out["object_adjectives"] = "[]"
 
-        if compound_subject:
-            for child in self.subject.children:
-                if child.dep == "compound":
-                    out["subject"] = child.text + " " + out["subject"]
+        # Child scans over the parse_view arrays (indices, not Token
+        # objects): identical text assembly, but a LazySentence no longer
+        # materializes the verb's full child list — on dangling-attachment
+        # trees that list is most of the sentence (r8; parity pinned by
+        # tests/test_lazy_sentence_parity.py).
+        subj = self.subject
+        words, pos, dep, head_idx, kid_idx = subj._sent.parse_view()
 
-        if self.object.dep == "advmod" and self.object.pos == "ADV":
-            if self.object.head.pos == "ADJ" and self.object.text.lower() in EMPHASIS_ADJ_LIST:
-                out["object"] += " " + self.object.head.text
+        if compound_subject:
+            for ki in kid_idx[subj.i]:
+                if dep[ki] == "compound":
+                    out["subject"] = words[ki] + " " + out["subject"]
+
+        obj = self.object
+        if obj.dep == "advmod" and obj.pos == "ADV":
+            hi = head_idx[obj.i]
+            if pos[hi] == "ADJ" and obj.text.lower() in EMPHASIS_ADJ_LIST:
+                out["object"] += " " + words[hi]
 
         if compound_object:
-            for child in reversed(list(self.object.children)):
-                if child.dep == "compound":
-                    out["object"] = child.text + " " + out["object"]
+            for ki in reversed(kid_idx[obj.i]):
+                if dep[ki] == "compound":
+                    out["object"] = words[ki] + " " + out["object"]
 
-        for verb_child in self.verb.children:
-            if verb_child.pos == "ADP" and verb_child.dep == "prt":
-                out["verb"] += " " + verb_child.text
+        v = self.verb
+        if isinstance(v, VerbPhrase):
+            v_kids = list(kid_idx[v.first.i]) + list(kid_idx[v.second.i])
+        else:
+            v_kids = kid_idx[v.i]
+        for ki in v_kids:
+            if pos[ki] == "ADP" and dep[ki] == "prt":
+                out["verb"] += " " + words[ki]
 
         # Raw token texts (pre-compound/emphasis assembly): the reference's
         # posrule filters evaluate Token.text (posrule/parser.py:43-45), so

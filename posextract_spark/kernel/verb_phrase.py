@@ -50,30 +50,37 @@ def find_verb_phrases(sent: Sentence) -> List[VerbPhrase]:
     anchor scans): each (head, child) edge is classified by one dict
     lookup. Output order is the reference's registration order exactly —
     pattern-major, then (anchor index, child index) — reproduced by
-    per-pattern buckets sorted on (anchor.i, child.i); the original
+    per-pattern buckets sorted on (anchor_i, child_i); the original
     nested loop yields anchors in token order and children in index
-    order, which is the same key."""
+    order, which is the same key.
+
+    r8: scans the parse_view arrays (dep/pos/head) instead of Token
+    objects, so on a LazySentence only the matched anchor/child pairs
+    materialize Tokens; a sentence with no advcl/conj/ccomp/xcomp edge
+    (the common case) touches none. The self-loop guard ``head is child``
+    becomes ``hi == ci`` (identical: token identity == index equality
+    within one sentence)."""
+    _, pos, dep, head_idx, _ = sent.parse_view()
     buckets: List[List] = [[] for _ in _PATTERNS]
-    tokens = sent.tokens
     any_hit = False
-    for child in tokens:
-        dep = child.dep
-        if dep not in _VP_CHILD_DEPS:
+    for ci, d in enumerate(dep):
+        if d not in _VP_CHILD_DEPS:
             continue
-        head = tokens[child.head_i]
-        if head is child:
+        hi = head_idx[ci]
+        if hi == ci:
             continue
-        k = _PATTERN_INDEX.get((head.pos, dep, child.pos))
+        k = _PATTERN_INDEX.get((pos[hi], d, pos[ci]))
         if k is not None:
-            buckets[k].append((head, child))
+            buckets[k].append((hi, ci))
             any_hit = True
     if not any_hit:
         return []
+    tok = sent._tok
     phrases: List[VerbPhrase] = []
     for k, bucket in enumerate(buckets):
         if not bucket:
             continue
-        bucket.sort(key=lambda pair: (pair[0].i, pair[1].i))
+        bucket.sort()
         cls = _PATTERNS[k][0]
-        phrases.extend(cls(head, child) for head, child in bucket)
+        phrases.extend(cls(tok(hi), tok(ci)) for hi, ci in bucket)
     return phrases

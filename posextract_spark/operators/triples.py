@@ -104,26 +104,52 @@ def extract_triples(
     def gen(batches):
         # Lazy per-executor provider (the reference's module-level
         # singleton, util.py:18-22, becomes a process-local cache).
+        import gc
+
         from posextract_spark.parse.provider import get_provider
 
         prov = get_provider(provider_name, **provider_kwargs)
-        for pdf in batches:
-            texts = pdf[text_col]
-            segments_per_doc = [split_quotes_list(t) if t else [] for t in texts]
-            flat_segments = [seg for segs in segments_per_doc for seg in segs]
-            parsed = prov.parse_batch(flat_segments)
+        # Token._sent <-> Sentence.tokens is a reference cycle, so every
+        # batch leaves ~50 cyclic objects per document that only the
+        # cyclic collector can free. Under the default thresholds that
+        # allocation rate triggers thousands of threshold collections per
+        # batch, measured at ~50% of this UDF's CPU (7.5s -> 3.7s per 20k
+        # docs with gc off). Disable threshold GC for the task and run ONE
+        # explicit collect per batch after the parse forest is unbound:
+        # same liberated garbage, one heap walk. Memory stays flat
+        # (collect-per-batch measured rss-stable vs +370MB/batch fully
+        # disabled). Workers are single-threaded and reused, so the
+        # enabled state is restored in the finally.
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            for pdf in batches:
+                texts = pdf[text_col]
+                segments_per_doc = [split_quotes_list(t) if t else [] for t in texts]
+                flat_segments = [seg for segs in segments_per_doc for seg in segs]
+                # lazy parse: Token objects materialize only where the
+                # traversal touches them (LazySentence; parity pinned by
+                # tests/test_lazy_sentence_parity.py)
+                parsed = prov.parse_lazy_batch(flat_segments)
 
-            rows = []
-            pos = 0
-            id_values = [pdf[c] for c in id_cols]
-            get_fields = _FIELDS_GETTER
-            for r, segs in enumerate(segments_per_doc):
-                ids = tuple(col.iloc[r] for col in id_values)
-                for sent_id in range(len(segs)):
-                    for flat in extract_triples_one(parsed[pos + sent_id], options=options):
-                        rows.append(ids + (sent_id,) + get_fields(flat))
-                pos += len(segs)
-            yield pd.DataFrame(rows, columns=columns)
+                rows = []
+                pos = 0
+                id_values = [pdf[c] for c in id_cols]
+                get_fields = _FIELDS_GETTER
+                for r, segs in enumerate(segments_per_doc):
+                    ids = tuple(col.iloc[r] for col in id_values)
+                    for sent_id in range(len(segs)):
+                        for flat in extract_triples_one(parsed[pos + sent_id], options=options):
+                            rows.append(ids + (sent_id,) + get_fields(flat))
+                    pos += len(segs)
+                out = pd.DataFrame(rows, columns=columns)
+                del parsed, segments_per_doc, flat_segments, rows
+                yield out
+                del out
+                gc.collect()
+        finally:
+            if gc_was_enabled:
+                gc.enable()
 
     out = pruned.mapInPandas(gen, out_schema)
     if posrule_filter is not None:

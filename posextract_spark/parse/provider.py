@@ -17,6 +17,14 @@ class ParseProvider:
     def parse_batch(self, texts: List[str]) -> List[Sentence]:
         raise NotImplementedError
 
+    def parse_lazy_batch(self, texts: List[str]) -> List[Sentence]:
+        """Sentences for the extraction path. Providers that parse to
+        arrays override this to return LazySentence (Token objects
+        materialized on demand — observably identical, pinned by
+        tests/test_lazy_sentence_parity.py); the default is the eager
+        object parse."""
+        return self.parse_batch(texts)
+
     def parse_arrays_batch(self, texts: List[str]) -> List[tuple]:
         """Struct-of-arrays encoding (words, lemmas, pos, dep, head,
         kid_idx) per sentence — all the pair extractors need

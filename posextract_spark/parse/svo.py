@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from posextract_spark.kernel.model import Sentence, Token
+from posextract_spark.kernel.model import LazySentence, Sentence, Token
 from posextract_spark.parse.provider import ParseProvider
 
 DET_WORDS = frozenset({"the", "a", "an"})
@@ -149,6 +149,16 @@ class SVOChunkParser(ParseProvider):
 
     def parse_batch(self, texts: List[str]) -> List[Sentence]:
         return [self.parse_one(t) for t in texts]
+
+    def parse_lazy_batch(self, texts: List[str]) -> List[Sentence]:
+        """LazySentence over the array parse: no Token/Sentence-children
+        objects until the traversal touches one. Same arrays as
+        parse_arrays_batch; parity with parse_batch is pinned by
+        tests/test_lazy_sentence_parity.py."""
+        return [
+            LazySentence.from_parse(*arrays)
+            for arrays in self.parse_arrays_batch(texts)
+        ]
 
     def parse_arrays_batch(self, texts: List[str]) -> List[tuple]:
         """Direct struct-of-arrays parse: same (words, lemmas, pos, dep,
