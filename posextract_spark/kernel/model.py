@@ -312,7 +312,16 @@ class LazySentence(Sentence):
         return t
 
     def parse_view(self):
-        return (self._pv_words, self._pv_pos, self._pv_dep, self._pv_head, self._kid_idx)
+        v = self._view
+        if v is None:
+            v = self._view = (
+                self._pv_words,
+                self._pv_pos,
+                self._pv_dep,
+                self._pv_head,
+                self._kid_idx,
+            )
+        return v
 
     def __iter__(self) -> Iterator[Token]:
         tok = self._tok

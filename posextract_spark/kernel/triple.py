@@ -36,6 +36,11 @@ FLAT_FIELDS = (
 )
 
 
+# prebuilt all-empty record: dict.copy is ~3x cheaper than dict.fromkeys
+# in the per-triple flatten hot path
+_FLAT_TEMPLATE = dict.fromkeys(FLAT_FIELDS, "")
+
+
 @dataclass
 class TripleExtraction:
     subject_negdet: Optional[Token] = None
@@ -87,7 +92,7 @@ class TripleExtraction:
           (triple_extraction.py:84-86).
         - ADP/prt verb children append to the verb (triple_extraction.py:93-95).
         """
-        out = dict.fromkeys(FLAT_FIELDS, "")
+        out = _FLAT_TEMPLATE.copy()
 
         # unrolled field copy (profiled: the getattr-by-name loop was the
         # hottest line of flatten); same str() coercion per field

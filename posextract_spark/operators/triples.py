@@ -134,10 +134,12 @@ def extract_triples(
 
                 rows = []
                 pos = 0
-                id_values = [pdf[c] for c in id_cols]
+                # plain-list id columns: Series.iloc per document was
+                # ~40x the cost of a list index at batch sizes
+                id_values = [pdf[c].tolist() for c in id_cols]
                 get_fields = _FIELDS_GETTER
                 for r, segs in enumerate(segments_per_doc):
-                    ids = tuple(col.iloc[r] for col in id_values)
+                    ids = tuple(col[r] for col in id_values)
                     for sent_id in range(len(segs)):
                         for flat in extract_triples_one(parsed[pos + sent_id], options=options):
                             rows.append(ids + (sent_id,) + get_fields(flat))
